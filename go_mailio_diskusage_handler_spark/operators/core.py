@@ -1,0 +1,85 @@
+"""Core disk-usage pipeline — reference parity.
+
+Reference chain (``/root/reference/handler.go``):
+
+* O5 projection (``:203-221``): of ~21 S3-inventory columns, only
+  ``key`` and ``size`` are extracted (switch on column name).
+* O6 scalar derive (``:234-239``): ``address = split(key, "/")[0]``.
+* O7 filter (``:235-238``): rows whose key has no ``/`` are skipped.
+* O8 hash aggregation (``:231-251``): per-address ``SUM(size)`` and
+  ``COUNT(*)`` into ``DiskUsage{address, size_bytes, number_files}``.
+* O11 point lookup (``:255-262``): map probe by address.
+
+Spark mapping and why it scales:
+
+* ``select`` + Catalyst column pruning pushes the 2-of-21 projection
+  into the Parquet scan (``ReadSchema`` shows only key/size) — the
+  reference does this by hand, Catalyst does it for free.
+* The malformed-key guard is a scan-level predicate; expressed with
+  ``contains`` so it is pushdown-eligible.
+* The groupBy compiles to ``HashAggregateExec`` partial → shuffle by
+  ``address`` → final: map-side combine means the shuffle carries one
+  row per (task, address), not per object.  At 100 TB / ~billions of
+  objects this is the only shuffle in the pipeline, and its width is
+  bounded by the number of distinct addresses, not the row count.
+* No ``collect()`` here — serving layers (streaming.refresh) decide
+  how to materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def inventory_from_lineitem(lineitem: DataFrame) -> DataFrame:
+    """Synthesize an S3-inventory-shaped table from ``lineitem``.
+
+    ``key = l_orderkey/l_linenumber`` with ``size = l_extendedprice``,
+    except ``l_linenumber = 7`` rows get a slash-less key so the
+    malformed-key guard (handler.go:235-238) has real work to do.
+    Mirrored 1:1 by DuckDB SQL in ``__spark_entry__.oracle_sql``.
+    """
+    key = F.when(
+        F.col("l_linenumber") == 7, F.col("l_orderkey").cast("string")
+    ).otherwise(
+        F.concat_ws(
+            "/", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        )
+    )
+    return lineitem.select(key.alias("key"), F.col("l_extendedprice").alias("size"))
+
+
+def well_formed_key() -> Column:
+    """O7 guard: key must have >= 2 slash-separated parts."""
+    return F.size(F.split(F.col("key"), "/")) >= 2
+
+
+def disk_usage(inventory: DataFrame, *, round_to: int | None = 2) -> DataFrame:
+    """O5+O6+O7+O8: inventory(key, size) → DiskUsage aggregate.
+
+    Output schema: ``address string, size_bytes, number_files bigint``.
+    ``round_to`` stabilizes float sums for cross-engine hashing; pass
+    ``None`` for the raw sum (real deployments: size is int64 anyway).
+    """
+    sum_col = F.sum("size")
+    if round_to is not None:
+        sum_col = F.round(sum_col, round_to)
+    return (
+        inventory.filter(well_formed_key())
+        .select(F.split_part(F.col("key"), F.lit("/"), F.lit(1)).alias("address"), "size")
+        .groupBy("address")
+        .agg(
+            sum_col.alias("size_bytes"),
+            F.count(F.lit(1)).alias("number_files"),
+        )
+    )
+
+
+def disk_usage_lookup(disk_usage_df: DataFrame, address: str) -> DataFrame:
+    """O11 ``GetDiskUsage``: point lookup on the aggregate.
+
+    Over a cached aggregate this is a partition-local scan of a tiny
+    table; the serving path (streaming.refresh.DiskUsageHandler) keeps
+    a driver-side dict for O(1) probes matching handler.go:258.
+    """
+    return disk_usage_df.filter(F.col("address") == address)

@@ -1,0 +1,66 @@
+"""SparkSession construction tuned for this engine.
+
+The reference hard-codes a single-threaded, whole-file-in-RAM runtime
+(``/root/reference/handler.go:147,190,196`` — 5-row Arrow batches, full
+S3 object buffered).  Here the session is configured for the opposite:
+vectorized scans, AQE, and shuffle-partition counts sized to the local
+test harness while remaining sane defaults for a real cluster (where
+AQE re-coalesces at runtime anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(app_name: str = "diskusage-spark") -> SparkSession:
+    """Build a local session mirroring the cluster-oriented config.
+
+    On a real cluster only ``master`` changes; every other knob below
+    is scale-portable (AQE owns post-shuffle sizing at runtime).
+    """
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.ignoreCorruptFiles", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def configure_s3a(spark: SparkSession, *, region: str | None = None,
+                  access_key: str | None = None, secret_key: str | None = None) -> None:
+    """Wire the Hadoop S3A connector (reference O1, ``handler.go:146-164``).
+
+    The reference downloads whole objects via ``s3manager.Downloader``
+    into RAM; on Spark the S3A filesystem streams ranges per task, so a
+    1000-executor cluster reads a 100 TB inventory without any single
+    node buffering a file.  Credentials fall back to the default AWS
+    provider chain when not given (IAM roles on real clusters).
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    if region:
+        hconf.set("fs.s3a.endpoint.region", region)
+    if access_key and secret_key:
+        hconf.set("fs.s3a.access.key", access_key)
+        hconf.set("fs.s3a.secret.key", secret_key)
+    # Match executeJob's skip-bad-file-and-continue posture
+    # (handler.go:86-89) instead of its log.Fatalf on bad Parquet
+    # (handler.go:176,186,192).
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")

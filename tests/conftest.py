@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_mailio_diskusage_handler_spark.session import build_session  # noqa: E402
+from go_mailio_diskusage_handler_spark.sources.tables import TABLES  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session("tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    """DuckDB connection with fixture tables registered as views,
+    mirroring the driver's oracle harness."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_CORRECT}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, ndigits: int = 6):
+    """Order-insensitive, float-rounded canonical form of a result set."""
+
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, ndigits)
+        return v
+
+    return sorted(tuple(norm(v) for v in row) for row in rows)
+
+
+def compare_with_oracle(spark, ddb, name: str, queries: dict, oracles: dict,
+                        sf_dir: str = SF_CORRECT):
+    """Run one registered query against its DuckDB oracle like the
+    driver does: same column order (sorted by name), value compare."""
+    sdf = queries[name](spark, sf_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.select(*cols).collect()]
+    ora = ddb.execute(oracles[name]).df()
+    assert sorted(ora.columns.tolist()) == cols, (
+        f"{name}: column mismatch spark={cols} oracle={sorted(ora.columns.tolist())}"
+    )
+    oracle_rows = [tuple(r) for r in ora[cols].itertuples(index=False, name=None)]
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{name}: rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+    a, b = normalize(spark_rows), normalize(oracle_rows)
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"{name}: {len(mism)} mismatched rows, first 3: {mism[:3]}"

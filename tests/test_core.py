@@ -1,0 +1,54 @@
+"""Core disk-usage pipeline: correctness vs DuckDB oracle + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mailio_diskusage_handler_spark import registry
+from go_mailio_diskusage_handler_spark.operators import core
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE, compare_with_oracle
+
+CORE_QUERIES = ["du_core", "du_lookup", "du_multifile"]
+
+
+@pytest.mark.parametrize("name", CORE_QUERIES)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"address", "size_bytes", "number_files"}
+
+
+def test_every_query_has_callable_shape(spark):
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_column_pruning_reaches_scan(spark):
+    """The 2-of-21 projection must be pushed into the Parquet reader
+    (reference does it by hand at handler.go:207-219; Catalyst must do
+    it for us — ReadSchema should only list the used lineitem cols)."""
+    inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))
+    plan = core.disk_usage(inv)._jdf.queryExecution().executedPlan().toString()
+    assert "l_orderkey" in plan
+    # untouched wide columns must NOT be read
+    for col in ("l_comment", "l_shipdate", "l_partkey", "l_quantity"):
+        assert col not in plan, f"column {col} not pruned:\n{plan}"
+
+
+def test_lookup_empty_for_unknown_address(spark):
+    """Reference returns ErrNotFound for unknown address (handler.go:259-261)."""
+    inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))
+    du = core.disk_usage(inv)
+    assert core.disk_usage_lookup(du, "no-such-address").count() == 0
