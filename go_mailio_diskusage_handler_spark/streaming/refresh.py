@@ -1,0 +1,169 @@
+"""Periodic full-refresh disk-usage service — reference O10/O13/O14.
+
+Reference behavior (``/root/reference/handler.go``):
+
+* ``NewAwsDiskUsageHandler`` (``:39-60``): build S3 client, start a
+  cron ``@every {N}s`` with panic recovery, then run one ingest
+  synchronously before returning.
+* ``executeJob`` (``:77-92``): fetch manifest → per-file download +
+  parse; manifest failure aborts the run, per-file failure skips the
+  file.
+* snapshot swap (``:252``): the freshly built map replaces the old one
+  wholesale — full refresh, never a merge.
+* ``GetDiskUsage`` (``:255-262``): O(1) map probe; ErrNotFound miss.
+* ``Stop`` (``:68-72``): stop the scheduler.
+
+Spark design:
+
+* The refresh is ONE declarative job: multi-path Parquet scan →
+  ``operators.core.disk_usage`` (single shuffle).  No per-file loop —
+  Spark schedules one task per row-group split across the cluster,
+  and ``spark.sql.files.ignoreCorruptFiles`` reproduces the
+  skip-bad-file posture instead of the reference's ``log.Fatalf``.
+* The swap is an atomic Python reference rebind of an immutable
+  snapshot — readers holding the previous snapshot keep a consistent
+  view.  This removes the reference's documented data race (unsynced
+  map read/write, SURVEY §3): here there is nothing mutable to race on.
+* Serving: ``serving="map"`` collects the aggregate to a driver dict
+  for O(1) probes (matches the reference; fine while the number of
+  DISTINCT ADDRESSES is driver-sized — the aggregate is tiny even when
+  the inventory is 100 TB).  ``serving="dataframe"`` keeps a cached
+  DataFrame and answers lookups with a filter — the scale-out path if
+  address cardinality ever outgrows the driver.
+* Scheduling uses a daemon timer thread (the cron analog).  On a real
+  cluster you would run the same ``refresh()`` under an external
+  scheduler or a Structured Streaming ``Trigger.AvailableNow`` — the
+  refresh body is identical.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.core import disk_usage
+from ..sources.manifest import Manifest, fetch_manifest
+
+log = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class DiskUsage:
+    """Output record (``README.md:44-48``, mailiotypes.DiskUsage)."""
+
+    address: str
+    size_bytes: int
+    number_files: int
+
+
+class NotFoundError(KeyError):
+    """ErrNotFound analog (``/root/reference/types.go:6``)."""
+
+
+class DiskUsageHandler:
+    """Drop-in functional equivalent of ``AwsDiskUsageHandler``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        inventory_path: str,
+        refresh_period_seconds: float,
+        download: Callable[[str, str], bytes],
+        *,
+        path_scheme: str = "s3a",
+        serving: str = "map",
+        clock: Callable[[], datetime] = lambda: datetime.now(timezone.utc),
+        eager: bool = True,
+        autostart: bool = True,
+    ) -> None:
+        self._spark = spark
+        self._inventory_path = inventory_path
+        self._period = refresh_period_seconds
+        self._download = download
+        self._scheme = path_scheme
+        self._serving = serving
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._timer: threading.Timer | None = None
+        self._stopped = threading.Event()
+        # Published snapshots (atomically rebound, never mutated):
+        self._map: dict[str, DiskUsage] = {}
+        self._df: DataFrame | None = None
+
+        if eager:
+            self.execute_job()  # synchronous first run, handler.go:58
+        if autostart:
+            self._schedule()
+
+    # -- scheduling (O13) -------------------------------------------------
+    def _schedule(self) -> None:
+        if self._stopped.is_set():
+            return
+        self._timer = threading.Timer(self._period, self._tick)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def _tick(self) -> None:
+        try:
+            self.execute_job()
+        except Exception:  # cron.Recover analog (handler.go:48)
+            log.exception("refresh failed; keeping previous snapshot")
+        finally:
+            self._schedule()
+
+    def stop(self) -> None:
+        """O14 (handler.go:68-72)."""
+        self._stopped.set()
+        if self._timer is not None:
+            self._timer.cancel()
+
+    # -- refresh (O12 + O10) ----------------------------------------------
+    def execute_job(self) -> None:
+        """One full refresh; manifest failure aborts, keeping the old
+        snapshot (handler.go:79-82)."""
+        manifest = fetch_manifest(self._inventory_path, self._clock(), self._download)
+        self.refresh_from_manifest(manifest)
+
+    def refresh_from_manifest(self, manifest: Manifest) -> None:
+        paths = manifest.data_paths(self._scheme)
+        if not paths:
+            log.warning("manifest lists no data files; keeping previous snapshot")
+            return
+        inv = self._spark.read.parquet(*paths).select("key", "size")
+        agg = disk_usage(inv, round_to=None)
+        if self._serving == "map":
+            snapshot = {
+                r["address"]: DiskUsage(r["address"], r["size_bytes"], r["number_files"])
+                for r in agg.toLocalIterator()
+            }
+            with self._lock:
+                self._map = snapshot  # atomic swap, handler.go:252
+        else:
+            new_df = agg.cache()
+            new_df.count()  # materialize before publishing
+            with self._lock:
+                old, self._df = self._df, new_df
+            if old is not None:
+                old.unpersist()
+
+    # -- read path (O11) ----------------------------------------------------
+    def get_disk_usage(self, address: str) -> DiskUsage:
+        """handler.go:255-262; raises NotFoundError on a miss."""
+        if self._serving == "map":
+            try:
+                return self._map[address]
+            except KeyError:
+                raise NotFoundError(address) from None
+        df = self._df
+        if df is None:
+            raise NotFoundError(address)
+        rows = df.filter(df["address"] == address).collect()
+        if not rows:
+            raise NotFoundError(address)
+        r = rows[0]
+        return DiskUsage(r["address"], r["size_bytes"], r["number_files"])

@@ -1,0 +1,178 @@
+"""Manifest parsing / date probing (O2-O3) and refresh handler
+(O10/O13/O14) — unit-level, no network, local Parquet standing in
+for S3 (path scheme 'file')."""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+
+import pytest
+
+from go_mailio_diskusage_handler_spark.sources import manifest as m
+from go_mailio_diskusage_handler_spark.streaming.refresh import (
+    DiskUsageHandler,
+    NotFoundError,
+)
+
+EXAMPLE = {
+    "sourceBucket": "example-source-bucket",
+    "destinationBucket": "arn:aws:s3:::example-inventory-destination-bucket",
+    "version": "2016-11-30",
+    "creationTimestamp": "1514944800000",
+    "fileFormat": "Parquet",
+    "fileSchema": "message s3.inventory { required binary bucket (STRING); }",
+    "files": [
+        {
+            "key": "data/file1.parquet",
+            "size": 2147483647,
+            "MD5checksum": "f11166069f1990abeb9c97ace9cdfabc",
+        }
+    ],
+}
+
+
+def test_parse_manifest_roundtrip():
+    man = m.parse_manifest(json.dumps(EXAMPLE))
+    assert man.source_bucket == "example-source-bucket"
+    assert man.files[0].key == "data/file1.parquet"
+    assert man.files[0].size == 2147483647
+    assert man.data_paths() == ["s3a://example-source-bucket/data/file1.parquet"]
+
+
+def test_manifest_key_pinned_to_1am_utc():
+    # handler.go:104-107: any time of day pins to 01:00 UTC
+    dt = datetime(2024, 3, 5, 17, 23, 59, tzinfo=timezone.utc)
+    assert m.manifest_key("pfx/cfg", dt) == "pfx/cfg/2024-03-05T01-00Z/manifest.json"
+
+
+def test_split_inventory_path():
+    assert m.split_inventory_path("s3://bkt/a/b/c") == ("bkt", "a/b/c")
+    with pytest.raises(ValueError):
+        m.split_inventory_path("s3://no-slash-here")
+
+
+def test_fetch_manifest_falls_back_to_yesterday():
+    calls = []
+
+    def download(bucket, key):
+        calls.append((bucket, key))
+        if "2024-03-05" in key:
+            raise m.ManifestNotFoundError(key)
+        return json.dumps(EXAMPLE)
+
+    man = m.fetch_manifest(
+        "s3://bkt/pfx", datetime(2024, 3, 5, 12, 0, tzinfo=timezone.utc), download
+    )
+    assert man.source_bucket == "example-source-bucket"
+    assert [k for _, k in calls] == [
+        "pfx/2024-03-05T01-00Z/manifest.json",
+        "pfx/2024-03-04T01-00Z/manifest.json",
+    ]
+
+
+def test_fetch_manifest_non_notfound_error_propagates():
+    def download(bucket, key):
+        raise IOError("boom")
+
+    with pytest.raises(IOError):
+        m.fetch_manifest(
+            "s3://bkt/pfx", datetime(2024, 3, 5, tzinfo=timezone.utc), download
+        )
+
+
+# ---------------------------------------------------------------------------
+# Refresh handler over local parquet standing in for S3
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def inventory_dir(spark, tmp_path_factory):
+    """Two inventory-shaped parquet 'files' (key, size)."""
+    base = tmp_path_factory.mktemp("inv")
+    rows1 = [("alice/a.txt", 10), ("alice/b.txt", 5), ("bob/x.bin", 7), ("noslash", 99)]
+    rows2 = [("alice/c.txt", 1), ("carol/z.dat", 3)]
+    spark.createDataFrame(rows1, "key string, size long").write.mode("overwrite").parquet(
+        str(base / "f1.parquet")
+    )
+    spark.createDataFrame(rows2, "key string, size long").write.mode("overwrite").parquet(
+        str(base / "f2.parquet")
+    )
+    return base
+
+
+def make_handler(spark, inventory_dir, **kw):
+    manifest_doc = {
+        "sourceBucket": str(inventory_dir),
+        "files": [{"key": "f1.parquet"}, {"key": "f2.parquet"}],
+    }
+
+    def download(bucket, key):
+        return json.dumps(manifest_doc)
+
+    return DiskUsageHandler(
+        spark,
+        "s3://bkt/pfx",
+        refresh_period_seconds=3600,
+        download=download,
+        path_scheme="file",
+        autostart=False,
+        **kw,
+    )
+
+
+def test_refresh_aggregates_across_all_files(spark, inventory_dir):
+    """Intended cross-file semantics — NOT the reference's
+    last-file-wins trap (SURVEY §2): alice spans both files."""
+    h = make_handler(spark, inventory_dir)
+    du = h.get_disk_usage("alice")
+    assert (du.size_bytes, du.number_files) == (16, 3)
+    assert h.get_disk_usage("carol").size_bytes == 3
+    with pytest.raises(NotFoundError):
+        h.get_disk_usage("noslash")  # malformed key filtered (O7)
+    with pytest.raises(NotFoundError):
+        h.get_disk_usage("nobody")
+    h.stop()
+
+
+def test_dataframe_serving_mode(spark, inventory_dir):
+    h = make_handler(spark, inventory_dir, serving="dataframe")
+    assert h.get_disk_usage("bob").size_bytes == 7
+    with pytest.raises(NotFoundError):
+        h.get_disk_usage("nobody")
+    h.stop()
+
+
+def test_periodic_refresh_ticks(spark, inventory_dir):
+    """O13: the scheduler re-runs the job; a failing manifest keeps
+    the previous snapshot (handler.go:79-82)."""
+    state = {"fail": False, "calls": 0}
+    manifest_doc = {
+        "sourceBucket": str(inventory_dir),
+        "files": [{"key": "f1.parquet"}],
+    }
+
+    def download(bucket, key):
+        state["calls"] += 1
+        if state["fail"]:
+            raise IOError("s3 down")
+        return json.dumps(manifest_doc)
+
+    h = DiskUsageHandler(
+        spark,
+        "s3://bkt/pfx",
+        refresh_period_seconds=0.2,
+        download=download,
+        path_scheme="file",
+    )
+    assert h.get_disk_usage("alice").number_files == 2
+    state["fail"] = True
+    first_calls = state["calls"]
+    deadline = time.time() + 10
+    while state["calls"] == first_calls and time.time() < deadline:
+        time.sleep(0.05)
+    assert state["calls"] > first_calls, "scheduler never ticked"
+    # snapshot survived the failed refresh
+    assert h.get_disk_usage("alice").number_files == 2
+    h.stop()
