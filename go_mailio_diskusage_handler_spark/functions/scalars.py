@@ -1,0 +1,107 @@
+"""[EXT] Scalar function coverage: date, math, JSON, array.
+
+The reference's only scalar op is the path split (O6,
+``/root/reference/handler.go:234-239``).  These extend coverage to the
+scalar families SURVEY §2.1 calls for, all built-in JVM expressions
+(whole-stage-codegen-eligible — no Python in any of these paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def monthly_order_stats(orders: DataFrame) -> DataFrame:
+    """Date scalars: month bucketing via date_format (string key keeps
+    the cross-engine comparison type-stable)."""
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_totalprice",
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def math_buckets(lineitem: DataFrame, buckets: int = 8) -> DataFrame:
+    """Math scalars: pmod bucketing + abs/floor/sqrt aggregates."""
+    return (
+        lineitem.select(
+            F.pmod(F.col("l_orderkey"), F.lit(buckets)).alias("bucket"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "discounted_revenue"
+            ),
+            F.round(F.avg(F.sqrt(F.col("l_extendedprice"))), 4).alias("avg_sqrt_price"),
+        )
+    )
+
+
+def json_event_stats(events: DataFrame) -> DataFrame:
+    """JSON scalar: extract ``$.k`` from the props JSON string and
+    aggregate per event type.  get_json_object is a JVM expression —
+    no Python round-trip for JSON parsing."""
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def embedding_array_stats(embeddings: DataFrame) -> DataFrame:
+    """Array scalars over array<float>: size, element access, and an
+    L2 norm via the higher-order ``aggregate`` — all JVM-side (no UDF),
+    which is what keeps vector math feasible at billions of rows."""
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        F.round(norm, 6).alias("l2_norm"),
+        "label",
+    )
+
+
+def tumbling_event_windows(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Event-time tumbling window aggregation (batch form).
+
+    ``F.window`` is the same expression Structured Streaming uses; the
+    streaming variant adds ``withWatermark`` (streaming/windows.py).
+    Window start is exported as epoch seconds for engine-neutral
+    comparison.
+    """
+    return (
+        events.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )

@@ -1,0 +1,152 @@
+"""[EXT] Relational operator breadth.
+
+The reference has no joins, windows, sorts, set ops, or subqueries
+(verified in SURVEY §2.1 — its only operators are scan/project/filter/
+agg/lookup).  These are the driver-mandated extensions, each written
+the way you'd want the plan to look on a 1000-executor cluster:
+
+* Dimension joins broadcast the small side (region/nation/customer are
+  KBs–MBs even at 100 TB fact scale) so the fact table never shuffles
+  for the join — only the final aggregation shuffles.
+* Top-k is `orderBy().limit(k)`, which Spark executes as
+  ``TakeOrderedAndProject``: per-partition heaps of k rows, no global
+  sort, no full-result shuffle.
+* Windows partition by a key before ordering — a window over an
+  unpartitioned ORDER BY would serialize 100 TB through one task, so
+  every window here has a PARTITION BY.
+* Set ops are expressed as EXCEPT/anti-join over aggregated (already
+  small) inputs where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def top_k_addresses(disk_usage_df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k users by total size — TakeOrderedAndProject, not a global
+    sort.  Deterministic tie-break on address."""
+    return disk_usage_df.orderBy(
+        F.desc("size_bytes"), F.asc("address")
+    ).limit(k)
+
+
+def top_orders_per_customer(orders: DataFrame, n: int = 3) -> DataFrame:
+    """row_number window: each customer's n most expensive orders.
+
+    PARTITION BY o_custkey keeps every window task bounded by one
+    customer's orders; deterministic via o_orderkey tie-break.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= n)
+    )
+
+
+def running_total_per_customer(orders: DataFrame) -> DataFrame:
+    """Running revenue per customer over order date (ROWS frame,
+    deterministic order via o_orderkey tie-break)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def revenue_by_region(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Star join: fact(orders) ⋈ dims, all dims broadcast.
+
+    At 100 TB the orders side streams through unchanged; the only
+    shuffle is the final groupBy on 5 region names (collapsed almost
+    entirely by partial aggregation).
+    """
+    dims = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, year: int | None = None
+) -> DataFrame:
+    """LEFT ANTI join — customers with no orders (optionally: none in
+    ``year``).  Spark broadcasts the custkey set when small; at scale
+    AQE picks shuffled hash anti-join.  The year filter is pushed to
+    the orders scan before the join."""
+    if year is not None:
+        orders = orders.filter(F.year("o_orderdate") == year)
+    return customer.join(
+        orders.select("o_custkey"),
+        customer["c_custkey"] == orders["o_custkey"],
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def lapsed_customers(orders: DataFrame, split_date: str) -> DataFrame:
+    """Set difference: customers ordering BEFORE split_date but not
+    after — day-over-day inventory-diff pattern (SURVEY §2.1 set ops).
+    EXCEPT over two already-aggregated (distinct) sides keeps the
+    shuffled data small.
+    """
+    before = orders.filter(F.col("o_orderdate") < split_date).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= split_date).select("o_custkey")
+    return before.distinct().exceptAll(after.distinct()).select(
+        F.col("o_custkey").alias("lapsed_custkey")
+    )
+
+
+def rollup_order_stats(orders: DataFrame) -> DataFrame:
+    """ROLLUP (status, priority): per-group, per-status, grand totals
+    in one pass — Spark expands grouping sets before the single
+    aggregation shuffle."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+def distinct_customers_per_status(orders: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to two-phase aggregate."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers")
+    )
+
+
+def approx_distinct_customers(orders: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB path for distinct counts:
+    one pass, fixed memory, no distinct-expand shuffle.  No DuckDB
+    oracle (sketch estimates differ across engines); the driver
+    records a rows-only check and tests bound the relative error."""
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd).alias("approx_distinct_customers")
+    )

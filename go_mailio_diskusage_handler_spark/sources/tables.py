@@ -29,8 +29,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. ``sf_dir`` is e.g. /root/testdata/sf0.01."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table. ``sf_dir`` is e.g. /root/testdata/sf0.01.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).  We read
+    nanos as int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
+    convert to TimestampType with exact integer division (``div`` —
+    float division would lose precision above 2^53 ns and shift
+    timestamps by up to ±256 ns).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

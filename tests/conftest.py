@@ -43,7 +43,10 @@ def normalize(rows, ndigits: int = 6):
             return round(v, ndigits)
         return v
 
-    return sorted(tuple(norm(v) for v in row) for row in rows)
+    def key(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    return sorted((tuple(norm(v) for v in row) for row in rows), key=key)
 
 
 def compare_with_oracle(spark, ddb, name: str, queries: dict, oracles: dict,

@@ -1,0 +1,65 @@
+"""[EXT] relational + scalar queries: DuckDB oracle parity and
+physical-plan shape (broadcast joins, top-k without global sort)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mailio_diskusage_handler_spark import plans, registry
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_CORRECT, compare_with_oracle
+
+ORACLE_CHECKED = [
+    "topk_addresses",
+    "window_top_orders",
+    "window_running_total",
+    "join_revenue_by_region",
+    "anti_customers_without_orders",
+    "setop_lapsed_customers",
+    "rollup_order_stats",
+    "distinct_customers_per_status",
+    "scalar_monthly_orders",
+    "scalar_math_buckets",
+    "scalar_json_events",
+    "scalar_embedding_arrays",
+    "events_tumbling_window",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_approx_distinct_within_rsd(spark, ddb):
+    """HLL++ estimate vs exact: bounded relative error (rsd=0.01)."""
+    est = registry.QUERIES["approx_distinct_customers"](spark, SF_CORRECT).collect()[0][0]
+    exact = ddb.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_star_join_broadcasts_dims(spark):
+    """The 100 TB plan requirement: no shuffle of the fact table for
+    dimension joins — every join in the star must be broadcast."""
+    df = registry.QUERIES["join_revenue_by_region"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, f"dim join fell back to SMJ:\n{plan}"
+    # exactly one shuffle: the final groupBy on r_name
+    assert plans.shuffle_count(df) <= 1, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition heaps, no global sort of the aggregate."""
+    df = registry.QUERIES["topk_addresses"](spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_windows_are_partitioned(spark):
+    """No unpartitioned window (would serialize all data into one task)."""
+    for name in ("window_top_orders", "window_running_total"):
+        plan = plans.executed_plan(registry.QUERIES[name](spark, SF_CORRECT))
+        assert "Window" in plan
+        assert "SinglePartition" not in plan, f"{name} window is unpartitioned:\n{plan}"
