@@ -1,0 +1,279 @@
+"""[EXT] Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 100 TB:
+
+* **Portable deterministic hashing.** All hash functions are built
+  from ``md5`` hex strings (salted per hash index), so the DuckDB
+  oracle can reproduce every signature bit-for-bit.  Lexicographic
+  MIN over salted md5 hex digests is a valid minhash permutation
+  proxy (each salt induces an independent pseudo-random total order
+  on shingles).
+* **LSH instead of all-pairs.** The only quadratic step is the
+  band-bucket self-join, whose size is controlled by band width:
+  docs collide only if one band of their signatures matches exactly.
+  At 100 TB the band join shuffles (band_idx, band_key) — uniformly
+  distributed md5 keys, no skew — and candidate verification touches
+  only colliding pairs, never n².
+* **One shuffle per stage**: shingle-explode → groupBy(doc) for
+  signatures; explode(bands) → self-join; candidate ⋈ shingles for
+  exact-Jaccard verification.  Heavy-hitter shingles (stopword
+  trigrams) are the classic skew source — mitigated by AQE skew-join
+  locally and by document-frequency capping at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_N = 3  # word trigrams
+N_HASHES = 12
+BAND_ROWS = 3
+N_BANDS = N_HASHES // BAND_ROWS  # 4
+
+
+def shingles(documents: DataFrame) -> DataFrame:
+    """doc_id → exploded DISTINCT word-trigram shingles.
+
+    Docs with < 3 tokens are dropped (fixtures always have ≥ 30;
+    mirrored by the oracle's ``len(t) >= 3`` guard).
+
+    Implementation note: built as ``zip_with`` over three shifted
+    ``slice``s of the token array, NOT ``transform(sequence, i ->
+    element_at(toks, i)...)``.  Inside a higher-order lambda the outer
+    ``split`` is re-evaluated per element (no common-subexpression
+    elimination across lambda boundaries), which made shingling
+    O(tokens²) per document — a 6× slowdown observed at sf0.1.  The
+    slice/zip_with form evaluates ``split`` O(1) times per row.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_shingles = F.size(toks) - (SHINGLE_N - 1)
+    parts = [F.slice(toks, j + 1, n_shingles) for j in range(SHINGLE_N)]
+    sh = parts[SHINGLE_N - 1]
+    for j in range(SHINGLE_N - 2, -1, -1):
+        part = parts[j]
+        sh = F.zip_with(part, sh, lambda x, y: F.concat(x, F.lit(" "), y))
+    return (
+        documents.filter(F.size(toks) >= SHINGLE_N)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """doc_id → h0..h{K-1}: min over shingles of md5('{j}:' + shingle).
+
+    One explode + one groupBy shuffle; the signature table is K×32
+    bytes per doc regardless of document length.
+    """
+    sh = shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(b: int):
+    cols = [F.col(f"h{j}") for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band-bucket self-join → distinct candidate pairs (a < b)."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), _band_key(b).alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash→LSH→exact-verify near-dup pairs with Jaccard ≥ threshold."""
+    sh = shingles(documents)
+    cands = lsh_candidate_pairs(minhash_signatures(documents))
+    return jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥ 1 shingle.
+
+    The shared-shingle join bounds the pair set far under n²; at real
+    scale this is the 'exact verification' tier run after LSH, here
+    also exposed standalone (the fixtures' vocabulary keeps shingle
+    document-frequency low).
+    """
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # One shuffle-join + one aggregation: intersection sizes fall out of
+    # the shared-shingle join directly (no distinct-pairs + re-join).
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+# 60 bits = 15 md5 nibbles: wide enough to separate near-dups from the
+# random-pair hamming cloud (32 bits collide at hamming 0 on real data),
+# and safely inside a signed int64 for both engines.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
+_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+_HEX = "0123456789abcdef"
+
+
+def simhash_values(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per document from token md5s.
+
+    Per-token nibble values are decoded from the md5 hex string
+    (portable across engines); each bit contributes ±1 weighted by
+    token multiplicity; the sign vector packs into one int.  Plan:
+    explode tokens → one groupBy(doc_id) with 32 SUM aggregates
+    (partial aggregation collapses the explode before the shuffle).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    nibbles = toks.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('{_HEX}', substring(md5(token), {k + 1}, 1)) - 1"
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS // 4)
+        ],
+    )
+    sums = nibbles.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"(shiftright(v{i // 4}, {3 - i % 4}) & 1) * 2 - 1")
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    packed = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+                for i in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return packed
+
+
+def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via 4-block banding.
+
+    Pigeonhole: hamming(a,b) ≤ 3 over 4 15-bit blocks ⇒ at least one
+    block is identical, so joining on (block_idx, block_value) has
+    full recall at the threshold; bit_count(xor) verifies exactly.
+    """
+    sims = simhash_values(documents)
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("block_idx"),
+                        F.expr(
+                            f"shiftright(simhash, {SIMHASH_BLOCK_BITS * m})"
+                            f" & {_BLOCK_MASK}"
+                        ).alias("block_val"),
+                    )
+                    for m in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

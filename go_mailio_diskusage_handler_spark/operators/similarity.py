@@ -1,0 +1,165 @@
+"""[EXT] Similarity search over embedding columns (array<float>).
+
+Two tiers, per the large-scale pipeline blueprint:
+
+* **Brute-force cosine top-k** — the exactness baseline.  Queries are
+  broadcast (a handful of vectors), so the big side streams through
+  map-side with NO shuffle of the embedding table; per-query top-k is
+  a partitioned window.  All vector math is built-in higher-order
+  functions (``zip_with`` + ``aggregate``) — JVM-side, no Python UDF,
+  no serialization of vectors across the Arrow boundary.
+* **LSH-bucketed ANN** — the 100 TB path.  Random-hyperplane signs
+  (SimHash-for-vectors) bucket each vector once; queries probe only
+  their bucket, turning O(N·Q) into O(N/2^p·Q).  Hyperplanes use
+  small-integer components derived from a public formula
+  (``(p*31 + c*17) mod 7 - 3``) so dot-product signs are exactly
+  reproducible in the DuckDB oracle (float×int in double is exact —
+  no libm, no RNG state).
+
+Cross-engine determinism: both engines fold the element-wise product
+list left-to-right in double precision → bitwise-identical cosines;
+ranking uses the 6-digit-rounded cosine with vec_id tie-break so
+window order is stable everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+N_PLANES = 8  # 256 buckets
+EMB_DIM = 64
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (mirrors DuckDB list_sum of
+    list_transform over range — identical fp summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries = vec_id < n_queries (a deterministic stand-in for an
+    arbitrary broadcast query set).  Output:
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(p: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic small-integer 'random' hyperplane p (public
+    formula; components in [-3, 3])."""
+    return [float((p * 31 + c * 17) % 7 - 3) for c in range(dim)]
+
+
+def bucket_id(emb: Column, dim: int = EMB_DIM) -> Column:
+    """Pack sign(dot(v, plane_p)) bits into an int bucket id."""
+    acc = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in hyperplane(p, dim)])
+        acc = acc + F.when(dot(emb, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """vec_id → LSH bucket (one scan, no shuffle)."""
+    return embeddings.select(
+        "vec_id", bucket_id(F.col("embedding")).alias("bucket")
+    )
+
+
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """ANN: candidates share the query's hyperplane bucket; exact
+    cosine re-rank within the bucket.
+
+    At 100 TB: bucket the corpus ONCE (write bucketed parquet),
+    shuffle is on the bucket id; each query touches ~N/256 vectors.
+    Recall is tunable via planes count / multi-probe.
+    """
+    withb = embeddings.select("vec_id", "embedding",
+                              bucket_id(F.col("embedding")).alias("bucket"))
+    q = withb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        withb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-dup: bucket join (LSH) then exact-cosine
+    verify ≥ threshold.  The n² risk is confined to within-bucket
+    pairs; at scale, raise N_PLANES to shrink buckets."""
+    withb = embeddings.select(
+        "vec_id", "embedding", bucket_id(F.col("embedding")).alias("bucket")
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""[EXT] Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring, token
+counting, and document fingerprinting over the ``documents`` table.
+Everything here is built-in JVM expressions — string/regex/array
+functions inside whole-stage codegen — because at 100 TB these run
+over every document and a Python round-trip would dominate the job.
+All formulas are mirrored 1:1 by DuckDB oracle SQL in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic.  Deliberately small and deterministic — the point is the
+# distributed scoring pattern (argmax over per-language hit counts),
+# not lexicon quality.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+}
+
+TOKEN_SPLIT = " "
+# BPE-ish word/piece pattern: runs of letters, digits, or single
+# non-space symbols (public GPT-2-style segmentation, simplified).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    return F.split(col if isinstance(col, Column) else F.col(col), TOKEN_SPLIT)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality heuristics: length, avg token length, punctuation and
+    stopword ratios, distinct-token ratio (repetition detector)."""
+    toks = tokens()
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]]))
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(stop_hits / n_tok, 4).alias("stopword_kind_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 4).alias("distinct_ratio"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: count profile hits per language,
+    argmax with deterministic tie-break on language code.
+
+    Distributed shape: pure per-row expression work — no shuffle at
+    all; scales linearly with document count.
+    """
+    toks = tokens()
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
+            f"score_{lang}"
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    # argmax via greatest + chained when (deterministic order: en,es,fr,de)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting:
+
+    * ``content_sha`` — exact-content hash (sha256) for exact dedup;
+    * ``bow_fingerprint`` — order-insensitive bag-of-words md5 over
+      sorted distinct tokens (catches shuffled/reordered copies);
+    * ``head_fingerprint`` — md5 of the first 64 chars (cheap
+      rolling-hash-style prefix signature).
+    """
+    toks = tokens()
+    return documents.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "bow_fingerprint"
+        ),
+        F.md5(F.substring("text", 1, 64)).alias("head_fingerprint"),
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: keep the smallest doc_id per
+    distinct content, report group size.
+
+    Plan shape at 100 TB: hash → partial min/count per partition →
+    one shuffle on the 32-byte digest (uniformly distributed — no
+    skew) → final.  Equivalent to ``dropDuplicates`` but keeps the
+    winner choice deterministic and exposes duplicate counts.
+    """
+    return (
+        documents.select(F.sha2("text", 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

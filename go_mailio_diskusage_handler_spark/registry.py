@@ -312,3 +312,336 @@ def scalar_embedding_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalars.tumbling_event_windows(load_table(spark, sf_dir, "events"), 10)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] LLM-pipeline: text analysis + fingerprinting + exact dedup
+# ---------------------------------------------------------------------------
+from .operators import dedup, text  # noqa: E402
+
+
+@register(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_EN_STOPS = "', '".join(text.LANG_PROFILES["en"])
+
+
+@register(
+    "text_quality_scores",
+    rf"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           ROUND((length(text) - len(t) + 1) * 1.0 / len(t), 4) AS avg_token_len,
+           ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 /
+                 greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(len(list_intersect(t, ['{_EN_STOPS}'])) * 1.0 / len(t), 4)
+               AS stopword_kind_ratio,
+           ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS distinct_ratio
+    FROM toks
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, words in text.LANG_PROFILES.items():
+        lst = "', '".join(words)
+        cols.append(
+            f"CAST(len(list_intersect(t, ['{lst}'])) AS INTEGER) AS score_{lang}"
+        )
+    return ", ".join(cols)
+
+
+_LANGS = list(text.LANG_PROFILES)
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_lang_scores_sql()}
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {' '.join(f"WHEN score_{l} = greatest({', '.join('score_' + x for x in _LANGS)}) THEN '{l}'" for l in _LANGS)}
+           END AS predicted_lang,
+           greatest({', '.join('score_' + x for x in _LANGS)}) AS best_score
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           sha256(text) AS content_sha,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bow_fingerprint,
+           md5(substr(text, 1, 64)) AS head_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS content_sha,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY content_sha
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT] LLM-pipeline: MinHash LSH / SimHash / n-gram Jaccard near-dup
+# (oracle SQL generated to mirror the portable md5-based hashing exactly)
+# ---------------------------------------------------------------------------
+_SHINGLE_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+    shingles AS (SELECT DISTINCT doc_id, u.s AS shingle
+                 FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(dedup.N_HASHES)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"h{j}" for j in range(b * dedup.BAND_ROWS, (b + 1) * dedup.BAND_ROWS)
+        ),
+    )
+    for b in range(dedup.N_BANDS)
+)
+
+_JACCARD_TAIL = """
+    inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+              FROM cand
+              JOIN shingles sa ON doc_a = sa.doc_id
+              JOIN shingles sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes za ON doc_a = za.doc_id
+    JOIN sizes zb ON doc_b = zb.doc_id
+"""
+
+
+@register(
+    "dedup_minhash",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shingles GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    {_JACCARD_TAIL}
+    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+    {_JACCARD_TAIL}
+    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.6)
+
+
+_NIBBLES = ", ".join(
+    f"strpos('0123456789abcdef', substr(md5(token), {k + 1}, 1)) - 1 AS v{k}"
+    for k in range(dedup.SIMHASH_BITS // 4)
+)
+_BIT_SUMS = ", ".join(
+    f"SUM(((v{i // 4} >> {3 - i % 4}) & 1) * 2 - 1) AS s{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+_PACK = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(dedup.SIMHASH_BITS)
+)
+
+_SIMHASH_CTES = f"""
+    tok AS (SELECT doc_id, u.token
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 UNNEST(t) AS u(token)),
+    nib AS (SELECT doc_id, {_NIBBLES} FROM tok),
+    sums AS (SELECT doc_id, {_BIT_SUMS} FROM nib GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_PACK} AS BIGINT) AS simhash FROM sums)
+"""
+
+
+@register(
+    "dedup_simhash_values",
+    f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sim",
+)
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_values(load_table(spark, sf_dir, "documents"))
+
+
+_SIM_BLOCKS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {m} AS block_idx,"
+    f" (simhash >> {dedup.SIMHASH_BLOCK_BITS * m}) & {(1 << dedup.SIMHASH_BLOCK_BITS) - 1}"
+    f" AS block_val FROM sim"
+    for m in range(dedup.SIMHASH_BLOCKS)
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTES},
+    blocks AS ({_SIM_BLOCKS}),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+              FROM blocks a JOIN blocks b
+                ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Similarity search over embeddings (brute-force + LSH ANN)
+# ---------------------------------------------------------------------------
+from .operators import similarity  # noqa: E402
+
+
+def _ddb_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _ddb_cosine(a: str, b: str) -> str:
+    return (
+        f"({_ddb_dot(a, b)} / (sqrt({_ddb_dot(a, a)}) * sqrt({_ddb_dot(b, b)})))"
+    )
+
+
+def _ddb_bucket(col: str) -> str:
+    terms = []
+    for p in range(similarity.N_PLANES):
+        plane = "[" + ", ".join(str(int(w)) for w in similarity.hyperplane(p)) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}),"
+            f" i -> CAST({col}[i] AS DOUBLE) * CAST(({plane})[i] AS DOUBLE)))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "sim_brute_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id != query_id
+    ),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 8, 10)
+
+
+@register(
+    "sim_lsh_buckets",
+    f"""
+    SELECT vec_id, {_ddb_bucket('embedding')} AS bucket FROM embeddings
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_lsh_ann_topk",
+    f"""
+    WITH withb AS (SELECT vec_id, embedding, {_ddb_bucket('embedding')} AS bucket
+                   FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM withb WHERE vec_id < 8),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim
+        FROM withb e JOIN q ON e.bucket = q_bucket AND e.vec_id != query_id
+    ),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), 8, 5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH withb AS (SELECT vec_id, embedding, {_ddb_bucket('embedding')} AS bucket
+                   FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_ddb_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.4
+    )

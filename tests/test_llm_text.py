@@ -1,0 +1,68 @@
+"""[EXT] LLM-pipeline text ops: oracle parity + algorithmic properties
+(LSH recall against exact Jaccard ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mailio_diskusage_handler_spark import registry
+from go_mailio_diskusage_handler_spark.operators import dedup
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_CORRECT, compare_with_oracle
+
+ORACLE_CHECKED = [
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_values",
+    "dedup_simhash_pairs",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact-Jaccard ≥ 0.8 pair must be FOUND by the MinHash-LSH
+    path (candidate recall at high similarity).  With 4 bands × 3 rows,
+    P(miss | j=0.8) = (1-0.8^3)^4 ≈ 5.6%/pair — the fixture's pairs sit
+    at j≈0.95+ where P(miss) < 0.2%, so exact coverage is expected."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, 0.9).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_dedup_pairs(docs, 0.9).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 20), f"LSH missed {missed}"
+
+
+def test_simhash_symmetric_and_bounded(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = dedup.simhash_values(docs).collect()
+    assert all(0 <= r.simhash < (1 << dedup.SIMHASH_BITS) for r in rows)
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    """Duplicate groups keep the smallest doc_id; injecting a known
+    duplicate exercises a non-trivial group."""
+    from go_mailio_diskusage_handler_spark.operators.text import exact_dedup
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+    dup = docs.limit(1).withColumn("doc_id", docs.doc_id + 100000)
+
+    res = exact_dedup(docs.unionByName(dup)).collect()
+    groups = {r.keep_doc_id: r.dup_count for r in res}
+    assert 2 in groups.values(), "injected duplicate not grouped"
+    dup_group = [r for r in res if r.dup_count == 2][0]
+    assert dup_group.keep_doc_id < 100000

@@ -1,0 +1,63 @@
+"""[EXT] similarity search: oracle parity + ANN recall properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mailio_diskusage_handler_spark import plans, registry
+from go_mailio_diskusage_handler_spark.operators import similarity
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_CORRECT, compare_with_oracle
+
+ORACLE_CHECKED = [
+    "sim_brute_topk",
+    "sim_lsh_buckets",
+    "sim_lsh_ann_topk",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_brute_force_broadcasts_queries(spark):
+    """The corpus side must not shuffle: query set is broadcast."""
+    df = registry.QUERIES["sim_brute_topk"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_results_are_subset_quality(spark):
+    """Each ANN hit must be a genuine within-bucket neighbor with the
+    same cosine the brute-force path computes (exactness of re-rank)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(emb, 8, 500).collect()
+    }
+    ann = similarity.lsh_ann_topk(emb, 8, 5).collect()
+    assert ann, "ANN returned nothing"
+    for r in ann:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_cosine_self_similarity_is_one(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(20)
+    from pyspark.sql import functions as F
+
+    rows = emb.select(
+        F.round(similarity.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-6 for r in rows)
+
+
+def test_buckets_are_balancedish(spark):
+    """Hyperplane buckets shouldn't collapse into one giant bucket
+    (that would reintroduce the n² blowup the LSH exists to avoid)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    counts = [r[1] for r in similarity.lsh_buckets(emb).groupBy("bucket").count().collect()]
+    n = sum(counts)
+    assert max(counts) < n * 0.2, f"degenerate bucket: {max(counts)}/{n}"
