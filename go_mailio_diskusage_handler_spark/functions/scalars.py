@@ -84,6 +84,28 @@ def embedding_array_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def sliding_event_windows(
+    events: DataFrame, size_minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    size/slide overlapping windows.  ``F.window`` generates the
+    overlap internally (no join, no explode in user code)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{size_minutes} minutes", f"{slide_minutes} minutes").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
 def tumbling_event_windows(events: DataFrame, minutes: int = 10) -> DataFrame:
     """Event-time tumbling window aggregation (batch form).
 

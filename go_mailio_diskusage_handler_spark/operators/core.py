@@ -75,6 +75,30 @@ def disk_usage(inventory: DataFrame, *, round_to: int | None = 2) -> DataFrame:
     )
 
 
+def inventory_diff(inv_old: DataFrame, inv_new: DataFrame) -> DataFrame:
+    """Day-over-day inventory diff: objects added/deleted between two
+    snapshots (SURVEY §2.1 set ops — the new/deleted-objects pattern).
+
+    Shape chosen for 100 TB: tag each snapshot, union, and resolve
+    presence with ONE groupBy on ``key`` — a single shuffle with
+    map-side partial aggregation.  The naive pair of anti-joins
+    shuffles each snapshot twice; this halves the shuffled volume, and
+    the uniformly-distributed object keys shard evenly (no skew).
+    """
+    tagged = inv_old.select(
+        "key", F.lit(1).alias("o"), F.lit(0).alias("n")
+    ).unionByName(inv_new.select("key", F.lit(0).alias("o"), F.lit(1).alias("n")))
+    per_key = tagged.groupBy("key").agg(
+        F.max("o").alias("in_old"), F.max("n").alias("in_new")
+    )
+    return per_key.filter(F.col("in_old") != F.col("in_new")).select(
+        "key",
+        F.when(F.col("in_new") == 1, F.lit("added"))
+        .otherwise(F.lit("deleted"))
+        .alias("change"),
+    )
+
+
 def disk_usage_lookup(disk_usage_df: DataFrame, address: str) -> DataFrame:
     """O11 ``GetDiskUsage``: point lookup on the aggregate.
 

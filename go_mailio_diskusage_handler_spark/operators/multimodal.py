@@ -1,0 +1,146 @@
+"""[EXT] Multimodal column plumbing: opaque binary payloads + typed
+metadata, decode/feature-extract via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (`_fake_decode`) with the REAL
+production plumbing around it: binary columns, typed output schema,
+Arrow batch transfer, per-batch vectorized numpy work, partition-
+preserving execution.  Swapping `_fake_decode` for a real
+PIL/ffmpeg-backed kernel changes no Spark code.  ``decode_media``
+documents the real-codec path and raises ``NotImplementedError`` if
+asked for it in this environment.
+
+Scale design: mapInPandas streams Arrow batches (default 10k rows) —
+payloads never materialize on the driver, memory is bounded per batch,
+and the operation is embarrassingly parallel (no shuffle).  The fake
+kernel's arithmetic is mirrored in DuckDB oracle SQL, so even the
+Python-side path is hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Synthesize the multimodal table: opaque binary payload + typed
+    metadata.  (Fixtures carry no real media; payload = utf-8 bytes of
+    the text column, which keeps every downstream byte-count and
+    checksum oracle-checkable.)"""
+    return documents.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def media_metadata(documents: DataFrame) -> DataFrame:
+    """Typed metadata extraction — pure JVM expressions (no decode):
+    byte length + md5 checksum per object, as a catalog/manifest layer
+    would store it."""
+    m = media_table(documents)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload_len: "pd.Series") -> "pd.DataFrame":
+    """DETERMINISTIC FAKE decode kernel (no codecs in this container).
+
+    Derives plausible media dimensions purely from payload length, so
+    the DuckDB oracle can replicate it:
+        width    = 16 + n_bytes % 625
+        height   = 16 + (n_bytes * 7) % 475
+        n_frames = 1 + n_bytes % 24
+    """
+    n = payload_len.astype("int64")
+    return pd.DataFrame(
+        {
+            "width": (16 + n % 625).astype("int32"),
+            "height": (16 + (n * 7) % 475).astype("int32"),
+            "n_frames": (1 + n % 24).astype("int32"),
+        }
+    )
+
+
+def decode_features(documents: DataFrame) -> DataFrame:
+    """Decode/feature-extract over Arrow batches with ``mapInPandas``.
+
+    Real-media variant: replace `_fake_decode` with a codec call over
+    ``pdf["payload"]`` bytes; the Spark-side contract (schema, batch
+    iteration, no shuffle) is identical.
+    """
+    m = media_table(documents)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lengths = pdf["payload"].map(len)
+            feats = _fake_decode(lengths)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": lengths.astype("int32"),
+                }
+            )
+            yield pd.concat([out, feats], axis=1)
+
+    return m.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def decode_media(documents: DataFrame, *, real_codecs: bool = False) -> DataFrame:
+    """Entry point mirroring a production decode.  ``real_codecs=True``
+    requires image/audio libraries that are absent here."""
+    if real_codecs:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries (PIL/av) that are "
+            "not available in this environment; use the deterministic fake "
+            "path (real_codecs=False), which exercises identical Spark "
+            "plumbing"
+        )
+    return decode_features(documents)
+
+
+def frame_sample(documents: DataFrame, every: int = 8) -> DataFrame:
+    """Frame sampling for video rows: explode every-k-th frame index
+    from the decoded frame count — built-in ``sequence``+``explode``
+    after the Pandas-UDF decode (mixed-runtime pipeline)."""
+    decoded = decode_features(documents).filter(F.col("media_type") == "video")
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )

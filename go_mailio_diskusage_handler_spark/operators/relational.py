@@ -142,6 +142,41 @@ def distinct_customers_per_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def pivot_revenue(orders: DataFrame) -> DataFrame:
+    """PIVOT: order status → columns, priority → rows, one aggregation
+    pass.  Pivot values are passed explicitly — without them Spark runs
+    an extra job just to collect the distinct statuses before planning,
+    which at 100 TB is a full scan wasted."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — the same
+    definition DuckDB's quantile_cont uses).  For 100 TB pipelines the
+    scale path is ``approx_percentile`` (KLL-style sketch, one pass,
+    fixed memory); exact is kept where the group cardinality is modest
+    and cross-engine hash parity is required."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+    )
+
+
+def cube_lineitem_flags(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus) + grouping_id: all 4 grouping sets
+    in one expand + single aggregation shuffle."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def approx_distinct_customers(orders: DataFrame, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB path for distinct counts:
     one pass, fixed memory, no distinct-expand shuffle.  No DuckDB

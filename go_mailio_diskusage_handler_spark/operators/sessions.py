@@ -1,0 +1,75 @@
+"""[EXT] Sessionization: gap-based event sessions per user.
+
+Batch form: lag + running-sum session assignment (two partitioned
+windows over the same (user_id, ts) sort — Spark executes them in one
+shuffle + one sort).  The streaming twin
+(``streaming.stateful.sessionize_stream``) uses
+``applyInPandasWithState``; this batch version is its oracle.
+
+Timestamps are exported as epoch MICROSECONDS (exact int64 in both
+engines — no float truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_GAP_MINUTES = 30
+
+
+def session_window_stats(
+    events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES
+) -> DataFrame:
+    """Native ``F.session_window`` sessionization — Spark's built-in
+    gap-based session operator (works identically in batch and
+    Structured Streaming).
+
+    Merge rule differs subtly from :func:`sessionize`: the built-in
+    closes a session when the next event is ``>= gap`` after the last
+    one (window end is exclusive), while the lag-based form here uses
+    ``> gap``.  The oracle SQL mirrors the built-in's ``>=`` rule.
+    ``session_end_us`` is last_event + gap by definition.
+    """
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
+    """Events → sessions: (user_id, session_start_us, n_events,
+    duration_us).  A new session starts when the gap to the previous
+    event of the same user exceeds ``gap_minutes``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    with_flag = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    with_id = with_flag.select(
+        "user_id", "us", F.sum("new_session").over(wsum).alias("session_seq")
+    )
+    return with_id.groupBy("user_id", "session_seq").agg(
+        F.min("us").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    ).select("user_id", "session_start_us", "n_events", "duration_us")

@@ -645,3 +645,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.4
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Multimodal plumbing + sessionization + sliding windows
+# ---------------------------------------------------------------------------
+from .operators import multimodal, sessions  # noqa: E402
+
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_decode_features",
+    """
+    WITH m AS (SELECT doc_id,
+                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+                          AS media_type,
+                      octet_length(encode(text)) AS nb
+               FROM documents)
+    SELECT doc_id, media_type,
+           CAST(nb AS INTEGER) AS n_bytes,
+           CAST(16 + nb % 625 AS INTEGER) AS width,
+           CAST(16 + (nb * 7) % 475 AS INTEGER) AS height,
+           CAST(1 + nb % 24 AS INTEGER) AS n_frames
+    FROM m
+    """,
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake kernel —
+    the Python/Arrow path itself is oracle-checked."""
+    return multimodal.decode_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH m AS (SELECT doc_id,
+                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+                          AS media_type,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    v AS (SELECT doc_id, 1 + nb % 24 AS n_frames FROM m WHERE media_type = 'video')
+    SELECT doc_id, CAST(u.f AS INTEGER) AS frame_idx
+    FROM v, UNNEST(range(0, n_frames, 8)) AS u(f)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(load_table(spark, sf_dir, "documents"), 8)
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > {sessions.DEFAULT_GAP_MINUTES * 60 * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM m)
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH ex AS (
+        SELECT event_type, ts,
+               time_bucket(INTERVAL '5 minutes', ts) - (u.o * INTERVAL '5 minutes')
+                   AS wstart
+        FROM events, UNNEST([0, 1]) AS u(o)
+    )
+    SELECT CAST(epoch(wstart) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS event_count
+    FROM ex
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '10 minutes'
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scalars.sliding_event_windows(load_table(spark, sf_dir, "events"), 10, 5)

@@ -15,8 +15,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _ensure_workers_can_import_package() -> None:
+    """Python workers are forked by the JVM with the JVM's PYTHONPATH,
+    not the driver's ``sys.path`` — a cloudpickled ``mapInPandas``
+    kernel that references this package fails to unpickle on workers
+    when the driver was launched from outside the repo.  Export the
+    package root before the JVM starts so workers can import it from
+    any caller cwd."""
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + pp if pp else "")
 
 
 def build_session(app_name: str = "diskusage-spark") -> SparkSession:
@@ -26,6 +41,7 @@ def build_session(app_name: str = "diskusage-spark") -> SparkSession:
     is scale-portable (AQE owns post-shuffle sizing at runtime).
     """
     cpus = default_parallelism()
+    _ensure_workers_can_import_package()
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -1,0 +1,111 @@
+"""[EXT] Structured Streaming: event-time windows with watermarks.
+
+The reference's only 'streaming' is a cron full-refresh
+(``/root/reference/handler.go:56-66`` — each run re-reads the whole
+snapshot, so late data is moot there).  These are the real streaming
+extensions over the ``events`` table: file-source micro-batches,
+event-time tumbling windows, watermark-based late-data handling.
+
+The batch twins in ``functions.scalars`` use the *same* ``F.window``
+expression — Structured Streaming's incrementalization is what
+changes, not the query — which is exactly how the 100 TB deployment
+runs: one definition, executed either as a scheduled batch
+(``Trigger.AvailableNow``) or a continuous micro-batch stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet schema with ts as int64 nanos (see sources.tables:
+# Spark cannot read TIMESTAMP(NANOS) directly, so streams read the
+# raw long and convert with exact integer division).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events with the ns→µs timestamp fix."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, minutes: int = 10, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling window counts with a watermark: state for windows older
+    than the watermark is dropped (bounded state at unbounded input —
+    the property that lets this run forever on a real cluster)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Execute a streaming DF with Trigger.AvailableNow into a memory
+    sink, block until drained, and return the sink table.
+
+    ``timeout_sec`` is a liveness guard: AvailableNow must drain and
+    stop; a query still running after the deadline (e.g. a stateful op
+    spinning no-data batches on processing-time timeouts) is stopped
+    and reported instead of hanging the caller forever.
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not drain within {timeout_sec}s "
+            "under Trigger.AvailableNow"
+        )
+    return streaming_df.sparkSession.table(name)

@@ -1,0 +1,107 @@
+"""Structured Streaming: windowed aggregation with watermark, late-data
+dropping, and applyInPandasWithState sessionization vs the batch twin."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_mailio_diskusage_handler_spark.functions import scalars
+from go_mailio_diskusage_handler_spark.operators import sessions
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+from go_mailio_diskusage_handler_spark.streaming import stateful, windows
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Copy of the events parquet in its own directory (file-source
+    streams consume directories)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_windows_equal_batch(spark, events_stream_dir):
+    """AvailableNow stream through the SAME window expression must
+    reproduce the batch result exactly."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    result = windows.run_to_memory(
+        windows.windowed_counts(stream, 10), output_mode="complete"
+    )
+    batch = scalars.tumbling_event_windows(load_table(spark, SF_SMOKE, "events"), 10)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    # batch twin lacks total_value watermark column differences: align columns
+    got_counts = {(r[0], r[1], r[2], r[3]) for r in got}
+    want_counts = {(r[0], r[1], r[2], r[3]) for r in want}
+    assert got_counts == want_counts
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Micro-batched file stream (maxFilesPerTrigger=1): earlier
+    batches advance the watermark far past an hours-late event in the
+    final batch → the late row must be dropped in append mode.
+
+    Note: the effective late-row filter lags the displayed watermark by
+    one micro-batch under Trigger.AvailableNow (the next batch is
+    planned before the previous commit publishes its watermark), hence
+    three batches: on-time, watermark-advancer, late.
+    """
+    import os
+    import time
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    batches = [
+        [(1, 3_600_000_000_000, 1, "click", 1.0, "{}"),   # 01:00
+         (2, 7_200_000_000_000, 1, "click", 1.0, "{}")],  # 02:00
+        [(4, 10_800_000_000_000, 1, "click", 1.0, "{}")],  # 03:00
+        [(3, 60_000_000_000, 1, "click", 1.0, "{}")],      # 00:01, very late
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(p)
+        )
+        # file-stream batch order follows modification time
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    agg = windows.windowed_counts(stream, 10, watermark="10 minutes")
+    result = windows.run_to_memory(agg, output_mode="append")
+    starts = {r.window_start for r in result.collect()}
+    assert 3600 in starts, f"on-time window missing: {sorted(starts)}"
+    assert 0 not in starts, f"late row not dropped: {sorted(starts)}"
+
+
+def test_stateful_sessionize_matches_batch(spark, events_stream_dir):
+    """applyInPandasWithState sessions (closed by gap within the data)
+    must match the batch sessionizer for all CLOSED sessions; the final
+    open session per user flushes on timeout, which AvailableNow does
+    not wait for — so compare on the closed subset."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    got = windows.run_to_memory(
+        stateful.sessionize_stream(stream, 30), output_mode="append"
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+
+    batch = sessions.sessionize(load_table(spark, SF_SMOKE, "events"), 30)
+    # last session per user = the open one that only emits via timeout
+    w_last = batch.groupBy("user_id").agg(F.max("session_start_us").alias("last_start"))
+    closed_batch = batch.join(
+        w_last,
+        (batch.user_id == w_last.user_id)
+        & (batch.session_start_us == w_last.last_start),
+        "left_anti",
+    )
+    want_rows = {tuple(r) for r in closed_batch.collect()}
+    assert want_rows, "fixture should contain closed sessions"
+    assert want_rows <= got_rows, (
+        f"missing {len(want_rows - got_rows)} closed sessions"
+    )
