@@ -24,6 +24,11 @@ ORACLE_CHECKED = [
     "scalar_json_events",
     "scalar_embedding_arrays",
     "events_tumbling_window",
+    "inventory_diff",
+    "pivot_status_revenue",
+    "percentile_order_value",
+    "cube_lineitem_flags",
+    "events_session_window",
 ]
 
 
