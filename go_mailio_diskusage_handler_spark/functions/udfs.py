@@ -1,0 +1,110 @@
+"""[EXT] Python UDF surface: scalar Pandas UDF, grouped-agg Pandas UDF
+(UDAF), and a Python UDTF.
+
+Policy (SURVEY §2.1): everything that CAN be a built-in expression IS
+one — these exist to cover the UDF machinery itself, implemented the
+way the 100 TB deployment would when Python is genuinely required
+(custom scoring models, tokenizers):
+
+* ``@pandas_udf`` scalar — Arrow-batched, vectorized numpy over the
+  whole batch; ~10-100× over row-at-a-time Python UDFs because the
+  per-row Python-call and pickling overheads disappear.
+* ``@pandas_udf`` grouped-agg — a UDAF: one numpy reduction per group,
+  fed by the same partial-shuffle machinery as built-in aggregates.
+* ``@udtf`` — table function with a lateral join; each input row can
+  emit many output rows, evaluated partition-locally (no shuffle).
+
+Cross-engine note: numpy reductions sum in pairwise order, not the
+sequential fold DuckDB's ``list_sum`` uses, so results are rounded to
+4 digits on both sides (double error at dim 64 is ~1e-15 relative —
+far inside the rounding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+
+def pandas_cosine_to_query(query_vec: list[float]):
+    """Build a scalar Pandas UDF computing cosine(embedding, q) for a
+    fixed query vector (closed over → shipped once per task, not per
+    row)."""
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf(DoubleType())
+    def cos_to_q(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())  # (batch, dim) float32 → float64 math
+        m = m.astype("float64")
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(dots / norms)
+
+    return cos_to_q
+
+
+def cosine_vs_first_vector(embeddings: DataFrame) -> DataFrame:
+    """Scalar-Pandas-UDF cosine of every vector against vec_id=0.
+
+    The query vector is collected once on the driver (one row) and
+    closed over — at 100 TB the corpus side still streams map-side
+    with zero shuffle."""
+    q = embeddings.filter(F.col("embedding").isNotNull()).filter(
+        F.col("vec_id") == 0
+    ).select("embedding").head()
+    cos = pandas_cosine_to_query([float(x) for x in q[0]])
+    return embeddings.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(cos(F.col("embedding")), 4).alias("cos_to_q0"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+    w = qty.to_numpy(dtype="float64")
+    x = price.to_numpy(dtype="float64")
+    s = w.sum()
+    return float((x * w).sum() / s) if s else float("nan")
+
+
+def weighted_avg_price_per_flag(lineitem: DataFrame) -> DataFrame:
+    """Grouped-agg Pandas UDF (UDAF): quantity-weighted mean price per
+    returnflag.  Executes like a built-in agg — shuffle on the group
+    key, one vectorized numpy reduction per group."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                _weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_avg_price")
+        )
+    )
+
+
+@udtf(returnType="pos: int, piece: string")
+class SplitPathUDTF:
+    """Python UDTF: explode a slash path into (position, segment) rows
+    — the reference's O6 path split generalized to a table function.
+    Evaluated partition-locally under a lateral join (no shuffle)."""
+
+    def eval(self, key: str):
+        if key is None:
+            return
+        for i, part in enumerate(key.split("/")):
+            yield i, part
+
+
+def path_segments(inventory: DataFrame, limit_keys: int = 100) -> DataFrame:
+    """Lateral-join the UDTF over inventory keys (bounded, determinate
+    subset: the lexicographically-first ``limit_keys`` keys)."""
+    keys = (
+        inventory.select("key").orderBy("key").limit(limit_keys)
+    )
+    return keys.lateralJoin(
+        SplitPathUDTF(F.col("key").outer())
+    ).select("key", "pos", "piece")

@@ -849,3 +849,57 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window (gap-close rule is >=, unlike the
     lag-based sessionize's >; see operators.sessions docstring)."""
     return sessions.session_window_stats(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Python UDF surface: scalar pandas_udf, grouped-agg pandas_udf
+# (UDAF), Python UDTF (SURVEY §2.1 UDF row)
+# ---------------------------------------------------------------------------
+from .functions import udfs  # noqa: E402
+
+
+@register(
+    "udf_pandas_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_ddb_cosine('e.embedding', 'q_emb')}, 4) AS cos_to_q0
+    FROM embeddings e, q WHERE e.vec_id != 0
+    """,
+)
+def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar Pandas UDF (vectorized numpy cosine);
+    4-digit rounding absorbs numpy-pairwise vs sequential-fold fp
+    summation differences."""
+    return udfs.cosine_vs_first_vector(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "udaf_weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udfs.weighted_avg_price_per_flag(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "udtf_path_segments",
+    f"""
+    WITH inv AS ({INVENTORY_SQL}),
+    keys AS (SELECT key FROM inv ORDER BY key LIMIT 100),
+    t AS (SELECT key, string_split(key, '/') AS parts FROM keys)
+    SELECT key, CAST(u.i - 1 AS INTEGER) AS pos,
+           parts[CAST(u.i AS INTEGER)] AS piece
+    FROM t, UNNEST(range(1, len(parts) + 1)) AS u(i)
+    """,
+)
+def udtf_path_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF under a lateral join over the synthesized inventory
+    keys (bounded deterministic subset)."""
+    inv = core.inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    return udfs.path_segments(inv, 100)

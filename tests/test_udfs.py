@@ -1,0 +1,33 @@
+"""[EXT] Python UDF surface (scalar pandas_udf, grouped-agg UDAF,
+UDTF): DuckDB oracle parity + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mailio_diskusage_handler_spark import plans, registry
+from go_mailio_diskusage_handler_spark.functions import udfs
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_CORRECT, compare_with_oracle
+
+ORACLE_CHECKED = [
+    "udf_pandas_cosine",
+    "udaf_weighted_avg_price",
+    "udtf_path_segments",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_pandas_cosine_is_arrow_vectorized_and_shuffle_free(spark):
+    """The scalar pandas_udf path must be ArrowEvalPython (vectorized
+    batches), not BatchEvalPython (row-at-a-time), with zero shuffle."""
+    df = udfs.cosine_vs_first_vector(load_table(spark, SF_CORRECT, "embeddings"))
+    plan = plans.executed_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.shuffle_count(df) == 0, plan
