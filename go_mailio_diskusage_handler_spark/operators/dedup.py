@@ -58,18 +58,21 @@ def shingles(documents: DataFrame) -> DataFrame:
     )
 
 
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id → h0..h{K-1}: min over shingles of md5('{j}:' + shingle).
 
     One explode + one groupBy shuffle; the signature table is K×32
     bytes per doc regardless of document length.
     """
-    sh = shingles(documents)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_shingles(shingles(documents))
 
 
 def _band_key(b: int):
@@ -133,22 +136,44 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """MinHash→LSH→exact-verify near-dup pairs with Jaccard ≥ threshold."""
+def minhash_dedup_pairs(
+    documents: DataFrame, threshold: float = 0.8, *, persist: bool = True
+) -> DataFrame:
+    """MinHash→LSH→exact-verify near-dup pairs with Jaccard ≥ threshold.
+
+    The shingle table feeds four consumers (signatures, both sides of
+    the verification join, set sizes); without persistence Spark
+    re-runs the scan+shingle subplan for each — measured 2× end-to-end
+    at sf0.1.  ``persist=True`` materializes it once
+    (MEMORY_AND_DISK — spills, never OOMs), which is also the 100 TB
+    deployment shape: shingles/signatures are written as intermediate
+    tables there, not recomputed per stage.
+    """
     sh = shingles(documents)
-    cands = lsh_candidate_pairs(minhash_signatures(documents))
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(_signatures_from_shingles(sh))
     return jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.6, *, persist: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥ 1 shingle.
 
     The shared-shingle join bounds the pair set far under n²; at real
     scale this is the 'exact verification' tier run after LSH, here
     also exposed standalone (the fixtures' vocabulary keeps shingle
-    document-frequency low).
+    document-frequency low).  ``persist`` as in
+    :func:`minhash_dedup_pairs` (three consumers here).
     """
     sh = shingles(documents)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One shuffle-join + one aggregation: intersection sizes fall out of
     # the shared-shingle join directly (no distinct-pairs + re-join).

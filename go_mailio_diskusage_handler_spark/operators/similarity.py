@@ -62,17 +62,29 @@ def brute_force_topk(
     (query_id, neighbor_id, cos_sim, rank).
     """
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
     )
     e = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        l2_norm(F.col("embedding")).alias("n_nrm"),
     )
+    # Norms are hoisted to one computation per VECTOR before the join;
+    # per pair only the cross dot product remains (3 array folds → 1).
+    # dot/(q_nrm*n_nrm) is the same expression tree as cosine() —
+    # bitwise-identical doubles, so the 6-digit round can't diverge.
     scored = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -114,12 +126,17 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
     shuffle is on the bucket id; each query touches ~N/256 vectors.
     Recall is tunable via planes count / multi-probe.
     """
-    withb = embeddings.select("vec_id", "embedding",
-                              bucket_id(F.col("embedding")).alias("bucket"))
+    withb = embeddings.select(
+        "vec_id",
+        "embedding",
+        bucket_id(F.col("embedding")).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
     q = withb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         withb.join(
@@ -130,7 +147,11 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -145,7 +166,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> D
     verify ≥ threshold.  The n² risk is confined to within-bucket
     pairs; at scale, raise N_PLANES to shrink buckets."""
     withb = embeddings.select(
-        "vec_id", "embedding", bucket_id(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        bucket_id(F.col("embedding")).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a, b = withb.alias("a"), withb.alias("b")
     return (
@@ -157,9 +181,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> D
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
