@@ -75,6 +75,24 @@ def disk_usage(inventory: DataFrame, *, round_to: int | None = 2) -> DataFrame:
     )
 
 
+def inventory_quality(inventory: DataFrame) -> DataFrame:
+    """O9 row-invariant as a data-quality aggregate.
+
+    The reference checks that the ``key`` and ``size`` column vectors
+    it extracted have equal length and drops the whole file otherwise
+    (``handler.go:224-228``).  Spark rows are structurally aligned, so
+    the surviving useful invariant is null/malformed accounting: one
+    pass, one row out, fit for a data-quality gate before the main
+    aggregation.
+    """
+    return inventory.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("null_keys"),
+        F.sum(F.col("size").isNull().cast("long")).alias("null_sizes"),
+        F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
+    )
+
+
 def inventory_diff(inv_old: DataFrame, inv_new: DataFrame) -> DataFrame:
     """Day-over-day inventory diff: objects added/deleted between two
     snapshots (SURVEY §2.1 set ops — the new/deleted-objects pattern).

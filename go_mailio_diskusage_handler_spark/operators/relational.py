@@ -142,6 +142,38 @@ def distinct_customers_per_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def salted_event_totals(events: DataFrame, salts: int = 16) -> DataFrame:
+    """Two-stage salted aggregation for HEAVILY skewed group keys
+    (SURVEY §2.1 skew mitigation).
+
+    ``event_type`` has a handful of distinct values — at 100 TB a
+    direct groupBy funnels billions of rows into ~5 reducer tasks.
+    Stage 1 groups by (key, salt) so every reducer sees at most
+    1/salts of the hottest key; stage 2 combines the ``salts``
+    sub-aggregates per key (trivial).  The salt never leaves the job,
+    so results are identical to the direct groupBy (oracle = plain
+    GROUP BY).  Note partial map-side aggregation already handles
+    *moderate* skew; salting is the explicit fix when a single key
+    exceeds what one final-agg task should hold.
+    """
+    salt = F.pmod(F.hash("event_id"), F.lit(salts)).alias("salt")
+    stage1 = (
+        events.select("event_type", salt, "value")
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("val"),
+        )
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("event_count"),
+            F.round(F.sum("val"), 2).alias("total_value"),
+        )
+    )
+
+
 def pivot_revenue(orders: DataFrame) -> DataFrame:
     """PIVOT: order status → columns, priority → rows, one aggregation
     pass.  Pivot values are passed explicitly — without them Spark runs

@@ -161,6 +161,114 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroid_cols(embeddings: DataFrame) -> list[tuple[int, Column]]:
+    """Load the coarse codebook (first N_CENTROIDS vectors) onto the
+    driver and rebuild it as literal array columns.  A production IVF
+    trains this codebook offline with k-means and broadcasts it the
+    same way — KBs regardless of corpus size; determinism here makes
+    the assignment oracle-checkable."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        (int(r[0]), F.array(*[F.lit(float(x)) for x in r[1]])) for r in rows
+    ]
+
+
+def _best_lists(emb_col: Column, nrm_col: Column, cents, n: int) -> Column:
+    """Array of the n list-ids whose centroids have the highest cosine
+    to ``emb_col`` (6-digit-rounded cosine, cid tie-break) — computed
+    with sort_array over (cos, -cid) structs, fully JVM-side."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(dot(emb_col, c) / (nrm_col * l2_norm(c)), 6).alias("cs"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, n)
+    return F.transform(top, lambda s: -s["ncid"])
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantization: vec_id → inverted-list id (argmax
+    cosine over the codebook).  One scan, no shuffle; at 100 TB this
+    is the partitioning column the corpus gets written out by, so ANN
+    probes touch only ~n_probe/n_lists of the data."""
+    cents = _centroid_cols(embeddings)
+    nrm = l2_norm(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        _best_lists(F.col("embedding"), nrm, cents, 1)[0].alias("list_id"),
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """IVF-flat ANN: probe the N_PROBE nearest inverted lists per
+    query, exact-cosine rerank within candidates.
+
+    Complements the hyperplane-LSH path: buckets follow the data
+    distribution (codebook) instead of random projections.  Probe
+    fan-out is a broadcast of (query, list_id) pairs; the corpus side
+    is touched once, filtered by its precomputed list assignment.
+    """
+    cents = _centroid_cols(embeddings)
+    nrm = l2_norm(F.col("embedding"))
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        nrm.alias("nrm"),
+        _best_lists(F.col("embedding"), nrm, cents, 1)[0].alias("list_id"),
+    )
+    probes = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            nrm.alias("q_nrm"),
+            F.explode(
+                _best_lists(F.col("embedding"), nrm, cents, N_PROBE)
+            ).alias("list_id"),
+        )
+    )
+    # A corpus vector lives in exactly one list and a query's probe
+    # lists are distinct, so (query, neighbor) pairs are unique — no
+    # dedup needed after the join.
+    scored = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(probes.alias("p")),
+            (F.col("c.list_id") == F.col("p.list_id"))
+            & (F.col("c.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("p.q_emb"), F.col("c.embedding"))
+                / (F.col("p.q_nrm") * F.col("c.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-dup: bucket join (LSH) then exact-cosine
     verify ≥ threshold.  The n² risk is confined to within-bucket

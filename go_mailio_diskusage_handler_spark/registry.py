@@ -903,3 +903,95 @@ def udtf_path_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (bounded deterministic subset)."""
     inv = core.inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
     return udfs.path_segments(inv, 100)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Data-quality gate (O9), skew-salted aggregation, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "du_quality_check",
+    f"""
+    WITH inventory AS ({INVENTORY_SQL})
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           CAST(SUM(CASE WHEN size IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_sizes,
+           CAST(SUM(CASE WHEN NOT (len(string_split(key, '/')) >= 2) THEN 1 ELSE 0 END)
+                AS BIGINT) AS malformed_keys
+    FROM inventory
+    """,
+)
+def du_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O9 (handler.go:224-228) re-expressed as a one-pass
+    null/malformed accounting gate."""
+    inv = core.inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    return core.inventory_quality(inv)
+
+
+@register(
+    "salted_event_totals",
+    """
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the skewed event_type key —
+    result identical to the direct GROUP BY (the oracle)."""
+    return relational.salted_event_totals(load_table(spark, sf_dir, "events"))
+
+
+_IVF_ASSIGN_CTES = f"""
+    c AS (SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < {similarity.N_CENTROIDS}),
+    cscored AS (SELECT e.vec_id, c.cid,
+                       ROUND({_ddb_cosine('e.embedding', 'c.cemb')}, 6) AS cs
+                FROM embeddings e CROSS JOIN c),
+    cranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                FROM cscored),
+    assign AS (SELECT vec_id, CAST(cid AS INTEGER) AS list_id
+               FROM cranked WHERE rn = 1)
+"""
+
+
+@register(
+    "sim_ivf_assignments",
+    f"WITH {_IVF_ASSIGN_CTES} SELECT vec_id, list_id FROM assign",
+)
+def sim_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization with a deterministic codebook (first
+    N_CENTROIDS vectors) — the data-distribution-following counterpart
+    to the hyperplane LSH buckets."""
+    return similarity.ivf_assignments(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ivf_ann_topk",
+    f"""
+    WITH {_IVF_ASSIGN_CTES},
+    probes AS (SELECT vec_id AS query_id, CAST(cid AS INTEGER) AS list_id
+               FROM cranked
+               WHERE vec_id < 8 AND rn <= {similarity.N_PROBE}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a
+               ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      ROUND({_ddb_cosine('q.embedding', 'n.embedding')}, 6) AS cos_sim
+               FROM cand
+               JOIN embeddings q ON q.vec_id = query_id
+               JOIN embeddings n ON n.vec_id = neighbor_id),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: probe the 2 nearest inverted lists per query,
+    exact cosine rerank within candidates."""
+    return similarity.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"), 8, 5)

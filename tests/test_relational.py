@@ -29,6 +29,8 @@ ORACLE_CHECKED = [
     "percentile_order_value",
     "cube_lineitem_flags",
     "events_session_window",
+    "du_quality_check",
+    "salted_event_totals",
 ]
 
 

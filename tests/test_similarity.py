@@ -15,6 +15,8 @@ ORACLE_CHECKED = [
     "sim_lsh_buckets",
     "sim_lsh_ann_topk",
     "dedup_embedding_cosine",
+    "sim_ivf_assignments",
+    "sim_ivf_ann_topk",
 ]
 
 
@@ -52,6 +54,26 @@ def test_cosine_self_similarity_is_one(spark):
         F.round(similarity.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
     ).collect()
     assert all(abs(r.c - 1.0) < 1e-6 for r in rows)
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """Coarse quantization is per-row expression work against a
+    broadcast codebook — the plan must contain zero exchanges."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    assert plans.shuffle_count(similarity.ivf_assignments(emb)) == 0
+
+
+def test_ivf_rerank_is_exact(spark):
+    """IVF hits carry the same cosine the brute-force path computes."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(emb, 8, 500).collect()
+    }
+    hits = similarity.ivf_ann_topk(emb, 8, 5).collect()
+    assert hits, "IVF ANN returned nothing"
+    for r in hits:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
 
 
 def test_buckets_are_balancedish(spark):
