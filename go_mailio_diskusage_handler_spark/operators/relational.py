@@ -109,6 +109,21 @@ def customers_without_orders(
     ).select("c_custkey", "c_name")
 
 
+def customers_with_orders(
+    customer: DataFrame, orders: DataFrame, year: int
+) -> DataFrame:
+    """LEFT SEMI join — the existence-check twin of the anti join:
+    customers with at least one order in ``year``.  Semi joins carry
+    only the probe side's columns and stop at the first match, so the
+    orders side contributes just its (filtered, pre-pushed-down)
+    custkey set to the hash table."""
+    return customer.join(
+        orders.filter(F.year("o_orderdate") == year).select("o_custkey"),
+        customer["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
 def lapsed_customers(orders: DataFrame, split_date: str) -> DataFrame:
     """Set difference: customers ordering BEFORE split_date but not
     after — day-over-day inventory-diff pattern (SURVEY §2.1 set ops).

@@ -995,3 +995,21 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: probe the 2 nearest inverted lists per query,
     exact cosine rerank within candidates."""
     return similarity.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"), 8, 5)
+
+
+@register(
+    "semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE year(o_orderdate) = 1995)
+    """,
+)
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (existence check) — completes the semi/anti pair
+    from SURVEY §2.1's join row."""
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        1995,
+    )

@@ -47,6 +47,21 @@ def test_column_pruning_reaches_scan(spark):
         assert col not in plan, f"column {col} not pruned:\n{plan}"
 
 
+def test_predicate_pushdown_reaches_scan(spark):
+    """A filter on a stored column must reach the Parquet reader as a
+    pushed filter (row-group/page skipping at scale), not run only
+    post-scan."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark import plans
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    df = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = plans.formatted(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
+
+
 def test_lookup_empty_for_unknown_address(spark):
     """Reference returns ErrNotFound for unknown address (handler.go:259-261)."""
     inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))

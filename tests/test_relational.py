@@ -31,6 +31,7 @@ ORACLE_CHECKED = [
     "events_session_window",
     "du_quality_check",
     "salted_event_totals",
+    "semi_customers_with_orders",
 ]
 
 
