@@ -86,6 +86,35 @@ def weighted_avg_price_per_flag(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"].to_numpy(dtype="float64")
+    if len(v) < 2:
+        return pd.DataFrame(columns=["user_id", "event_id", "z_value"])
+    sd = v.std(ddof=1)
+    if sd == 0.0:
+        return pd.DataFrame(columns=["user_id", "event_id", "z_value"])
+    z = (v - v.mean()) / sd
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "z_value": np.round(z, 4),
+        }
+    )
+
+
+def per_user_zscores(events: DataFrame) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``): z-score each user's
+    event values against that user's own distribution — the pattern
+    for per-entity model scoring where the whole group must be in one
+    frame.  Single-event / zero-variance users are skipped (their
+    z-score is undefined).  One shuffle on user_id; group size bounds
+    executor memory, not total data."""
+    return events.groupBy("user_id").applyInPandas(
+        _zscore_group, "user_id bigint, event_id bigint, z_value double"
+    )
+
+
 @udtf(returnType="pos: int, piece: string")
 class SplitPathUDTF:
     """Python UDTF: explode a slash path into (position, segment) rows

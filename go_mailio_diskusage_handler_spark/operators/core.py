@@ -117,6 +117,48 @@ def inventory_diff(inv_old: DataFrame, inv_new: DataFrame) -> DataFrame:
     )
 
 
+def incremental_disk_usage(
+    prev_agg: DataFrame, added_inv: DataFrame, removed_inv: DataFrame
+) -> DataFrame:
+    """Incremental snapshot maintenance (SURVEY §4 memoization [EXT]):
+    fold a day's added/removed objects into the previous per-address
+    aggregate instead of re-reading the full 100 TB inventory.
+
+    SUM/COUNT are abelian-group aggregates, so the delta is a union of
+    signed contributions — previous totals, plus added objects, minus
+    removed ones — collapsed by ONE groupBy.  Addresses whose file
+    count drops to zero disappear (matching what a full re-aggregation
+    would produce).  Cost scales with |delta| + |aggregate|, not with
+    inventory size; the full-refresh path stays available as the
+    consistency anchor.
+    """
+    added = added_inv.filter(well_formed_key()).select(
+        F.split_part(F.col("key"), F.lit("/"), F.lit(1)).alias("address"),
+        F.col("size").alias("d_size"),
+        F.lit(1).cast("long").alias("d_files"),
+    )
+    removed = removed_inv.filter(well_formed_key()).select(
+        F.split_part(F.col("key"), F.lit("/"), F.lit(1)).alias("address"),
+        (-F.col("size")).alias("d_size"),
+        F.lit(-1).cast("long").alias("d_files"),
+    )
+    prev = prev_agg.select(
+        "address",
+        F.col("size_bytes").alias("d_size"),
+        F.col("number_files").alias("d_files"),
+    )
+    return (
+        prev.unionByName(added)
+        .unionByName(removed)
+        .groupBy("address")
+        .agg(
+            F.round(F.sum("d_size"), 2).alias("size_bytes"),
+            F.sum("d_files").alias("number_files"),
+        )
+        .filter(F.col("number_files") > 0)
+    )
+
+
 def disk_usage_lookup(disk_usage_df: DataFrame, address: str) -> DataFrame:
     """O11 ``GetDiskUsage``: point lookup on the aggregate.
 

@@ -1013,3 +1013,57 @@ def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         1995,
     )
+
+
+_INV_SLICE_SQL = """SELECT CASE WHEN l_linenumber = 7 THEN CAST(l_orderkey AS VARCHAR)
+                ELSE CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR)
+           END AS key,
+           l_extendedprice AS size
+    FROM lineitem WHERE {pred}"""
+
+
+@register(
+    "du_incremental",
+    f"""
+    WITH inventory AS ({_INV_SLICE_SQL.format(pred='l_linenumber >= 2')})
+    SELECT split_part(key, '/', 1) AS address,
+           ROUND(SUM(size), 2) AS size_bytes,
+           COUNT(*) AS number_files
+    FROM inventory
+    WHERE len(string_split(key, '/')) >= 2
+    GROUP BY address
+    """,
+)
+def du_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance: yesterday's aggregate
+    (linenumber <= 5 slice) + added objects (>= 6) - removed (= 1)
+    must equal a full re-aggregation of today's snapshot (>= 2) —
+    which is exactly what the oracle computes."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = core.disk_usage(
+        core.inventory_from_lineitem(li.filter(F.col("l_linenumber") <= 5)),
+        round_to=None,
+    )
+    added = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") >= 6))
+    removed = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") == 1))
+    return core.incremental_disk_usage(prev, added, removed)
+
+
+@register(
+    "udf_grouped_map_zscore",
+    """
+    WITH s AS (SELECT user_id, event_id, value,
+                      COUNT(*) OVER w AS n,
+                      AVG(value) OVER w AS mu,
+                      STDDEV_SAMP(value) OVER w AS sd
+               FROM events WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, event_id, ROUND((value - mu) / sd, 4) AS z_value
+    FROM s WHERE n >= 2 AND sd > 0
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-scores (numpy two-pass vs
+    the oracle's window stddev agree far inside the 4-digit round)."""
+    return udfs.per_user_zscores(load_table(spark, sf_dir, "events"))

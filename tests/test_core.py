@@ -10,7 +10,7 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 
 from conftest import SF_SMOKE, compare_with_oracle
 
-CORE_QUERIES = ["du_core", "du_lookup", "du_multifile"]
+CORE_QUERIES = ["du_core", "du_lookup", "du_multifile", "du_incremental"]
 
 
 @pytest.mark.parametrize("name", CORE_QUERIES)

@@ -176,3 +176,20 @@ def test_periodic_refresh_ticks(spark, inventory_dir):
     # snapshot survived the failed refresh
     assert h.get_disk_usage("alice").number_files == 2
     h.stop()
+
+
+def test_corrupt_file_skipped_not_fatal(spark, tmp_path):
+    """The reference log.Fatalf's on undecodable Parquet
+    (handler.go:176,186,192) but skips failed manifest files
+    (handler.go:86-89); the Spark posture is skip-and-continue via
+    spark.sql.files.ignoreCorruptFiles for BOTH cases: a garbage file
+    in the scan must not kill the job, and good files' rows survive."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.createDataFrame(
+        [("a/1", 10.0), ("b/2", 20.0)], "key string, size double"
+    ).coalesce(1).write.parquet(str(d / "good.parquet"))
+    (d / "bad.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+    df = spark.read.schema("key string, size double").parquet(str(d) + "/*")
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "true"
+    assert df.count() == 2

@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "udf_pandas_cosine",
     "udaf_weighted_avg_price",
     "udtf_path_segments",
+    "udf_grouped_map_zscore",
 ]
 
 
