@@ -105,3 +105,47 @@ def test_stateful_sessionize_matches_batch(spark, events_stream_dir):
     assert want_rows <= got_rows, (
         f"missing {len(want_rows - got_rows)} closed sessions"
     )
+
+
+def test_streaming_refresher_accumulates(spark, tmp_path):
+    """foreachBatch incremental merge: totals after streaming two file
+    drops must equal one batch aggregation over all files."""
+    from go_mailio_diskusage_handler_spark.operators.core import disk_usage
+    from go_mailio_diskusage_handler_spark.streaming.refresh import (
+        NotFoundError,
+        StreamingDiskUsageRefresher,
+    )
+
+    inv_dir = tmp_path / "inv"
+    inv_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("alice/a", 10.0), ("alice/b", 5.0), ("bob/a", 7.0)]
+    rows2 = [("alice/c", 2.5), ("carol/a", 1.0)]
+    schema = "key string, size double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(inv_dir / "f1.parquet")
+    )
+    svc = StreamingDiskUsageRefresher(spark, str(inv_dir) + "/*", ckpt)
+    try:
+        svc.process_all_available()
+        assert svc.get_disk_usage("alice").number_files == 2
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(inv_dir / "f2.parquet")
+        )
+        svc.process_all_available()
+        # streamed totals == one-shot batch aggregate over everything
+        want = {
+            r["address"]: (r["size_bytes"], r["number_files"])
+            for r in disk_usage(
+                spark.createDataFrame(rows1 + rows2, schema), round_to=None
+            ).collect()
+        }
+        for addr, (size, files) in want.items():
+            got = svc.get_disk_usage(addr)
+            assert (got.size_bytes, got.number_files) == (size, files), addr
+        import pytest as _pytest
+
+        with _pytest.raises(NotFoundError):
+            svc.get_disk_usage("nobody")
+    finally:
+        svc.stop()
