@@ -1067,3 +1067,57 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user z-scores (numpy two-pass vs
     the oracle's window stddev agree far inside the 4-digit round)."""
     return udfs.per_user_zscores(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           COUNT(*) AS part_count,
+           ROUND(AVG(p_retailprice), 2) AS avg_retail,
+           MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate scan over the part dimension (min/max/avg in
+    one pass)."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_balance",
+    """
+    SELECT n_name,
+           COUNT(*) AS supplier_count,
+           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier facts ⋈ broadcast nation dim → per-nation totals."""
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("supplier_count"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

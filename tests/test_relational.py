@@ -32,6 +32,8 @@ ORACLE_CHECKED = [
     "du_quality_check",
     "salted_event_totals",
     "semi_customers_with_orders",
+    "part_brand_stats",
+    "supplier_nation_balance",
 ]
 
 
