@@ -260,14 +260,24 @@ def simhash_values(documents: DataFrame) -> DataFrame:
     return packed
 
 
-def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dedup_pairs(
+    documents: DataFrame, max_hamming: int = 3, *, persist: bool = True
+) -> DataFrame:
     """SimHash near-dup pairs via 4-block banding.
 
     Pigeonhole: hamming(a,b) ≤ 3 over 4 15-bit blocks ⇒ at least one
     block is identical, so joining on (block_idx, block_value) has
     full recall at the threshold; bit_count(xor) verifies exactly.
+
+    The signature table feeds both sides of the self-join and Spark
+    does NOT reuse the exchange there (different join-key columns per
+    side) — persist computes the 60-bit signatures once.
     """
     sims = simhash_values(documents)
+    if persist:
+        from pyspark import StorageLevel
+
+        sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sims.select(
         "doc_id",
         "simhash",

@@ -1121,3 +1121,100 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "star_profit_by_nation_brand",
+    """
+    SELECT n_name, p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, p_brand
+    """,
+)
+def star_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension star join over the big fact (TPC-H Q9 shape):
+    lineitem ⋈ part ⋈ supplier ⋈ nation, every dimension broadcast —
+    the fact table streams through with ZERO join shuffles; the only
+    exchange is the final (n_name, p_brand) aggregation, collapsed by
+    partial aggregation first."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "docs_source_stats",
+    """
+    SELECT source, lang,
+           COUNT(*) AS doc_count,
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_consistent,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile including a stored-vs-actual
+    length consistency check — the metadata-validation pass a training
+    pipeline runs before trusting catalog columns."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(
+                (F.col("n_chars") == F.length("text")).cast("long")
+            ).alias("n_chars_consistent"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "segment_customer_value",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS customer_count,
+           ROUND(AVG(c_acctbal), 2) AS avg_acctbal,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

@@ -34,6 +34,9 @@ ORACLE_CHECKED = [
     "semi_customers_with_orders",
     "part_brand_stats",
     "supplier_nation_balance",
+    "star_profit_by_nation_brand",
+    "docs_source_stats",
+    "segment_customer_value",
 ]
 
 
@@ -57,6 +60,16 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, f"dim join fell back to SMJ:\n{plan}"
     # exactly one shuffle: the final groupBy on r_name
+    assert plans.shuffle_count(df) <= 1, plan
+
+
+def test_fact_star_join_has_single_shuffle(spark):
+    """TPC-H Q9 shape: three broadcast dims, fact never shuffles for
+    the joins — only the final group-by exchange remains."""
+    df = registry.QUERIES["star_profit_by_nation_brand"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
     assert plans.shuffle_count(df) <= 1, plan
 
 
