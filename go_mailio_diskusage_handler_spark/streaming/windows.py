@@ -109,3 +109,16 @@ def run_to_memory(
             "under Trigger.AvailableNow"
         )
     return streaming_df.sparkSession.table(name)
+
+
+def deduplicated_stream(
+    events: DataFrame, key: str = "event_id", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``key`` arriving within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of the batch content-hash dedup.  State holds one
+    entry per distinct key seen inside the horizon and is evicted as
+    the watermark advances, so memory is bounded at unbounded input —
+    exactly how an always-on ingest pipeline suppresses redelivered
+    documents before they reach training storage."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

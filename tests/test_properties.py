@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): the aggregate algebra must hold
+for ARBITRARY inventories, not just the fixtures.
+
+Strategy note: hypothesis drives small generated inputs through the
+same Spark operators the fixtures exercise; sizes are integers so
+equality is exact (no float tolerance games). Deadlines are disabled —
+Spark job latency is not what's under test.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from go_mailio_diskusage_handler_spark.operators import core, sessions
+
+# key: 1-2 slash segments from a tiny alphabet (forces collisions and
+# malformed single-segment keys); size: small ints (exact arithmetic).
+_seg = st.sampled_from(["a", "b", "c", "d"])
+_key = st.one_of(_seg, st.tuples(_seg, _seg).map(lambda t: "/".join(t)))
+_row = st.tuples(_key, st.integers(min_value=0, max_value=1000))
+_inventory = st.lists(_row, min_size=0, max_size=30)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _inv_df(spark, rows):
+    return spark.createDataFrame(
+        [(k, float(s)) for k, s in rows], "key string, size double"
+    )
+
+
+def _agg_dict(df):
+    return {
+        r["address"]: (r["size_bytes"], r["number_files"]) for r in df.collect()
+    }
+
+
+@settings(**_SETTINGS)
+@given(rows=_inventory)
+def test_disk_usage_matches_python_reference(spark, rows):
+    """disk_usage == a direct Python reimplementation of the reference
+    loop (handler.go:231-251) for arbitrary inventories."""
+    want: dict[str, tuple[float, int]] = {}
+    for k, s in rows:
+        parts = k.split("/")
+        if len(parts) < 2:
+            continue
+        size, files = want.get(parts[0], (0.0, 0))
+        want[parts[0]] = (size + s, files + 1)
+    got = _agg_dict(core.disk_usage(_inv_df(spark, rows), round_to=None))
+    assert got == {a: (float(s), n) for a, (s, n) in want.items()}
+
+
+@settings(**_SETTINGS)
+@given(rows=_inventory, split=st.integers(min_value=0, max_value=30))
+def test_incremental_equals_full_reaggregation(spark, rows, split):
+    """prev ⊎ added ⊖ removed == full aggregate of the new snapshot,
+    for any partition of rows into kept/removed/added."""
+    # old snapshot = rows[:split] ∪ removed; new = rows[:split] ∪ added
+    kept = rows[:split]
+    removed = rows[split::2]
+    added = rows[split + 1 :: 2]
+    prev = core.disk_usage(_inv_df(spark, kept + removed), round_to=None)
+    got = _agg_dict(
+        core.incremental_disk_usage(
+            prev, _inv_df(spark, added), _inv_df(spark, removed)
+        )
+    )
+    want = _agg_dict(
+        core.disk_usage(_inv_df(spark, kept + added), round_to=None).withColumn(
+            "size_bytes", F.round("size_bytes", 2)
+        )
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sessionize_partitions_events(spark, ts_lists):
+    """Sessions per user must (a) cover every event exactly once,
+    (b) never contain an internal gap > gap_minutes."""
+    gap_min = 1
+    gap_us = gap_min * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for uid, ts in enumerate(ts_lists):
+        for t in ts:
+            rows.append((eid, t * 1_000_000, uid))  # seconds → micros
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    out = sessions.sessionize(df, gap_min).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, ts in enumerate(ts_lists):
+        got = sorted(by_user.get(uid, []), key=lambda r: r.session_start_us)
+        assert sum(r.n_events for r in got) == len(ts), "events not all covered"
+        us = sorted(t * 1_000_000 for t in ts)
+        # rebuild expected sessions with the same > gap rule
+        expected = []
+        start, last, n = us[0], us[0], 1
+        for t in us[1:]:
+            if t - last > gap_us:
+                expected.append((start, n, last - start))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        expected.append((start, n, last - start))
+        assert [(r.session_start_us, r.n_events, r.duration_us) for r in got] == expected

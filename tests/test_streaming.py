@@ -149,3 +149,32 @@ def test_streaming_refresher_accumulates(spark, tmp_path):
             svc.get_disk_usage("nobody")
     finally:
         svc.stop()
+
+
+def test_streaming_dedup_drops_cross_batch_repeats(spark, tmp_path):
+    """The same event_id delivered again in a later micro-batch (inside
+    the watermark horizon) must be suppressed."""
+    import os
+    import time
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    batches = [
+        [(1, 3_600_000_000_000, 1, "click", 1.0, "{}"),
+         (2, 3_660_000_000_000, 1, "click", 1.0, "{}")],
+        [(1, 3_720_000_000_000, 1, "click", 1.0, "{}"),   # redelivery of id 1
+         (3, 3_780_000_000_000, 1, "click", 1.0, "{}")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    result = windows.run_to_memory(
+        windows.deduplicated_stream(stream, "event_id", "2 hours"),
+        output_mode="append",
+    )
+    ids = sorted(r.event_id for r in result.collect())
+    assert ids == [1, 2, 3], ids
