@@ -1218,3 +1218,28 @@ def segment_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "setop_retained_customers",
+    """
+    SELECT o_custkey AS retained_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'
+    """,
+)
+def setop_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (completing union/except/intersect): customers active
+    in BOTH halves of the date range.  Spark plans this as a left-semi
+    join over the two distinct sets — both sides shrink to distinct
+    custkeys before the shuffle."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders.filter(F.col("o_orderdate") < "1998-01-01").select(
+        F.col("o_custkey").alias("retained_custkey")
+    )
+    after = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        F.col("o_custkey").alias("retained_custkey")
+    )
+    return before.intersect(after)

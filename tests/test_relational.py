@@ -37,6 +37,7 @@ ORACLE_CHECKED = [
     "star_profit_by_nation_brand",
     "docs_source_stats",
     "segment_customer_value",
+    "setop_retained_customers",
 ]
 
 
