@@ -133,6 +133,58 @@ def decode_media(documents: DataFrame, *, real_codecs: bool = False) -> DataFram
     return decode_features(documents)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale_pct", IntegerType()),
+    ]
+)
+
+
+def resize_images(documents: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning/execution for image rows over Arrow batches.
+
+    The aspect-preserving target-dimension math runs vectorized in
+    numpy exactly as a real thumbnailer would (the pixel resample
+    itself would sit behind the same kernel — codecs absent here, so
+    the geometry IS the deterministic output, fully oracle-checked):
+        scale     = max_side / max(width, height)   (never upscale)
+        out_side  = max(1, floor(side * scale))
+    Spark shape: decode → filter images → mapInPandas, still zero
+    shuffles end-to-end.
+    """
+    import numpy as np
+
+    imgs = decode_features(documents).filter(F.col("media_type") == "image")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            longest = np.maximum(w, h)
+            scale = np.minimum(1.0, max_side / longest)
+            ow = np.maximum(1, np.floor(w * scale)).astype("int32")
+            oh = np.maximum(1, np.floor(h * scale)).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "scale_pct": (scale * 100).astype("int32"),
+                }
+            )
+
+    return imgs.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
 def frame_sample(documents: DataFrame, every: int = 8) -> DataFrame:
     """Frame sampling for video rows: explode every-k-th frame index
     from the decoded frame count — built-in ``sequence``+``explode``

@@ -1243,3 +1243,29 @@ def setop_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("retained_custkey")
     )
     return before.intersect(after)
+
+
+@register(
+    "media_resize",
+    """
+    WITH m AS (SELECT doc_id,
+                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+                          AS media_type,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    i AS (SELECT doc_id, media_type,
+                 CAST(16 + nb % 625 AS INTEGER) AS width,
+                 CAST(16 + (nb * 7) % 475 AS INTEGER) AS height
+          FROM m WHERE media_type = 'image'),
+    s AS (SELECT *, least(1.0, 128.0 / greatest(width, height)) AS scale FROM i)
+    SELECT doc_id, media_type, width, height,
+           CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_width,
+           CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_height,
+           CAST(trunc(scale * 100) AS INTEGER) AS scale_pct
+    FROM s
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail geometry over mapInPandas (the
+    missing 'resize' stage of the multimodal quartet)."""
+    return multimodal.resize_images(load_table(spark, sf_dir, "documents"), 128)

@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "media_metadata",
     "media_decode_features",
     "media_frame_sample",
+    "media_resize",
     "events_sessionize",
     "events_sliding_window",
 ]
