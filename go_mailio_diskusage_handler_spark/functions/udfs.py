@@ -115,11 +115,13 @@ def per_user_zscores(events: DataFrame) -> DataFrame:
     )
 
 
-@udtf(returnType="pos: int, piece: string")
+@udtf(returnType="pos: int, piece: string", useArrow=True)
 class SplitPathUDTF:
     """Python UDTF: explode a slash path into (position, segment) rows
     — the reference's O6 path split generalized to a table function.
-    Evaluated partition-locally under a lateral join (no shuffle)."""
+    Evaluated partition-locally under a lateral join (no shuffle);
+    ``useArrow=True`` batches rows over Arrow instead of pickling one
+    at a time (the plan shows ArrowEvalPythonUDTF, not BatchEval)."""
 
     def eval(self, key: str):
         if key is None:

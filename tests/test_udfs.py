@@ -24,6 +24,14 @@ def test_oracle_parity(spark, ddb, name):
     compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
 
+def test_udtf_is_arrow_batched(spark):
+    """The table function must ride Arrow batches, not per-row pickle."""
+    df = registry.QUERIES["udtf_path_segments"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPythonUDTF" not in plan, plan
+
+
 def test_pandas_cosine_is_arrow_vectorized_and_shuffle_free(spark):
     """The scalar pandas_udf path must be ArrowEvalPython (vectorized
     batches), not BatchEvalPython (row-at-a-time), with zero shuffle."""
