@@ -44,6 +44,54 @@ def session_window_stats(
     )
 
 
+def asof_last_purchase(
+    events: DataFrame, probe_type: str = "click", ref_type: str = "purchase"
+) -> DataFrame:
+    """AS-OF join as a composition (SURVEY §2.1 notes Spark lacks a
+    native as-of): for every ``probe_type`` event, the value of the
+    same user's most recent ``ref_type`` event at-or-before it.
+
+    Instead of a range join (which Spark would execute as a broadcast
+    nested loop at O(n·m) per user), both event sets ride ONE
+    partitioned window: sort each user's merged timeline once, carry
+    the last seen reference value forward (``last_value`` with
+    ``ignoreNulls``), keep probe rows.  One shuffle on user_id, one
+    sort — the standard scalable as-of shape.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_val = F.when(F.col("event_type") == ref_type, F.col("value"))
+    ref_ts = F.when(F.col("event_type") == ref_type, F.unix_micros("ts"))
+    carried = events.filter(
+        F.col("event_type").isin(probe_type, ref_type)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(ref_val, ignorenulls=True).over(w).alias("asof_value"),
+        F.last(ref_ts, ignorenulls=True).over(w).alias("asof_ts_us"),
+    )
+    # Unmatched probes (no reference event yet) are dropped rather than
+    # emitted with NULLs: inner-as-of semantics, and it keeps the
+    # cross-engine comparison free of NULL-vs-NaN representation drift.
+    return (
+        carried.filter(F.col("event_type") == probe_type)
+        .filter(F.col("asof_value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("asof_value", 4).alias("asof_value"),
+            "asof_ts_us",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
     """Events → sessions: (user_id, session_start_us, n_events,
     duration_us).  A new session starts when the gap to the previous

@@ -1269,3 +1269,27 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving thumbnail geometry over mapInPandas (the
     missing 'resize' stage of the multimodal quartet)."""
     return multimodal.resize_images(load_table(spark, sf_dir, "documents"), 128)
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    c AS (SELECT user_id, event_id, us AS ts_us, event_type,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS) OVER w AS raw_val,
+                 last_value(CASE WHEN event_type = 'purchase' THEN us END
+                            IGNORE NULLS) OVER w AS asof_ts_us
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts_us,
+           ROUND(raw_val, 4) AS asof_value, asof_ts_us
+    FROM c WHERE event_type = 'click' AND raw_val IS NOT NULL
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join by composition: each click paired with the same
+    user's most recent prior-or-simultaneous purchase (single window
+    pass — no range join)."""
+    return sessions.asof_last_purchase(load_table(spark, sf_dir, "events"))

@@ -38,6 +38,7 @@ ORACLE_CHECKED = [
     "docs_source_stats",
     "segment_customer_value",
     "setop_retained_customers",
+    "events_asof_join",
 ]
 
 
