@@ -29,8 +29,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     # Warm the JVM/codegen once on the smallest table so q1 isn't
-    # charged for session warmup.
+    # charged for session warmup, and spin up the Python worker pool
+    # (first Arrow/pandas exchange otherwise bills one query ~2-3 s of
+    # interpreter spawns across all cores).
     registry.QUERIES["du_core"](spark, sf_dir).limit(1).collect()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     for name, fn in registry.QUERIES.items():
         t0 = time.perf_counter()

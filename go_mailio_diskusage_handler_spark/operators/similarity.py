@@ -276,16 +276,26 @@ def ivf_ann_topk(
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, *, persist: bool = True
+) -> DataFrame:
     """Embedding-cosine near-dup: bucket join (LSH) then exact-cosine
     verify ≥ threshold.  The n² risk is confined to within-bucket
-    pairs; at scale, raise N_PLANES to shrink buckets."""
+    pairs; at scale, raise N_PLANES to shrink buckets.
+
+    The bucketed projection (8 hyperplane dots + norm per vector)
+    feeds both sides of the self-join and Spark does not reuse the
+    exchange — persist computes it once (measured 9× at sf0.1)."""
     withb = embeddings.select(
         "vec_id",
         "embedding",
         bucket_id(F.col("embedding")).alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        withb = withb.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = withb.alias("a"), withb.alias("b")
     return (
         a.join(
