@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
+
 SHINGLE_N = 3  # word trigrams
 N_HASHES = 12
 BAND_ROWS = 3
@@ -53,7 +55,8 @@ def shingles(documents: DataFrame) -> DataFrame:
         part = parts[j]
         sh = F.zip_with(part, sh, lambda x, y: F.concat(x, F.lit(" "), y))
     return (
-        documents.filter(F.size(toks) >= SHINGLE_N)
+        widen_for_compute(documents)
+        .filter(F.size(toks) >= SHINGLE_N)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -233,7 +236,7 @@ def simhash_values(documents: DataFrame) -> DataFrame:
     explode tokens → one groupBy(doc_id) with 32 SUM aggregates
     (partial aggregation collapses the explode before the shuffle).
     """
-    toks = documents.select(
+    toks = widen_for_compute(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     nibbles = toks.select(

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
+
 N_PLANES = 8  # 256 buckets
 EMB_DIM = 64
 
@@ -61,6 +63,7 @@ def brute_force_topk(
     arbitrary broadcast query set).  Output:
     (query_id, neighbor_id, cos_sim, rank).
     """
+    embeddings = widen_for_compute(embeddings)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -112,8 +115,8 @@ def bucket_id(emb: Column, dim: int = EMB_DIM) -> Column:
 
 
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """vec_id → LSH bucket (one scan, no shuffle)."""
-    return embeddings.select(
+    """vec_id → LSH bucket (one scan; widened, else no shuffle)."""
+    return widen_for_compute(embeddings).select(
         "vec_id", bucket_id(F.col("embedding")).alias("bucket")
     )
 
@@ -126,7 +129,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
     shuffle is on the bucket id; each query touches ~N/256 vectors.
     Recall is tunable via planes count / multi-probe.
     """
-    withb = embeddings.select(
+    withb = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
         bucket_id(F.col("embedding")).alias("bucket"),
@@ -206,7 +209,7 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     probes touch only ~n_probe/n_lists of the data."""
     cents = _centroid_cols(embeddings)
     nrm = l2_norm(F.col("embedding"))
-    return embeddings.select(
+    return widen_for_compute(embeddings).select(
         "vec_id",
         _best_lists(F.col("embedding"), nrm, cents, 1)[0].alias("list_id"),
     )
@@ -231,7 +234,7 @@ def ivf_ann_topk(
     # SEPARATE _best_lists expressions made Spark compile the (16
     # centroids × 64-dim literal) codegen twice — measured 4× slower
     # end-to-end at sf0.1 for identical results.
-    scored_corpus = embeddings.select(
+    scored_corpus = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
         nrm.alias("nrm"),
@@ -293,7 +296,7 @@ def embedding_near_dup_pairs(
     The bucketed projection (8 hyperplane dots + norm per vector)
     feeds both sides of the self-join and Spark does not reuse the
     exchange — persist computes it once (measured 9× at sf0.1)."""
-    withb = embeddings.select(
+    withb = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
         bucket_id(F.col("embedding")).alias("bucket"),

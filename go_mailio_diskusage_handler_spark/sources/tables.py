@@ -50,6 +50,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the scan under-parallelizes.
+
+    Single-row-group files (the driver fixtures are one row group per
+    table) give Spark exactly one input split, so every byte of per-row
+    compute above the scan — md5 shingling, minhash, token hashing,
+    embedding scoring — runs on ONE core until the first shuffle.
+    Measured at sf0.1/local[32]: simhash signatures ran 1-task.
+
+    ``getNumPartitions`` is plan metadata (no job), and the repartition
+    is a rotation of tiny pre-explode rows, so the widening costs ~0.1 s
+    locally.  At 100 TB a scan yields thousands of splits, the guard is
+    false, and this is a no-op — we never *add* a shuffle where the
+    scan already parallelizes.  Row-order-independent consumers only
+    (aggregates, joins); never use under an order-sensitive window.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

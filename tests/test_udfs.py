@@ -32,6 +32,24 @@ def test_udtf_is_arrow_batched(spark):
     assert "BatchEvalPythonUDTF" not in plan, plan
 
 
+def test_zscore_arrow_and_pandas_paths_agree(spark):
+    """applyInArrow (production path) and applyInPandas (reference
+    kernel) must produce identical rows; and the Arrow plan must prune
+    events to the 3 consumed columns before the Python exchange."""
+    ev = load_table(spark, SF_CORRECT, "events")
+    arrow_rows = {
+        tuple(r) for r in udfs.per_user_zscores(ev).collect()
+    }
+    pandas_rows = {
+        tuple(r) for r in udfs.per_user_zscores_pandas(ev).collect()
+    }
+    assert arrow_rows == pandas_rows
+    plan = plans.executed_plan(udfs.per_user_zscores(ev))
+    assert "FlatMapGroupsInArrow" in plan, plan
+    # pruned scan: props/event_type/ts must not reach the UDF stage
+    assert "props" not in plan, plan
+
+
 def test_pandas_cosine_is_arrow_vectorized_and_shuffle_free(spark):
     """The scalar pandas_udf path must be ArrowEvalPython (vectorized
     batches), not BatchEvalPython (row-at-a-time), with zero shuffle."""
