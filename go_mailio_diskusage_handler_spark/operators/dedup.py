@@ -321,3 +321,70 @@ def simhash_dedup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    documents: DataFrame, threshold: float = 0.6, max_iterations: int = 25
+) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected
+    components over the exact-Jaccard pair graph, labeled by the
+    smallest doc_id in each component — the step after pair
+    generation in a training-data pipeline (keep ``doc_id ==
+    cluster_id``, drop the rest).
+
+    Iterative min-label propagation, the idiomatic DataFrame form of
+    the classic CC algorithm: every node starts labeled with itself;
+    each round a node takes the min of its own and its neighbors'
+    labels; fixpoint when the label sum stops falling (labels only
+    ever decrease, so an unchanged SUM ⇔ no label changed — one agg
+    per round instead of a self-join diff).  Rounds needed = graph
+    diameter; near-dup components are tiny cliques (diameter ≤ 3
+    in the fixtures), and at 100 TB the large-star/small-star variant
+    bounds rounds at O(log n) with the same per-round plan.
+
+    ``localCheckpoint`` truncates the lineage each round — without it
+    the plan doubles per iteration and Catalyst analysis time blows
+    up around round 8.  On a cluster, use a reliable HDFS checkpoint
+    instead (executor loss under localCheckpoint forces a rerun).
+
+    Output: (doc_id, cluster_id) for every document that belongs to
+    at least one near-dup pair; singleton documents are not emitted.
+    """
+    pairs = ngram_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("nb_doc"))
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["doc_id"] == F.col("nb_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

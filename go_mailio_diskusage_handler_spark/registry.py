@@ -490,6 +490,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.6)
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+    inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+              FROM cand
+              JOIN shingles sa ON doc_a = sa.doc_id
+              JOIN shingles sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+              GROUP BY doc_a, doc_b),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes za ON doc_a = za.doc_id
+              JOIN sizes zb ON doc_b = zb.doc_id
+              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component duplicate clusters (iterative label
+    propagation vs the oracle's recursive-CTE transitive closure)."""
+    return dedup.duplicate_clusters(load_table(spark, sf_dir, "documents"), 0.6)
+
+
 _NIBBLES = ", ".join(
     f"strpos('0123456789abcdef', substr(md5(token), {k + 1}, 1)) - 1 AS v{k}"
     for k in range(dedup.SIMHASH_BITS // 4)

@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "dedup_ngram_jaccard",
     "dedup_simhash_values",
     "dedup_simhash_pairs",
+    "dedup_clusters",
 ]
 
 
@@ -51,6 +52,29 @@ def test_simhash_symmetric_and_bounded(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     rows = dedup.simhash_values(docs).collect()
     assert all(0 <= r.simhash < (1 << dedup.SIMHASH_BITS) for r in rows)
+
+
+def test_duplicate_clusters_are_consistent_with_pairs(spark):
+    """Cluster labels must be closed over the pair graph: both ends of
+    every near-dup pair carry the same cluster_id, and each cluster's
+    label is its smallest member."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, 0.6).collect()
+    ]
+    label = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(docs, 0.6).collect()
+    }
+    assert pairs and label
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b)
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in label.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
 
 
 def test_exact_dedup_keeps_min_doc_id(spark):
