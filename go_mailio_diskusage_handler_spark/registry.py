@@ -317,7 +317,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # [EXT] LLM-pipeline: text analysis + fingerprinting + exact dedup
 # ---------------------------------------------------------------------------
-from .operators import dedup, text  # noqa: E402
+from .operators import curation, dedup, text  # noqa: E402
 
 
 @register(
@@ -488,6 +488,65 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.6)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Training-data curation: splits / mixture / decontamination
+# ---------------------------------------------------------------------------
+_DDB_BUCKET = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), {k + 1}, 1)) - 1)"
+    f" * {16 ** (3 - k)}"
+    for k in range(4)
+)
+
+
+@register(
+    "curation_split_assign",
+    f"""
+    SELECT doc_id,
+           CAST({_DDB_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN ({_DDB_BUCKET}) % 100 < {curation.TRAIN_PCT} THEN 'train'
+                WHEN ({_DDB_BUCKET}) % 100 < {curation.TRAIN_PCT + curation.VAL_PCT}
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.split_assignments(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_mixture",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ({_DDB_BUCKET}) ASC, doc_id ASC) AS rk
+        FROM documents) q
+    WHERE rk <= 10
+    """,
+)
+def curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mixture_rebalance(load_table(spark, sf_dir, "documents"), 10)
+
+
+@register(
+    "curation_contaminated",
+    f"""
+    WITH {_SHINGLE_CTES},
+    train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 200),
+    ev AS (SELECT doc_id AS eval_doc_id, shingle FROM shingles WHERE doc_id < 200),
+    overlap AS (SELECT t.doc_id, e.eval_doc_id, COUNT(*) AS n_overlap
+                FROM train t JOIN ev e ON t.shingle = e.shingle
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 3)
+    SELECT doc_id, MAX(n_overlap) AS max_overlap, COUNT(*) AS n_eval_docs
+    FROM overlap GROUP BY doc_id
+    """,
+)
+def curation_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.contaminated_docs(load_table(spark, sf_dir, "documents"), 200, 3)
 
 
 @register(

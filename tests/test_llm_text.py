@@ -22,6 +22,9 @@ ORACLE_CHECKED = [
     "dedup_simhash_values",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "curation_split_assign",
+    "curation_mixture",
+    "curation_contaminated",
 ]
 
 
@@ -52,6 +55,31 @@ def test_simhash_symmetric_and_bounded(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     rows = dedup.simhash_values(docs).collect()
     assert all(0 <= r.simhash < (1 << dedup.SIMHASH_BITS) for r in rows)
+
+
+def test_split_assignment_is_stable_and_roughly_proportional(spark):
+    """Split membership is a pure function of doc_id (identical under
+    re-run and repartition) and lands near the 90/5/5 target."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    a = {r.doc_id: r.split for r in curation.split_assignments(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in curation.split_assignments(docs.repartition(7)).collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.80 * n <= train <= 0.97 * n
+
+
+def test_mixture_rebalance_caps_every_source(spark):
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    kept = curation.mixture_rebalance(docs, 7).groupBy("source").count().collect()
+    assert kept and all(r["count"] <= 7 for r in kept)
 
 
 def test_duplicate_clusters_are_consistent_with_pairs(spark):
