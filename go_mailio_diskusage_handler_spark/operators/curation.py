@@ -85,7 +85,11 @@ def mixture_rebalance(documents: DataFrame, per_source_cap: int = 10) -> DataFra
 
 
 def contaminated_docs(
-    documents: DataFrame, eval_max_doc_id: int = 200, min_overlap: int = 3
+    documents: DataFrame,
+    eval_max_doc_id: int = 200,
+    min_overlap: int = 3,
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Training docs sharing ≥ ``min_overlap`` distinct shingles with
     the eval set (doc_id < ``eval_max_doc_id`` stands in for the
@@ -96,7 +100,8 @@ def contaminated_docs(
     the threshold against ANY eval doc.  The eval side is tiny —
     Spark broadcasts it; the train side is never self-joined.
     """
-    sh = shingles(documents)
+    if sh is None:
+        sh = shingles(documents)
     train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
     ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
@@ -110,4 +115,63 @@ def contaminated_docs(
     return overlap.groupBy("doc_id").agg(
         F.max("n_overlap").alias("max_overlap"),
         F.count(F.lit(1)).alias("n_eval_docs"),
+    )
+
+
+def curated_corpus(
+    documents: DataFrame,
+    min_distinct_ratio: float = 0.4,
+    min_tokens: int = 20,
+    eval_max_doc_id: int = 200,
+    min_overlap: int = 3,
+    dup_threshold: float = 0.6,
+) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: quality
+    gate → eval-set exclusion + decontamination → keep one doc per
+    duplicate cluster → assign train/val/test.
+
+    Each stage is the operator defined above / in the dedup module;
+    composition is semi/anti joins on doc_id, so Catalyst sees a
+    single DAG and shares the documents scan.  This is the query a
+    user runs nightly over the raw corpus; everything upstream
+    (pair generation, clustering, scoring) exists to feed it.
+
+    Output: (doc_id, source, split) for the surviving corpus.
+    """
+    from go_mailio_diskusage_handler_spark.operators import text
+    from go_mailio_diskusage_handler_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    from pyspark import StorageLevel
+
+    # One shingle table feeds decontamination AND pair generation —
+    # persisted, the corpus is exploded/hashed once (7.4 s → ~5 s at
+    # sf0.1); at 100 TB this is a written intermediate, same shape.
+    sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    quality_ok = (
+        text.quality_scores(documents)
+        .filter(
+            (F.col("distinct_ratio") >= min_distinct_ratio)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select("doc_id")
+    )
+    contaminated = contaminated_docs(
+        documents, eval_max_doc_id, min_overlap, sh=sh
+    ).select("doc_id")
+    dup_losers = (
+        duplicate_clusters(documents, dup_threshold, sh=sh)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = (
+        documents.filter(F.col("doc_id") >= eval_max_doc_id)
+        .join(quality_ok, "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+        .join(dup_losers, "doc_id", "anti")
+        .select("doc_id", "source")
+    )
+    return kept.join(split_assignments(documents), "doc_id").select(
+        "doc_id", "source", "split"
     )

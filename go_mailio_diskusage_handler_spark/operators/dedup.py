@@ -168,7 +168,11 @@ def minhash_dedup_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.6, *, persist: bool = True
+    documents: DataFrame,
+    threshold: float = 0.6,
+    *,
+    persist: bool = True,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥ 1 shingle.
 
@@ -176,13 +180,16 @@ def ngram_jaccard_pairs(
     scale this is the 'exact verification' tier run after LSH, here
     also exposed standalone (the fixtures' vocabulary keeps shingle
     document-frequency low).  ``persist`` as in
-    :func:`minhash_dedup_pairs` (three consumers here).
+    :func:`minhash_dedup_pairs` (three consumers here).  Callers that
+    already hold a (persisted) shingle table pass it via ``sh`` so
+    composite pipelines explode the corpus once.
     """
-    sh = shingles(documents)
-    if persist:
-        from pyspark import StorageLevel
+    if sh is None:
+        sh = shingles(documents)
+        if persist:
+            from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One shuffle-join + one aggregation: intersection sizes fall out of
     # the shared-shingle join directly (no distinct-pairs + re-join).
@@ -329,7 +336,11 @@ def simhash_dedup_pairs(
 
 
 def duplicate_clusters(
-    documents: DataFrame, threshold: float = 0.6, max_iterations: int = 25
+    documents: DataFrame,
+    threshold: float = 0.6,
+    max_iterations: int = 25,
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Group near-duplicate documents into clusters: connected
     components over the exact-Jaccard pair graph, labeled by the
@@ -355,7 +366,9 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
     """
-    pairs = ngram_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(documents, threshold, sh=sh).select(
+        "doc_a", "doc_b"
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()

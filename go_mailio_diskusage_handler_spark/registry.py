@@ -550,6 +550,57 @@ def curation_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_corpus",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    qtoks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    quality_ok AS (SELECT doc_id FROM qtoks
+                   WHERE ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) >= 0.4
+                     AND len(t) >= 20),
+    train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 200),
+    ev AS (SELECT doc_id AS eval_doc_id, shingle FROM shingles WHERE doc_id < 200),
+    contaminated AS (SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, e.eval_doc_id FROM train t JOIN ev e ON t.shingle = e.shingle
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3) c),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+    inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+              FROM cand
+              JOIN shingles sa ON doc_a = sa.doc_id
+              JOIN shingles sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+              GROUP BY doc_a, doc_b),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes za ON doc_a = za.doc_id
+              JOIN sizes zb ON doc_b = zb.doc_id
+              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+               HAVING src != MIN(dst))
+    SELECT d.doc_id, d.source,
+           CASE WHEN ({_DDB_BUCKET.replace("cast(doc_id", "cast(d.doc_id")}) % 100
+                     < {curation.TRAIN_PCT} THEN 'train'
+                WHEN ({_DDB_BUCKET.replace("cast(doc_id", "cast(d.doc_id")}) % 100
+                     < {curation.TRAIN_PCT + curation.VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN quality_ok q ON d.doc_id = q.doc_id
+    WHERE d.doc_id >= 200
+      AND d.doc_id NOT IN (SELECT c.doc_id FROM contaminated c)
+      AND d.doc_id NOT IN (SELECT l.doc_id FROM losers l)
+    """,
+)
+def curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: quality gate → decontaminate → dedup-keep-one
+    → split assignment, one declarative plan end-to-end."""
+    return curation.curated_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLE_CTES},
