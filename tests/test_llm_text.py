@@ -83,6 +83,20 @@ def test_mixture_rebalance_caps_every_source(spark):
     assert kept and all(r["count"] <= 7 for r in kept)
 
 
+def test_curation_plan_shapes(spark):
+    """Split assignment must stay narrow (zero shuffles — pure
+    per-row hash), mixture rebalance must cost exactly one shuffle
+    (the window on source), and decontamination must broadcast the
+    eval side instead of shuffling the train side."""
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert plans.shuffle_count(curation.split_assignments(docs)) == 0
+    assert plans.shuffle_count(curation.mixture_rebalance(docs, 10)) == 1
+    assert plans.has_broadcast_join(curation.contaminated_docs(docs, 200, 3))
+
+
 def test_duplicate_clusters_are_consistent_with_pairs(spark):
     """Cluster labels must be closed over the pair graph: both ends of
     every near-dup pair carry the same cluster_id, and each cluster's
