@@ -1433,3 +1433,23 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's most recent prior-or-simultaneous purchase (single window
     pass — no range join)."""
     return sessions.asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT] SQL surface: textual spark.sql over registered views (sql.py)
+# ---------------------------------------------------------------------------
+from . import sql as sql_surface  # noqa: E402
+
+
+@register("sql_pricing_summary", sql_surface.PRICING_SUMMARY_SQL)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape via spark.sql — the oracle IS the query text
+    (one ANSI string, two engines)."""
+    return sql_surface.pricing_summary(spark, sf_dir)
+
+
+@register("sql_shipping_priority", sql_surface.SHIPPING_PRIORITY_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via spark.sql (broadcast dims, exact-decimal
+    revenue)."""
+    return sql_surface.shipping_priority(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""[EXT] SQL surface: the same engine through ``spark.sql``.
+
+Everything else in this repo declares plans with the DataFrame API;
+this module proves the equivalent ANSI-SQL surface works end-to-end —
+register the fixture tables as temp views, run textual SQL, get the
+same Catalyst plans (views are lazy: SQL over them inherits pruning,
+pushdown, broadcast decisions — there is no separate "SQL engine").
+
+The two canned queries are the classic TPC-H shapes (Q1 pricing
+summary, Q3 shipping priority) restated on the fixture schema; both
+are oracle-checked like every DataFrame query, and both compile to
+the plans the DataFrame API would produce (partial agg before the
+shuffle for Q1; broadcast dimension joins for Q3).
+
+Cross-engine float note: SUM(double products) differs between engines
+in the last ulp (summation order), which can cross a ROUND boundary
+(observed: a 1-cent revenue diff at sf0.01).  Money columns are exact
+2-decimal values, so the product sums cast the INPUTS to small
+decimals — decimal × decimal and decimal SUM are exact and
+associative, making the aggregate bit-identical on any engine — and
+only the final rounded result is cast back to double for a stable
+driver-visible schema.  Casting the product (double → decimal) would
+NOT work: engines disagree on that conversion's rounding path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_mailio_diskusage_handler_spark.sources.tables import TABLES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view named after itself."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE)                                             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                AS DOUBLE)                                             AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate  > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SHIPPING_PRIORITY_SQL)

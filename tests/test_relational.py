@@ -88,3 +88,19 @@ def test_windows_are_partitioned(spark):
         plan = plans.executed_plan(registry.QUERIES[name](spark, SF_CORRECT))
         assert "Window" in plan
         assert "SinglePartition" not in plan, f"{name} window is unpartitioned:\n{plan}"
+
+
+def test_sql_surface_oracle_parity(spark, ddb):
+    """The textual spark.sql surface must hash-match DuckDB running the
+    SAME SQL string (one query text, two engines)."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    for name in ("sql_pricing_summary", "sql_shipping_priority"):
+        compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_sql_shipping_priority_broadcasts_dimensions(spark):
+    from go_mailio_diskusage_handler_spark import plans, sql as sql_surface
+
+    df = sql_surface.shipping_priority(spark, SF_CORRECT)
+    assert plans.has_broadcast_join(df)
