@@ -363,6 +363,13 @@ def duplicate_clusters(
     up around round 8.  On a cluster, use a reliable HDFS checkpoint
     instead (executor loss under localCheckpoint forces a rerun).
 
+    Iteration frames are re-sized to the measured edge count (the
+    checkpoint materializes edges anyway, so the count is free):
+    near-dup graphs are orders of magnitude smaller than the corpus,
+    and dragging the session's full partition count through every
+    round charged ~0.15 s/round of pure task overhead at sf0.1.  The
+    same formula scales partitions back up with edge count at 100 TB.
+
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
     """
@@ -372,10 +379,16 @@ def duplicate_clusters(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    sc = documents.sparkSession.sparkContext
+    loop_parts = max(
+        4, min(sc.defaultParallelism, edges.count() // 100_000)
+    )
+    edges = edges.coalesce(loop_parts)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .coalesce(loop_parts)
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
@@ -394,6 +407,7 @@ def duplicate_clusters(
                     F.coalesce(F.col("nb_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
+            .coalesce(loop_parts)
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
