@@ -1138,6 +1138,38 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_quantize_int8",
+    """
+    SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+    FROM (
+        SELECT vec_id,
+               ROUND(list_max(list_transform(embedding, x -> abs(x))) / 127.0, 6)
+                   AS scale,
+               list_transform(embedding,
+                   x -> CAST(floor(x / (list_max(list_transform(embedding,
+                                                                y -> abs(y)))
+                                   / 127.0) + 0.5) AS INTEGER)) AS qvec
+        FROM embeddings) q
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4× storage shrink;
+    portable floor(x/scale + 0.5) rounding).  The driver-facing
+    projection serializes the int vector to CSV — every element is
+    value-checked while the result schema stays scalar-typed."""
+    from pyspark.sql import functions as F
+
+    q = similarity.quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    )
+
+
+@register(
     "semi_customers_with_orders",
     """
     SELECT c_custkey, c_name FROM customer

@@ -39,8 +39,16 @@ def normalize(rows, ndigits: int = 6):
     """Order-insensitive, float-rounded canonical form of a result set."""
 
     def norm(v):
+        # duckdb returns list columns as numpy arrays; canonicalize any
+        # container/np-scalar so == and the sort key behave.
+        if hasattr(v, "item") and getattr(v, "shape", None) == ():
+            v = v.item()
+        if hasattr(v, "tolist"):
+            v = v.tolist()
         if isinstance(v, float):
             return round(v, ndigits)
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
         return v
 
     def key(row):

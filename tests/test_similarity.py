@@ -11,6 +11,7 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 from conftest import SF_CORRECT, compare_with_oracle
 
 ORACLE_CHECKED = [
+    "sim_quantize_int8",
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_lsh_ann_topk",
