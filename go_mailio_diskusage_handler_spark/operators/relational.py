@@ -224,6 +224,98 @@ def cube_lineitem_flags(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """LAG/LEAD window: per customer, days since the previous order and
+    days until the next one.
+
+    PARTITION BY o_custkey bounds each window task by one customer's
+    history (no global sort at 100 TB); o_orderkey tie-break makes the
+    frame deterministic.  Window edges (a customer's first/last order)
+    emit a -1 sentinel rather than NULL: a nullable BIGINT round-trips
+    as float NaN through Arrow/pandas, which breaks order-insensitive
+    row hashing between engines.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("days_since_prev"),
+        F.coalesce(
+            F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("days_until_next"),
+    )
+
+
+#: Price bands for the range join — keep in sync with
+#: registry.RANGE_JOIN_BANDS_SQL (the DuckDB oracle states the same
+#: bands as a VALUES list).
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("low", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("high", 250_000.0, 600_000.0),
+]
+
+#: Grid step for range-join bucketization.  Every band boundary must be
+#: a multiple of this so a grid cell never straddles a band edge.
+_RANGE_GRID = 50_000.0
+
+
+def price_band_revenue(orders: DataFrame) -> DataFrame:
+    """Range join (``lo <= o_totalprice < hi``) via grid bucketization.
+
+    The naive plan for an interval predicate is a nested-loop join —
+    O(fact × bands), and with a big build side it's the classic range-
+    join blowup.  The scale pattern: overlay a fixed grid, explode each
+    band into the grid cells it covers (driver-side, tiny), equi-join
+    fact.cell = dim.cell (hash join, broadcast here), then apply the
+    exact interval as a post-filter.  The fact table streams through
+    one BroadcastHashJoin — no shuffle, no nested loop — and the same
+    construction handles large-large range joins by letting the
+    equi-join shuffle on ``cell``.
+
+    Revenue sums cast inputs to DECIMAL(12,2) so the aggregate is exact
+    and engine-independent (see sql.py's cross-engine float note).
+    """
+    import math
+
+    spark = orders.sparkSession
+    cells = [
+        (band, lo, hi, cell)
+        for band, lo, hi in PRICE_BANDS
+        for cell in range(int(lo // _RANGE_GRID), math.ceil(hi / _RANGE_GRID))
+    ]
+    dim = spark.createDataFrame(
+        cells, "band string, lo double, hi double, cell bigint"
+    )
+    fact = orders.withColumn(
+        "cell", F.floor(F.col("o_totalprice") / F.lit(_RANGE_GRID))
+    )
+    return (
+        fact.join(F.broadcast(dim), "cell")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def approx_distinct_customers(orders: DataFrame, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB path for distinct counts:
     one pass, fixed memory, no distinct-expand shuffle.  No DuckDB

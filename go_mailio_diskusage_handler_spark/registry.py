@@ -1485,3 +1485,49 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape via spark.sql (broadcast dims, exact-decimal
     revenue)."""
     return sql_surface.shipping_priority(spark, sf_dir)
+
+
+@register("sql_grouping_sets", sql_surface.GROUPING_SETS_SQL)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over orders — one Expand, one shuffle, four
+    groupings (see sql.grouping_sets_revenue)."""
+    return sql_surface.grouping_sets_revenue(spark, sf_dir)
+
+
+ORDER_GAPS_SQL = """
+    SELECT o_custkey,
+           o_orderkey,
+           COALESCE(date_diff('day', lag(o_orderdate)  OVER w, o_orderdate), -1)
+               AS days_since_prev,
+           COALESCE(date_diff('day', o_orderdate, lead(o_orderdate) OVER w), -1)
+               AS days_until_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_order_gaps", ORDER_GAPS_SQL)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD inter-order gaps per customer (relational.order_gaps)."""
+    return relational.order_gaps(load_table(spark, sf_dir, "orders"))
+
+
+#: Oracle states the same bands as relational.PRICE_BANDS — keep in sync.
+RANGE_JOIN_BANDS_SQL = """
+    SELECT band,
+           COUNT(*) AS order_count,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN (VALUES ('low',       0.0, 100000.0),
+                 ('mid',  100000.0, 250000.0),
+                 ('high', 250000.0, 600000.0)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+"""
+
+
+@register("range_join_price_bands", RANGE_JOIN_BANDS_SQL)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via grid bucketization — interval predicate turned
+    into an equi-join (relational.price_band_revenue)."""
+    return relational.price_band_revenue(load_table(spark, sf_dir, "orders"))

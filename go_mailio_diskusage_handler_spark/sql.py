@@ -74,6 +74,21 @@ SHIPPING_PRIORITY_SQL = """
 """
 
 
+GROUPING_SETS_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING_ID(o_orderstatus, o_orderpriority)                 AS gid,
+           COUNT(*)                                                    AS order_count,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE)                                             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus),
+                            (o_orderpriority),
+                            ())
+"""
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(PRICING_SUMMARY_SQL)
@@ -82,3 +97,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(SHIPPING_PRIORITY_SQL)
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — all four groupings in one Expand + a single
+    aggregation shuffle (vs four scans if written as UNION ALL of
+    GROUP BYs); GROUPING_ID disambiguates real NULL keys from
+    rolled-up ones.  One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)

@@ -39,6 +39,8 @@ ORACLE_CHECKED = [
     "segment_customer_value",
     "setop_retained_customers",
     "events_asof_join",
+    "window_order_gaps",
+    "range_join_price_bands",
 ]
 
 
@@ -95,8 +97,26 @@ def test_sql_surface_oracle_parity(spark, ddb):
     SAME SQL string (one query text, two engines)."""
     from go_mailio_diskusage_handler_spark import registry
 
-    for name in ("sql_pricing_summary", "sql_shipping_priority"):
+    for name in ("sql_pricing_summary", "sql_shipping_priority", "sql_grouping_sets"):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """Grid bucketization must turn the interval predicate into an
+    equi-join: BroadcastHashJoin on `cell`, never a nested loop."""
+    df = registry.QUERIES["range_join_price_bands"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, f"range join fell back to nested loop:\n{plan}"
+
+
+def test_grouping_sets_single_expand(spark):
+    """Four grouping sets must run as one Expand + one aggregation
+    pipeline, not four scans unioned together."""
+    df = registry.QUERIES["sql_grouping_sets"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
 
 
 def test_sql_shipping_priority_broadcasts_dimensions(spark):
