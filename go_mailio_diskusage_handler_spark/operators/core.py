@@ -93,6 +93,28 @@ def inventory_quality(inventory: DataFrame) -> DataFrame:
     )
 
 
+def disk_usage_observed(inventory: DataFrame):
+    """:func:`disk_usage` instrumented with ``df.observe`` counters.
+
+    Returns ``(aggregate_df, Observation)``.  The quality counters
+    (total rows seen, malformed keys dropped by the O7 guard) are
+    accumulated DURING the aggregation's own scan — at 100 TB that is
+    the difference between free metrics and a second full pass
+    (:func:`inventory_quality` is the standalone twin when a gate must
+    run *before* the main job).  Metric values are available from the
+    Observation after the first action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("inventory_quality")
+    observed = inventory.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
+    )
+    return disk_usage(observed), obs
+
+
 def inventory_diff(inv_old: DataFrame, inv_new: DataFrame) -> DataFrame:
     """Day-over-day inventory diff: objects added/deleted between two
     snapshots (SURVEY §2.1 set ops — the new/deleted-objects pattern).

@@ -1487,6 +1487,13 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.shipping_priority(spark, sf_dir)
 
 
+@register("sql_correlated_above_avg", sql_surface.CORRELATED_ABOVE_AVG_SQL)
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by Catalyst into
+    agg + join (sql.correlated_above_avg)."""
+    return sql_surface.correlated_above_avg(spark, sf_dir)
+
+
 @register("sql_grouping_sets", sql_surface.GROUPING_SETS_SQL)
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS over orders — one Expand, one shuffle, four

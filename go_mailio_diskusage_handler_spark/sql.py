@@ -99,6 +99,27 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SHIPPING_PRIORITY_SQL)
 
 
+CORRELATED_ABOVE_AVG_SQL = """
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders priced >1.5× their
+    customer's average.  Catalyst decorrelates this into an aggregate
+    + equi-join (no per-row subquery execution); at 100 TB that is one
+    extra aggregation over the same key as the join, not O(rows)
+    subquery probes.  One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(CORRELATED_ABOVE_AVG_SQL)
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — all four groupings in one Expand + a single
     aggregation shuffle (vs four scans if written as UNION ALL of

@@ -67,3 +67,14 @@ def test_lookup_empty_for_unknown_address(spark):
     inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))
     du = core.disk_usage(inv)
     assert core.disk_usage_lookup(du, "no-such-address").count() == 0
+
+
+def test_observed_metrics_match_quality_gate(spark):
+    """df.observe counters must equal the standalone quality aggregate
+    — same invariants, zero extra passes."""
+    inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))
+    du, obs = core.disk_usage_observed(inv)
+    du.count()  # first action materializes the metrics
+    gate = core.inventory_quality(inv).collect()[0]
+    assert obs.get["total_rows"] == gate["total_rows"]
+    assert obs.get["malformed_keys"] == gate["malformed_keys"]

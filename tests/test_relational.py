@@ -124,3 +124,13 @@ def test_sql_shipping_priority_broadcasts_dimensions(spark):
 
     df = sql_surface.shipping_priority(spark, SF_CORRECT)
     assert plans.has_broadcast_join(df)
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must compile to an aggregate +
+    join — per-row subquery re-execution would be O(rows) probes at
+    100 TB."""
+    df = registry.QUERIES["sql_correlated_above_avg"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "Join" in plan, plan
+    assert df.count() > 0

@@ -69,3 +69,96 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    """CSV source: schema-enforced read (no inference pass) must
+    round-trip the table exactly."""
+    from go_mailio_diskusage_handler_spark.sources import formats
+
+    out = str(tmp_path / "orders_csv")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.option("header", True).csv(out)
+    back = formats.read_csv_strict(
+        spark,
+        out,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderstatus string",
+    )
+    clean, rejected = formats.split_quarantine(back)
+    assert rejected.count() == 0
+    assert clean.count() == orders.count()
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_csv_corrupt_rows_quarantine_not_fatal(spark, tmp_path):
+    """A malformed CSV line must land in _corrupt_record (reference
+    log.Fatalf's on bad input — handler.go:176; we quarantine)."""
+    from go_mailio_diskusage_handler_spark.sources import formats
+
+    p = tmp_path / "inv.csv"
+    p.write_text("key,size\na/1,100\nBADLINE-not-an-int,xyz\nb/2,200\n")
+    df = formats.read_csv_strict(spark, str(p), "key string, size bigint")
+    clean, rejected = formats.split_quarantine(df)
+    assert clean.count() == 2
+    assert rejected.count() == 1
+    assert "BADLINE" in rejected.collect()[0]["_corrupt_record"]
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSON-lines source: schema-enforced round-trip + corrupt-line
+    quarantine in one file."""
+    from go_mailio_diskusage_handler_spark.sources import formats
+
+    out = str(tmp_path / "events_json")
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.write.json(out)
+    back = formats.read_jsonl_strict(
+        spark, out, "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    clean, rejected = formats.split_quarantine(back)
+    assert rejected.count() == 0
+    assert clean.count() == events.count()
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"event_id": 1, "user_id": 2, "event_type": "x", "value": 1.5}\n{not json}\n')
+    df = formats.read_jsonl_strict(
+        spark, str(p), "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    clean, rejected = formats.split_quarantine(df)
+    assert clean.count() == 1
+    assert rejected.count() == 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink (AWS S3 Inventory's third delivery format):
+    round-trip fidelity + predicate pushdown into the ORC scan."""
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = plans.formatted(filtered)
+    assert "PushedFilters: [" in plan, plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_compacted_write_bounds_file_count(spark, tmp_path):
+    """AQE rebalance sizing: a skew-partitioned frame (32 shuffle
+    partitions of tiny data) must compact down to few, evenly sized
+    files instead of 32 shards."""
+    import os
+
+    from go_mailio_diskusage_handler_spark.sources.compaction import write_compacted
+
+    out = str(tmp_path / "lineitem_compact")
+    li = load_table(spark, SF_SMOKE, "lineitem").repartition(32)
+    write_compacted(li, out, cluster_by=["l_orderkey"])
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4, files
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
