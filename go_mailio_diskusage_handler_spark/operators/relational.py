@@ -285,18 +285,29 @@ def price_band_revenue(orders: DataFrame) -> DataFrame:
 
     Revenue sums cast inputs to DECIMAL(12,2) so the aggregate is exact
     and engine-independent (see sql.py's cross-engine float note).
+
+    The exploded band×cell dim is built as a JVM literal (explode of a
+    struct-array over ``spark.range(1)``), not ``createDataFrame`` —
+    the Python local-relation path serializes through an RDD job and
+    costs ~1.5 s of cold overhead for 12 rows; the literal stays in
+    whole-stage codegen.
     """
     import math
 
     spark = orders.sparkSession
-    cells = [
-        (band, lo, hi, cell)
-        for band, lo, hi in PRICE_BANDS
-        for cell in range(int(lo // _RANGE_GRID), math.ceil(hi / _RANGE_GRID))
-    ]
-    dim = spark.createDataFrame(
-        cells, "band string, lo double, hi double, cell bigint"
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.lit(lo).alias("lo"),
+                F.lit(hi).alias("hi"),
+                F.lit(cell).cast("bigint").alias("cell"),
+            )
+            for band, lo, hi in PRICE_BANDS
+            for cell in range(int(lo // _RANGE_GRID), math.ceil(hi / _RANGE_GRID))
+        ]
     )
+    dim = spark.range(1).select(F.explode(cells).alias("r")).select("r.*")
     fact = orders.withColumn(
         "cell", F.floor(F.col("o_totalprice") / F.lit(_RANGE_GRID))
     )
@@ -313,6 +324,56 @@ def price_band_revenue(orders: DataFrame) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+def unpivot_lineitem_measures(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT/melt: the four lineitem measures into (measure, val)
+    rows, then per-measure stats.
+
+    ``unpivot`` is a zero-shuffle Expand (each input row emits 4
+    narrow rows in place); the only exchange is the 4-group final
+    aggregation.  Sums go through DECIMAL(14,2) so the cross-engine
+    hash is exact (all four measures carry ≤2 decimals).
+    """
+    melted = lineitem.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("val").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_val"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+    )
+
+
+def moving_monthly_spend(orders: DataFrame) -> DataFrame:
+    """RANGE-frame window: each order with the customer's trailing
+    30-day spend (order day inclusive).
+
+    The frame is ``RANGE BETWEEN 29 PRECEDING AND CURRENT ROW`` over a
+    day number — a value-based frame, so same-day orders all see the
+    identical window regardless of intra-day tie order, making the
+    result deterministic without a tie-break column.  PARTITION BY
+    customer keeps tasks bounded at scale; sums are exact decimals.
+    """
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d_spend"),
     )
 
 

@@ -1467,6 +1467,43 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.asof_last_purchase(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "events_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           ROUND(p.value, 4) AS purchase_value,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (purchase ⋈ preceding clicks within 30 min).
+    Same expression runs as a bounded-state stream-stream join in
+    streaming.windows.attributed_purchases; stream ≡ batch asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from .streaming import windows as streaming_windows
+
+    df = streaming_windows.attributed_purchases(load_table(spark, sf_dir, "events"))
+    return df.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # [EXT] SQL surface: textual spark.sql over registered views (sql.py)
 # ---------------------------------------------------------------------------
@@ -1517,6 +1554,47 @@ ORDER_GAPS_SQL = """
 def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD inter-order gaps per customer (relational.order_gaps)."""
     return relational.order_gaps(load_table(spark, sf_dir, "orders"))
+
+
+UNPIVOT_MEASURES_SQL = """
+    WITH u AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(val AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_val,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val
+    FROM u GROUP BY measure
+"""
+
+
+@register("unpivot_lineitem_measures", UNPIVOT_MEASURES_SQL)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt + per-measure stats (relational.unpivot_lineitem_measures)."""
+    return relational.unpivot_lineitem_measures(load_table(spark, sf_dir, "lineitem"))
+
+
+MOVING_SPEND_SQL = """
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+"""
+
+
+@register("window_moving_spend", MOVING_SPEND_SQL)
+def window_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day RANGE-frame spend per customer
+    (relational.moving_monthly_spend)."""
+    return relational.moving_monthly_spend(load_table(spark, sf_dir, "orders"))
 
 
 #: Oracle states the same bands as relational.PRICE_BANDS — keep in sync.

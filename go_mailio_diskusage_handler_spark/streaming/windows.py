@@ -111,6 +111,56 @@ def run_to_memory(
     return streaming_df.sparkSession.table(name)
 
 
+def attributed_purchases(
+    events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon_minutes``.
+
+    This is the canonical bounded-state stream-stream join config:
+    an equi-key (``user_id``), watermarks on BOTH sides, and a range
+    constraint tying the two event times together.  The range bound is
+    what lets Spark evict join state — click state older than
+    ``watermark + horizon`` can never match a future purchase and is
+    dropped, so state stays bounded at unbounded input.  Without the
+    time constraint the join would have to keep every click forever.
+
+    Works identically on batch frames (the interval join just runs as
+    a join) — the test asserts stream ≡ batch on the same input.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+
+
 def deduplicated_stream(
     events: DataFrame, key: str = "event_id", watermark: str = "30 minutes"
 ) -> DataFrame:

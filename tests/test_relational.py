@@ -41,6 +41,9 @@ ORACLE_CHECKED = [
     "events_asof_join",
     "window_order_gaps",
     "range_join_price_bands",
+    "events_attribution_join",
+    "unpivot_lineitem_measures",
+    "window_moving_spend",
 ]
 
 
@@ -134,3 +137,12 @@ def test_correlated_subquery_is_decorrelated(spark):
     plan = plans.executed_plan(df)
     assert "Join" in plan, plan
     assert df.count() > 0
+
+
+def test_unpivot_is_expand_not_union(spark):
+    """Melt must compile to a single Expand over one scan — a UNION ALL
+    of per-measure scans would read the table four times."""
+    df = registry.QUERIES["unpivot_lineitem_measures"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan

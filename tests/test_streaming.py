@@ -178,3 +178,18 @@ def test_streaming_dedup_drops_cross_batch_repeats(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in result.collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream interval join (purchase ⋈ preceding clicks) must
+    reproduce the batch interval join exactly under AvailableNow."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    result = windows.run_to_memory(
+        windows.attributed_purchases(stream), output_mode="append"
+    )
+    batch_events = load_table(spark, SF_SMOKE, "events")
+    want = windows.attributed_purchases(batch_events)
+    got_rows = {tuple(r) for r in result.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
