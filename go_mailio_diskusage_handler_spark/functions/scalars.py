@@ -64,6 +64,28 @@ def json_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def map_event_props(events: DataFrame) -> DataFrame:
+    """MapType surface: parse the props JSON into ``map<string,bigint>``
+    (`from_json`), explode it into (key, value) rows, aggregate per
+    (event_type, key).
+
+    The whole path — parse, generator explode, aggregation — is JVM
+    expressions; schema-on-read for semi-structured columns without a
+    Python round-trip.  At scale the explode multiplies rows by map
+    arity *before* the shuffle, but partial aggregation collapses them
+    again, so the exchange stays one row per (task × group).
+    """
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        events.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_value").alias("sum_value"),
+        )
+    )
+
+
 def embedding_array_stats(embeddings: DataFrame) -> DataFrame:
     """Array scalars over array<float>: size, element access, and an
     L2 norm via the higher-order ``aggregate`` — all JVM-side (no UDF),

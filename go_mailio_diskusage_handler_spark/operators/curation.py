@@ -118,6 +118,35 @@ def contaminated_docs(
     )
 
 
+def pack_sequences(documents: DataFrame, max_tokens: int = 512) -> DataFrame:
+    """Sequence packing: assign each doc to a fixed-token-budget bin.
+
+    Training shards want documents packed end-to-end into max-length
+    context windows.  Exact bin packing is inherently sequential; the
+    scalable deterministic relaxation used here: per source, lay docs
+    end-to-end in doc_id order and bin by start offset —
+    ``bin = floor(start_offset / max_tokens)``.  One window pass, one
+    shuffle on the partition key; same row → same bin on any engine,
+    any partition layout, any scale.  Docs longer than the budget
+    still get a bin (they'd be split downstream at tensorization).
+    """
+    from go_mailio_diskusage_handler_spark.operators.text import tokens
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens())
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return documents.select(
+        "doc_id",
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.floor(start / max_tokens).cast("bigint").alias("bin_id"),
+    )
+
+
 def curated_corpus(
     documents: DataFrame,
     min_distinct_ratio: float = 0.4,

@@ -285,6 +285,26 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_props",
+    """
+    WITH kv AS (
+        SELECT event_type,
+               unnest(json_keys(props)) AS prop_key,
+               props
+        FROM events
+    )
+    SELECT event_type, prop_key,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_value
+    FROM kv GROUP BY event_type, prop_key
+    """,
+)
+def scalar_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType via from_json + explode (scalars.map_event_props)."""
+    return scalars.map_event_props(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "scalar_embedding_arrays",
     """
     SELECT vec_id,
@@ -529,6 +549,26 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_rebalance(load_table(spark, sf_dir, "documents"), 10)
+
+
+@register(
+    "curation_pack_sequences",
+    """
+    SELECT doc_id,
+           source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      / 512.0)
+                AS BIGINT) AS bin_id
+    FROM documents
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 512-token bins
+    (curation.pack_sequences)."""
+    return curation.pack_sequences(load_table(spark, sf_dir, "documents"), 512)
 
 
 @register(

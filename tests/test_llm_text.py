@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "curation_split_assign",
     "curation_mixture",
     "curation_contaminated",
+    "curation_pack_sequences",
     "curation_corpus",
 ]
 

@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "events_attribution_join",
     "unpivot_lineitem_measures",
     "window_moving_spend",
+    "scalar_map_props",
 ]
 
 
