@@ -385,3 +385,19 @@ def approx_distinct_customers(orders: DataFrame, rsd: float = 0.01) -> DataFrame
     return orders.agg(
         F.approx_count_distinct("o_custkey", rsd).alias("approx_distinct_customers")
     )
+
+
+def approx_order_percentiles(orders: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """approx_percentile sketch (Greenwald-Khanna) — the 100 TB path
+    for quantiles: single pass, bounded memory, mergeable partials,
+    vs the exact percentile's full sort.  Rows-only driver check
+    (sketches are engine-specific); the test bounds rank error
+    against the exact answer at 1/accuracy."""
+    p = orders.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], accuracy).alias("p")
+    )
+    return p.select(
+        F.col("p")[0].alias("p50"),
+        F.col("p")[1].alias("p90"),
+        F.col("p")[2].alias("p99"),
+    )

@@ -238,6 +238,12 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.approx_distinct_customers(load_table(spark, sf_dir, "orders"))
 
 
+@register("approx_order_percentiles")
+def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK quantile sketch, rows-only check (error bound tested)."""
+    return relational.approx_order_percentiles(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # [EXT] Scalar function families: date, math, JSON, array + event windows
 # ---------------------------------------------------------------------------

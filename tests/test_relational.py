@@ -147,3 +147,37 @@ def test_unpivot_is_expand_not_union(spark):
     plan = plans.executed_plan(df)
     assert "Expand" in plan, plan
     assert "Union" not in plan, plan
+
+
+def test_approx_percentiles_within_rank_error(spark, ddb):
+    """GK sketch rank error ≤ 1/accuracy: compare each approximate
+    percentile against the exact quantile neighborhood."""
+    row = registry.QUERIES["approx_order_percentiles"](spark, SF_CORRECT).collect()[0]
+    for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        lo, hi = ddb.execute(
+            f"SELECT quantile_disc(o_totalprice, {max(q - 0.001, 0)}),"
+            f"       quantile_disc(o_totalprice, {min(q + 0.001, 1)}) FROM orders"
+        ).fetchone()
+        assert lo <= row[col] <= hi, (col, row[col], lo, hi)
+
+
+# Nodes that must never appear in a registered query's plan: a
+# cartesian product explodes quadratically at scale, and a
+# row-at-a-time Python eval (BatchEvalPython / BatchEvalPythonUDTF —
+# as opposed to Arrow-vectorized ArrowEvalPython / MapInPandas /
+# FlatMapGroupsInPandas nodes) serializes every row through the
+# interpreter on the hot path.
+_PLAN_ANTIPATTERNS = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_no_registered_query_uses_antipattern_nodes(spark):
+    """Sweep EVERY registered query's physical plan for scale
+    antipatterns — coverage can't regress silently into a cartesian
+    join or row-at-a-time Python."""
+    bad = {}
+    for name, fn in registry.QUERIES.items():
+        plan = plans.executed_plan(fn(spark, SF_CORRECT))
+        hits = [n for n in _PLAN_ANTIPATTERNS if n in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
