@@ -121,3 +121,30 @@ def test_sessionize_partitions_events(spark, ts_lists):
                 last, n = t, n + 1
         expected.append((start, n, last - start))
         assert [(r.session_start_us, r.n_events, r.duration_us) for r in got] == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=25),
+    cap=st.sampled_from([64, 128, 256]),
+)
+def test_pack_sequences_matches_prefix_sum_reference(spark, toks, cap):
+    """Start-offset binning == the sequential greedy layout: doc i's
+    bin is floor(sum(tokens[<i]) / cap), independent of partitioning."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s0", n)  # text with exactly n ws-tokens
+        for i, n in enumerate(toks)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in curation.pack_sequences(docs, cap).collect()
+    }
+    start = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (n, start // cap), (i, got[i], n, start)
+        start += n
