@@ -162,3 +162,22 @@ def test_compacted_write_bounds_file_count(spark, tmp_path):
     assert 1 <= len(files) <= 4, files
     back = spark.read.parquet(out)
     assert back.count() == li.count()
+
+
+def test_training_shards_end_to_end(spark, tmp_path):
+    """The nightly job: curated corpus → packed bins → partitioned,
+    compacted shards on disk; read-back prunes on the split column."""
+    import os
+
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    out = str(tmp_path / "shards")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    written = curation.write_training_shards(docs, out)
+    splits = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert splits <= {"split=train", "split=val", "split=test"}
+    assert "split=train" in splits
+    back = spark.read.parquet(out)
+    assert back.count() == written.count() > 0
+    pruned = back.filter(F.col("split") == "train")
+    assert "PartitionFilters" in plans.formatted(pruned)
