@@ -342,6 +342,66 @@ def embedding_near_dup_pairs(
     )
 
 
+PQ_M = 8  # subspaces (dim 64 → 8 sub-vectors of 8)
+PQ_K = 16  # centroids per subspace (codes fit a nibble)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double (same summation
+    order as DuckDB list_sum over list_transform)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Product quantization: each vector → PQ_M nibble codes.
+
+    The third leg of the vector-compression tier (int8 keeps 1 byte/
+    dim, IVF keeps a coarse cell id; PQ keeps M sub-vector codes —
+    here 8 codes × 4 bits = 4 bytes per 256-byte vector, 64×).  At
+    100 TB the PQ codes live in memory next to the IVF lists and
+    candidate distances are table lookups (ADC); exact re-ranking
+    touches only the winners' full vectors.
+
+    Deterministic codebook as in :func:`_codebook_lit`: subspace m's
+    K centroids are the m-th slices of the first K corpus vectors,
+    bound as one nested literal per subspace.  Code = argmin squared
+    L2 (6-digit rounding, centroid-id tie-break) via ``array_min``
+    over (distance, cid) structs — struct ordering IS the tie-break,
+    fully JVM-side.  Output is (vec_id, subspace, code) rows via
+    posexplode, one scan, no shuffle.
+    """
+    rows = (
+        embeddings.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    full = [[float(x) for x in r[0]] for r in rows]
+    emb = _to_double(F.col("embedding"))
+    codes = []
+    for m in range(PQ_M):
+        cents_m = F.lit([v[m * PQ_SUB : (m + 1) * PQ_SUB] for v in full])
+        subv = F.slice(emb, m * PQ_SUB + 1, PQ_SUB)
+        scored = F.transform(
+            cents_m,
+            lambda c, j: F.struct(
+                F.round(_l2sq(subv, c), 6).alias("d"), j.alias("cid")
+            ),
+        )
+        codes.append(F.array_min(scored)["cid"])
+    return widen_for_compute(embeddings).select(
+        "vec_id", F.posexplode(F.array(*codes)).alias("subspace", "code")
+    )
+
+
 def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|x|/127,
     q_i = floor(x_i/scale + 0.5) — 4× smaller embedding storage with

@@ -1216,6 +1216,33 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_pq_codes",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+               FROM embeddings WHERE vec_id < {similarity.PQ_K}),
+    ms AS (SELECT unnest(range({similarity.PQ_M})) AS m),
+    sub AS (SELECT e.vec_id, ms.m, c.cid,
+                   ROUND(list_sum(list_transform(range(1, {similarity.PQ_SUB + 1}),
+                       i -> (CAST(e.embedding[ms.m * {similarity.PQ_SUB} + i] AS DOUBLE)
+                             - CAST(c.cemb[ms.m * {similarity.PQ_SUB} + i] AS DOUBLE)) ^ 2)),
+                         6) AS d2
+            FROM embeddings e CROSS JOIN c CROSS JOIN ms),
+    ranked AS (SELECT vec_id, m, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2 ASC, cid ASC) AS rn
+               FROM sub)
+    SELECT vec_id, CAST(m AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
+    FROM ranked WHERE rn = 1
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (8 subspaces × 16 centroids —
+    similarity.pq_codes): the 64× vector-compression leg of the
+    storage tier."""
+    return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "semi_customers_with_orders",
     """
     SELECT c_custkey, c_name FROM customer
