@@ -378,17 +378,11 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     fully JVM-side.  Output is (vec_id, subspace, code) rows via
     posexplode, one scan, no shuffle.
     """
-    rows = (
-        embeddings.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    full = [[float(x) for x in r[0]] for r in rows]
+    cbn = _pq_codebook(embeddings)
     emb = _to_double(F.col("embedding"))
     codes = []
     for m in range(PQ_M):
-        cents_m = F.lit([v[m * PQ_SUB : (m + 1) * PQ_SUB] for v in full])
+        cents_m = F.lit(cbn[m])
         subv = F.slice(emb, m * PQ_SUB + 1, PQ_SUB)
         scored = F.transform(
             cents_m,
@@ -400,6 +394,76 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     return widen_for_compute(embeddings).select(
         "vec_id", F.posexplode(F.array(*codes)).alias("subspace", "code")
     )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC).
+
+    The query side never quantizes: per query, a distance table
+    ``dt[m][j] = ||q_sub_m - centroid[m][j]||²`` (PQ_M × PQ_K entries,
+    built as JVM expressions over the codebook literal); a corpus
+    vector's approximate distance is then ``Σ_m dt[m][code_m]`` —
+    table lookups against 4-byte codes, never the full vectors.  At
+    100 TB that is the point of PQ: the scan touches codes (64× small)
+    and the per-query table is KBs broadcast to every executor.
+
+    Plan shape: codes (one row per vec × subspace, from
+    :func:`pq_codes`) ⋈ broadcast dt on (subspace, code) → partial-agg
+    sum per (query, vec) → per-query top-k window.  Per-entry
+    distances round to 6 digits and the 8-entry sum to 4 (both
+    engines), so group-sum order can't flip the cross-engine hash.
+    """
+    cb = F.lit(_pq_codebook(embeddings))  # [M][K][SUB] doubles
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("q")
+    )
+    entries = F.flatten(
+        F.transform(
+            cb,
+            lambda subcents, m: F.transform(
+                subcents,
+                lambda cvec, j: F.struct(
+                    m.alias("subspace"),
+                    j.alias("code"),
+                    F.round(_l2sq(F.slice(F.col("q"), m * PQ_SUB + 1, PQ_SUB), cvec), 6)
+                    .alias("d"),
+                ),
+            ),
+        )
+    )
+    dt = queries.select("query_id", F.explode(entries).alias("e")).select(
+        "query_id", "e.subspace", "e.code", "e.d"
+    )
+    codes = pq_codes(embeddings)
+    scored = (
+        codes.join(F.broadcast(dt), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 4).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def _pq_codebook(embeddings: DataFrame) -> list[list[list[float]]]:
+    """[M][K][SUB] nested codebook: subspace m's centroids are the
+    m-th slices of the first PQ_K corpus vectors (see pq_codes)."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    full = [[float(x) for x in r[0]] for r in rows]
+    return [
+        [v[m * PQ_SUB : (m + 1) * PQ_SUB] for v in full] for m in range(PQ_M)
+    ]
 
 
 def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:

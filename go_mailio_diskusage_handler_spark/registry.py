@@ -1242,6 +1242,51 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
 
 
+_PQ_SUBDIST = (
+    f"ROUND(list_sum(list_transform(range(1, {similarity.PQ_SUB + 1}), "
+    f"i -> (CAST({{a}}[{{m}} * {similarity.PQ_SUB} + i] AS DOUBLE) "
+    f"- CAST({{b}}[{{m}} * {similarity.PQ_SUB} + i] AS DOUBLE)) ^ 2)), 6)"
+)
+
+
+@register(
+    "sim_pq_ann_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+               FROM embeddings WHERE vec_id < {similarity.PQ_K}),
+    ms AS (SELECT unnest(range({similarity.PQ_M})) AS m),
+    sub AS (SELECT e.vec_id, ms.m, c.cid,
+                   {_PQ_SUBDIST.format(a='e.embedding', b='c.cemb', m='ms.m')} AS d2
+            FROM embeddings e CROSS JOIN c CROSS JOIN ms),
+    codes AS (SELECT vec_id, m, cid AS code FROM (
+                  SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+                  FROM sub) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb
+          FROM embeddings WHERE vec_id < 8),
+    dt AS (SELECT q.query_id, ms.m, c.cid,
+                  {_PQ_SUBDIST.format(a='q.qemb', b='c.cemb', m='ms.m')} AS d
+           FROM q CROSS JOIN c CROSS JOIN ms),
+    approx AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+                      ROUND(SUM(dt.d), 4) AS approx_dist
+               FROM codes JOIN dt ON dt.m = codes.m AND dt.cid = codes.code
+               WHERE codes.vec_id != dt.query_id
+               GROUP BY dt.query_id, codes.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, approx_dist, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+               FROM approx)
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN by asymmetric distance: per-query distance tables over
+    the codebook, lookups against 4-byte codes
+    (similarity.pq_ann_topk)."""
+    return similarity.pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "semi_customers_with_orders",
     """
