@@ -200,10 +200,15 @@ class StreamingDiskUsageRefresher:
         *,
         schema: str = "key string, size double",
         max_files_per_trigger: int | None = None,
+        snapshot_dir: str | None = None,
     ) -> None:
         self._spark = spark
         self._lock = threading.Lock()
         self._map: dict[str, DiskUsage] = {}
+        self._snapshot_dir = snapshot_dir
+        self._last_batch_id = -1
+        if snapshot_dir is not None:
+            self._load_snapshot()
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -214,7 +219,55 @@ class StreamingDiskUsageRefresher:
             .start()
         )
 
+    def _load_snapshot(self) -> None:
+        """Rehydrate totals persisted by a previous service instance.
+
+        Restart contract (with ``snapshot_dir``): the snapshot is
+        written INSIDE foreachBatch — i.e. before the streaming
+        checkpoint commits the batch — and carries the batch id that
+        produced it.  Crash windows resolve exactly-once either way:
+        crash before the snapshot write replays the batch into the old
+        totals; crash after the write but before the checkpoint commit
+        replays a batch the snapshot already folded in, which
+        ``_merge_batch`` skips via the persisted batch id.
+        """
+        try:
+            rows = self._spark.read.parquet(self._snapshot_dir).collect()
+        except Exception:  # first start: no snapshot yet
+            return
+        self._map = {
+            r["address"]: DiskUsage(
+                r["address"], r["size_bytes"], r["number_files"]
+            )
+            for r in rows
+        }
+        if rows:
+            self._last_batch_id = rows[0]["last_batch_id"]
+
+    def _persist_snapshot(
+        self, merged: dict[str, DiskUsage], batch_id: int
+    ) -> None:
+        rows = [
+            (d.address, d.size_bytes, d.number_files, batch_id)
+            for d in merged.values()
+        ]
+        (
+            self._spark.createDataFrame(
+                rows,
+                "address string, size_bytes double, "
+                "number_files bigint, last_batch_id bigint",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self._snapshot_dir)
+        )
+
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id:
+            # Replay of a batch the persisted snapshot already folded
+            # in (restart landed between snapshot write and checkpoint
+            # commit) — merging again would double-count.
+            return
         delta = disk_usage(batch_df, round_to=None)
         merged: dict[str, DiskUsage] = dict(self._map)
         for r in delta.toLocalIterator():
@@ -229,8 +282,11 @@ class StreamingDiskUsageRefresher:
                     prev.size_bytes + r["size_bytes"],
                     prev.number_files + r["number_files"],
                 )
+        if self._snapshot_dir is not None:
+            self._persist_snapshot(merged, batch_id)
         with self._lock:
             self._map = merged  # atomic swap (handler.go:252 analog)
+            self._last_batch_id = batch_id
 
     def process_all_available(self) -> None:
         """Block until every file currently in the directory has been

@@ -193,3 +193,46 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir):
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows
     assert len(got_rows) > 0
+
+
+def test_streaming_refresher_survives_restart(spark, tmp_path):
+    """Durable-snapshot restart: a NEW service instance on the same
+    checkpoint + snapshot must resume totals exactly — files consumed
+    before the restart count once, files added after count once."""
+    from go_mailio_diskusage_handler_spark.streaming.refresh import (
+        StreamingDiskUsageRefresher,
+    )
+
+    inv_dir = tmp_path / "inv"
+    inv_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    snap = str(tmp_path / "snap")
+    schema = "key string, size double"
+    spark.createDataFrame(
+        [("alice/a", 10.0), ("bob/a", 7.0)], schema
+    ).coalesce(1).write.parquet(str(inv_dir / "f1.parquet"))
+
+    svc = StreamingDiskUsageRefresher(
+        spark, str(inv_dir) + "/*", ckpt, snapshot_dir=snap
+    )
+    try:
+        svc.process_all_available()
+        assert svc.get_disk_usage("alice").size_bytes == 10.0
+    finally:
+        svc.stop()
+
+    # new instance, same checkpoint + snapshot; new file arrives after
+    spark.createDataFrame(
+        [("alice/b", 2.5), ("carol/a", 1.0)], schema
+    ).coalesce(1).write.parquet(str(inv_dir / "f2.parquet"))
+    svc2 = StreamingDiskUsageRefresher(
+        spark, str(inv_dir) + "/*", ckpt, snapshot_dir=snap
+    )
+    try:
+        svc2.process_all_available()
+        alice = svc2.get_disk_usage("alice")
+        assert (alice.size_bytes, alice.number_files) == (12.5, 2)
+        assert svc2.get_disk_usage("bob").size_bytes == 7.0
+        assert svc2.get_disk_usage("carol").number_files == 1
+    finally:
+        svc2.stop()
