@@ -26,7 +26,29 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Bit-interleaved Z-order key over two non-negative int columns.
+
+    Sorting by one column makes row-group min/max stats selective for
+    that column only; interleaving the bits of two columns gives a
+    space-filling-curve order where files stay locally bounded in BOTH
+    dimensions, so scans filtering on either column prune row groups.
+    This is the 2-key core of what lakehouse engines call Z-ordering /
+    multi-dimensional clustering.
+
+    Values must fit ``bits`` bits (map unbounded domains to a rank or
+    hash bucket first); the interleave is 2·bits bitwise ops, all
+    whole-stage-codegen JVM expressions.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        bbit = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z.bitwiseOR(abit.cast("bigint")).bitwiseOR(bbit.cast("bigint"))
+    return z
 
 
 def write_compacted(
@@ -36,10 +58,24 @@ def write_compacted(
     cluster_by: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> None:
-    """Write ``df`` as Parquet with AQE-sized, optionally clustered files."""
+    """Write ``df`` as Parquet with AQE-sized, optionally clustered files.
+
+    ``zorder_by=(col_a, col_b)`` clusters on the interleaved
+    :func:`zorder_key` instead of a single-column sort — row-group
+    stats stay selective for filters on either column.
+    """
     out = df
-    if cluster_by:
+    if zorder_by is not None:
+        zk = zorder_key(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        out = (
+            df.withColumn("_zorder", zk)
+            .hint("rebalance", "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+    elif cluster_by:
         out = out.hint("rebalance", *cluster_by).sortWithinPartitions(*cluster_by)
     else:
         out = out.hint("rebalance")

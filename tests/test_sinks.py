@@ -181,3 +181,67 @@ def test_training_shards_end_to_end(spark, tmp_path):
     assert back.count() == written.count() > 0
     pruned = back.filter(F.col("split") == "train")
     assert "PartitionFilters" in plans.formatted(pruned)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Bit-interleave correctness against a pure-Python reference."""
+    from go_mailio_diskusage_handler_spark.sources.compaction import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 77), (65535, 65535)]
+    df = spark.createDataFrame(vals, "a bigint, b bigint")
+    got = df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files must be min/max-selective on BOTH cluster
+    columns: for a point filter on either column, fewer files can
+    contain the value than under a single-column sort by the OTHER
+    column (where that filter prunes nothing)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from go_mailio_diskusage_handler_spark.sources.compaction import write_compacted
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def files_possibly_containing(path, col, value):
+        hits, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_idx = md.schema.names.index(col)
+            match = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(schema_idx).statistics
+                if st is None or (st.min <= value <= st.max):
+                    match = True
+            total += 1
+            hits += int(match)
+        assert total >= 4, f"need multiple files to measure pruning, got {total}"
+        return hits, total
+
+    target = str(tmp_path / "zorder")
+    # force several files so there is something to prune
+    write_compacted(
+        li, target, zorder_by=("l_partkey", "l_suppkey"), max_records_per_file=1500
+    )
+    baseline = str(tmp_path / "suppsort")
+    write_compacted(li, baseline, cluster_by=["l_suppkey"], max_records_per_file=1500)
+
+    probe_part = li.select("l_partkey").first()[0]
+    z_hits, z_total = files_possibly_containing(target, "l_partkey", probe_part)
+    b_hits, b_total = files_possibly_containing(baseline, "l_partkey", probe_part)
+    # suppkey-sorted layout cannot prune a partkey filter at all
+    assert b_hits == b_total
+    assert z_hits < z_total, (z_hits, z_total)
