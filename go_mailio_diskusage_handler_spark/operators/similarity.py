@@ -415,6 +415,27 @@ def pq_ann_topk(
     distances round to 6 digits and the 8-entry sum to 4 (both
     engines), so group-sum order can't flip the cross-engine hash.
     """
+    dt = _adc_tables(embeddings, n_queries)
+    codes = pq_codes(embeddings)
+    scored = (
+        codes.join(F.broadcast(dt), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 4).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def _adc_tables(embeddings: DataFrame, n_queries: int) -> DataFrame:
+    """Per-query ADC distance tables: (query_id, subspace, code, d)
+    rows, ``d = ||q_sub - centroid||²`` rounded to 6 — PQ_M × PQ_K
+    entries per query, built as JVM expressions over the codebook
+    literal and broadcast to the scoring join."""
     cb = F.lit(_pq_codebook(embeddings))  # [M][K][SUB] doubles
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("q")
@@ -433,13 +454,50 @@ def pq_ann_topk(
             ),
         )
     )
-    dt = queries.select("query_id", F.explode(entries).alias("e")).select(
+    return queries.select("query_id", F.explode(entries).alias("e")).select(
         "query_id", "e.subspace", "e.code", "e.d"
     )
-    codes = pq_codes(embeddings)
-    scored = (
-        codes.join(F.broadcast(dt), ["subspace", "code"])
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """IVF probe pruning × PQ ADC scoring — the production ANN stack.
+
+    The coarse quantizer bounds WHICH vectors get scored (only the
+    N_PROBE probed lists' members, ~n_probe/n_lists of the corpus);
+    PQ bounds HOW each candidate is scored (distance-table lookups on
+    4-byte codes).  At 100 TB the scoring join touches list ids and
+    codes only — full vectors never leave storage (a deployment would
+    add an exact re-rank of the top-k·c candidates; here ADC distance
+    is the final order so the oracle stays closed-form).
+    """
+    from pyspark import StorageLevel
+
+    cents = _codebook_lit(embeddings)
+    nrm = l2_norm(F.col("embedding"))
+    scored_corpus = (
+        widen_for_compute(embeddings)
+        .select(
+            "vec_id",
+            nrm.alias("nrm"),
+            _best_lists(F.col("embedding"), nrm, cents, N_PROBE).alias("lists"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    assign = scored_corpus.select("vec_id", F.col("lists")[0].alias("list_id"))
+    probes = scored_corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.explode("lists").alias("list_id")
+    )
+    cand = (
+        pq_codes(embeddings)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(_adc_tables(embeddings, n_queries)),
+                  ["query_id", "subspace", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("d"), 4).alias("approx_dist"))
     )

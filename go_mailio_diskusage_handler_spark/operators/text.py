@@ -10,7 +10,7 @@ All formulas are mirrored 1:1 by DuckDB oracle SQL in the registry.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword
 # heuristic.  Deliberately small and deterministic — the point is the
@@ -42,6 +42,40 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.length("text").alias("n_chars_actual"),
+    )
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-LM quality score: mean unigram log-probability per doc.
+
+    The classic statistical quality filter for training corpora
+    (gibberish and boilerplate sit in the tails of mean log p).  Two
+    aggregations: corpus term frequencies (shuffle on token), then
+    per-doc mean of ``ln(tf / total)`` via a token→frequency join
+    (shuffle on token again — co-partitioned with the first, so AQE
+    reuses the layout) and a doc-keyed aggregation.
+
+    The corpus-total term count comes from an unpartitioned window
+    over the FREQUENCY table — bounded by vocabulary size, not corpus
+    size, so the single-partition window that is banned on fact tables
+    is fine here (same driver-sized-aggregate argument as the serving
+    map).  Scores round to 4 digits: group-sum order varies between
+    engines at the last ulp.
+    """
+    toks = documents.select("doc_id", F.explode(tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = freq.withColumn(
+        "total", F.sum("tf").over(Window.partitionBy(F.lit(1)))
+    )
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") / F.col("total"))), 4).alias(
+                "avg_logp"
+            ),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
     )
 
 

@@ -384,6 +384,26 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM freq)
+    SELECT doc_id,
+           ROUND(AVG(ln(tf / total)), 4) AS avg_logp,
+           COUNT(*) AS n_tok
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM mean unigram log-prob quality score
+    (text.unigram_logprob_scores)."""
+    return text.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
 def _lang_scores_sql() -> str:
     cols = []
     for lang, words in text.LANG_PROFILES.items():
@@ -1285,6 +1305,51 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebook, lookups against 4-byte codes
     (similarity.pq_ann_topk)."""
     return similarity.pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ivfpq_ann_topk",
+    f"""
+    WITH {_IVF_ASSIGN_CTES},
+    probes AS (SELECT vec_id AS query_id, CAST(cid AS INTEGER) AS list_id
+               FROM cranked
+               WHERE vec_id < 8 AND rn <= {similarity.N_PROBE}),
+    pc AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings WHERE vec_id < {similarity.PQ_K}),
+    ms AS (SELECT unnest(range({similarity.PQ_M})) AS m),
+    psub AS (SELECT e.vec_id, ms.m, pc.cid,
+                    {_PQ_SUBDIST.format(a='e.embedding', b='pc.cemb', m='ms.m')} AS d2
+             FROM embeddings e CROSS JOIN pc CROSS JOIN ms),
+    codes AS (SELECT vec_id, m, cid AS code FROM (
+                  SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+                  FROM psub) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb
+          FROM embeddings WHERE vec_id < 8),
+    dt AS (SELECT q.query_id, ms.m, pc.cid,
+                  {_PQ_SUBDIST.format(a='q.qemb', b='pc.cemb', m='ms.m')} AS d
+           FROM q CROSS JOIN pc CROSS JOIN ms),
+    cand AS (SELECT p.query_id, a.vec_id
+             FROM probes p JOIN assign a
+               ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+    approx AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+                      ROUND(SUM(dt.d), 4) AS approx_dist
+               FROM cand
+               JOIN codes ON codes.vec_id = cand.vec_id
+               JOIN dt ON dt.query_id = cand.query_id
+                      AND dt.m = codes.m AND dt.cid = codes.code
+               GROUP BY dt.query_id, codes.vec_id),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM approx)
+    SELECT query_id, neighbor_id, approx_dist, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe pruning × PQ ADC scoring — the production ANN stack
+    (similarity.ivfpq_ann_topk)."""
+    return similarity.ivfpq_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

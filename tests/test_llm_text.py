@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "text_quality_scores",
     "text_language_id",
     "text_fingerprints",
+    "text_unigram_logprob",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",

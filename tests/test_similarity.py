@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
+    "sim_ivfpq_ann_topk",
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_lsh_ann_topk",
