@@ -1707,6 +1707,12 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.shipping_priority(spark, sf_dir)
 
 
+@register("sql_local_supplier_volume", sql_surface.LOCAL_SUPPLIER_VOLUME_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape via spark.sql (sql.local_supplier_volume)."""
+    return sql_surface.local_supplier_volume(spark, sf_dir)
+
+
 @register("sql_correlated_above_avg", sql_surface.CORRELATED_ABOVE_AVG_SQL)
 def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated by Catalyst into

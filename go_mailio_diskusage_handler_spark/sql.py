@@ -74,6 +74,34 @@ SHIPPING_PRIORITY_SQL = """
 """
 
 
+LOCAL_SUPPLIER_VOLUME_SQL = """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate <  DATE '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star with the customer-nation =
+    supplier-nation correlation predicate.  The fact (lineitem)
+    streams through broadcast joins against every dim; the nation
+    equality is just another join predicate Catalyst evaluates inside
+    the supplier hash join — no extra shuffle for the correlation."""
+    register_views(spark, sf_dir)
+    return spark.sql(LOCAL_SUPPLIER_VOLUME_SQL)
+
+
 GROUPING_SETS_SQL = """
     SELECT o_orderstatus,
            o_orderpriority,

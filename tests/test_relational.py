@@ -101,7 +101,12 @@ def test_sql_surface_oracle_parity(spark, ddb):
     SAME SQL string (one query text, two engines)."""
     from go_mailio_diskusage_handler_spark import registry
 
-    for name in ("sql_pricing_summary", "sql_shipping_priority", "sql_grouping_sets"):
+    for name in (
+        "sql_pricing_summary",
+        "sql_shipping_priority",
+        "sql_grouping_sets",
+        "sql_local_supplier_volume",
+    ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
 
