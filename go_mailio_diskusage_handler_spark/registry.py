@@ -818,8 +818,11 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH withb AS (SELECT vec_id, embedding, {_ddb_bucket('embedding')} AS bucket
                    FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-          FROM withb WHERE vec_id < 8),
+    ps AS (SELECT unnest(range({similarity.N_PLANES + 1})) AS p),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                 CASE WHEN p = 0 THEN bucket
+                      ELSE xor(bucket, CAST(1 << (p - 1) AS INTEGER)) END AS q_bucket
+          FROM withb CROSS JOIN ps WHERE vec_id < 8),
     scored AS (
         SELECT query_id, e.vec_id AS neighbor_id,
                ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim

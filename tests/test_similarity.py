@@ -87,3 +87,34 @@ def test_buckets_are_balancedish(spark):
     counts = [r[1] for r in similarity.lsh_buckets(emb).groupBy("bucket").count().collect()]
     n = sum(counts)
     assert max(counts) < n * 0.2, f"degenerate bucket: {max(counts)}/{n}"
+
+
+def test_ann_recall_floors(spark):
+    """Recall@5 vs exact brute force for every ANN family — the
+    quality half of the speed/quality trade.  Floors sit below the
+    measured values on the (deterministic) fixtures so a broken index
+    or probe path fails loudly, while parameter tuning has headroom.
+    Note the expected ordering on RANDOM vectors: IVF (exact rerank
+    within probed lists) ≫ multi-probe LSH > ADC paths (PQ
+    quantization error dominates when vectors have no structure)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    truth: dict[int, set[int]] = {}
+    for r in similarity.brute_force_topk(emb, 8, 5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(hits):
+        got: dict[int, set[int]] = {}
+        for r in hits:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        denom = sum(len(v) for v in truth.values())
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / denom
+
+    floors = {
+        "ivf": (similarity.ivf_ann_topk, 0.85),
+        "lsh": (similarity.lsh_ann_topk, 0.20),
+        "ivfpq": (similarity.ivfpq_ann_topk, 0.20),
+        "pq": (similarity.pq_ann_topk, 0.10),
+    }
+    for name, (fn, floor) in floors.items():
+        r = recall(fn(emb, 8, 5).collect())
+        assert r >= floor, f"{name} recall@5 collapsed: {r} < {floor}"
