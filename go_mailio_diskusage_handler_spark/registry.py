@@ -1710,6 +1710,12 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.shipping_priority(spark, sf_dir)
 
 
+@register("sql_large_orders", sql_surface.LARGE_ORDERS_SQL)
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING (sql.large_orders)."""
+    return sql_surface.large_orders(spark, sf_dir)
+
+
 @register("sql_local_supplier_volume", sql_surface.LOCAL_SUPPLIER_VOLUME_SQL)
 def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape via spark.sql (sql.local_supplier_volume)."""

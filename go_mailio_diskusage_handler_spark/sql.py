@@ -102,6 +102,28 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LOCAL_SUPPLIER_VOLUME_SQL)
 
 
+LARGE_ORDERS_SQL = """
+    SELECT c_custkey,
+           o_orderkey,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+"""
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING over the grouped measure.
+    Catalyst plans HAVING as a filter above the final aggregation, so
+    the predicate runs on the (already reduced) group rows — no extra
+    scan or shuffle beyond the GROUP BY's own exchange."""
+    register_views(spark, sf_dir)
+    return spark.sql(LARGE_ORDERS_SQL)
+
+
 GROUPING_SETS_SQL = """
     SELECT o_orderstatus,
            o_orderpriority,
