@@ -245,3 +245,23 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
     # suppkey-sorted layout cannot prune a partkey filter at all
     assert b_hits == b_total
     assert z_hits < z_total, (z_hits, z_total)
+
+
+def test_analyze_table_stats_feed_cbo(spark):
+    """ANALYZE TABLE statistics must land in the catalog — row counts
+    and per-column NDVs are what the cost-based optimizer uses for
+    join reordering and build-side choice at scale."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.mode("overwrite").saveAsTable("stats_orders")
+    try:
+        spark.sql("ANALYZE TABLE stats_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+        tdesc = spark.sql("DESCRIBE EXTENDED stats_orders").collect()
+        stats = [r for r in tdesc if r["col_name"] == "Statistics"]
+        assert stats and "rows" in stats[0]["data_type"], tdesc
+        cdesc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql("DESCRIBE EXTENDED stats_orders o_custkey").collect()
+        }
+        assert cdesc.get("distinct_count") not in (None, "NULL"), cdesc
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_orders")
