@@ -404,6 +404,38 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _ddb_trigram_score(lang: str) -> str:
+    return " + ".join(
+        f"CAST((length(text) - length(replace(text, '{tg}', ''))) / {len(tg)} AS BIGINT)"
+        for tg in text.CHAR_TRIGRAM_PROFILES[lang]
+    )
+
+
+@register(
+    "text_language_ngram",
+    f"""
+    WITH s AS (SELECT doc_id, lang,
+                      {_ddb_trigram_score('en')} AS score_en,
+                      {_ddb_trigram_score('es')} AS score_es,
+                      {_ddb_trigram_score('fr')} AS score_fr,
+                      {_ddb_trigram_score('de')} AS score_de
+               FROM documents),
+    b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM s)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN score_en = best THEN 'en'
+                WHEN score_es = best THEN 'es'
+                WHEN score_fr = best THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           best AS best_score
+    FROM b
+    """,
+)
+def text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (text.language_id_ngram) — the n-gram
+    twin of the stopword-profile text_language_id."""
+    return text.language_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
 def _lang_scores_sql() -> str:
     cols = []
     for lang, words in text.LANG_PROFILES.items():

@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "text_language_id",
     "text_fingerprints",
     "text_unigram_logprob",
+    "text_language_ngram",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
