@@ -185,6 +185,45 @@ def resize_images(documents: DataFrame, max_side: int = 128) -> DataFrame:
     return imgs.mapInPandas(resize_batches, RESIZE_SCHEMA)
 
 
+def audio_chunks(
+    documents: DataFrame, chunk_ms: int = 250, sample_rate: int = 16_000
+) -> DataFrame:
+    """Fixed-duration chunk boundaries for audio rows — the audio twin
+    of :func:`frame_sample`.
+
+    Payload bytes are treated as 16-bit mono PCM at ``sample_rate``
+    (n_samples = n_bytes/2); each row explodes into its chunk windows
+    with start offset and actual length (the last chunk is short).
+    Pure JVM ``sequence``+``explode`` — chunking is metadata
+    arithmetic, so the decode stub never runs; a real pipeline feeds
+    these (doc_id, start, length) windows to the codec kernel so each
+    Arrow batch decodes bounded audio, not whole files.
+    """
+    spc = sample_rate * chunk_ms // 1000  # samples per chunk
+    m = media_table(documents).filter(F.col("media_type") == "audio")
+    n_samples = F.floor(F.octet_length("payload") / 2).cast("bigint")
+    withn = m.select("doc_id", n_samples.alias("n_samples")).filter(
+        F.col("n_samples") > 0
+    )
+    n_chunks = F.ceil(F.col("n_samples") / spc).cast("bigint")
+    chunks = withn.select(
+        "doc_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * spc
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_sample"),
+        F.least(F.lit(spc).cast("bigint"), F.col("n_samples") - start).alias(
+            "chunk_samples"
+        ),
+    )
+
+
 def frame_sample(documents: DataFrame, every: int = 8) -> DataFrame:
     """Frame sampling for video rows: explode every-k-th frame index
     from the decoded frame count — built-in ``sequence``+``explode``

@@ -1662,6 +1662,30 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_chunks",
+    """
+    WITH a AS (SELECT doc_id,
+                      CAST(floor(octet_length(encode(text)) / 2) AS BIGINT)
+                          AS n_samples
+               FROM documents WHERE doc_id % 3 = 1),
+    c AS (SELECT doc_id, n_samples,
+                 unnest(range(CAST(ceil(n_samples / 80.0) AS BIGINT))) AS chunk_idx
+          FROM a WHERE n_samples > 0)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 80 AS start_sample,
+           least(80, n_samples - chunk_idx * 80) AS chunk_samples
+    FROM c
+    """,
+)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-duration audio chunk windows (multimodal.audio_chunks;
+    5 ms at 16 kHz = 80-sample chunks so fixtures span several)."""
+    return multimodal.audio_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_ms=5
+    )
+
+
+@register(
     "events_asof_join",
     """
     WITH e AS (SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us

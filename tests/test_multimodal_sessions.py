@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "media_decode_features",
     "media_frame_sample",
     "media_resize",
+    "media_audio_chunks",
     "events_sessionize",
     "events_sliding_window",
 ]
