@@ -1766,6 +1766,13 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.shipping_priority(spark, sf_dir)
 
 
+@register("sql_order_priority", sql_surface.ORDER_PRIORITY_SQL)
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join
+    (sql.order_priority_counts)."""
+    return sql_surface.order_priority_counts(spark, sf_dir)
+
+
 @register("sql_large_orders", sql_surface.LARGE_ORDERS_SQL)
 def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: GROUP BY + HAVING (sql.large_orders)."""

@@ -102,6 +102,27 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LOCAL_SUPPLIER_VOLUME_SQL)
 
 
+ORDER_PRIORITY_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate <  DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS.  Catalyst rewrites the
+    subquery to a LEFT SEMI join on l_orderkey — one pass over each
+    table, no per-row subquery probes."""
+    register_views(spark, sf_dir)
+    return spark.sql(ORDER_PRIORITY_SQL)
+
+
 LARGE_ORDERS_SQL = """
     SELECT c_custkey,
            o_orderkey,

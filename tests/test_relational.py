@@ -107,6 +107,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_grouping_sets",
         "sql_local_supplier_volume",
         "sql_large_orders",
+        "sql_order_priority",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
