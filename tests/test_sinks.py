@@ -265,3 +265,26 @@ def test_analyze_table_stats_feed_cbo(spark):
         assert cdesc.get("distinct_count") not in (None, "NULL"), cdesc
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a partitioned fact to a filtered file-backed dim must
+    inject a dynamic-pruning subquery on the fact's partition column —
+    at scale this is what turns 'scan all partitions then join' into
+    'scan only the partitions the dim survivors name'."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    fact_path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(fact_path)
+    dim_path = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")], "status string, label string"
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "keep")
+    joined = fact.join(dim, fact["o_orderstatus"] == dim["status"]).groupBy(
+        "label"
+    ).count()
+    assert "dynamicpruning" in plans.formatted(joined).lower()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert joined.collect()[0]["count"] == want
