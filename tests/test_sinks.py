@@ -288,3 +288,36 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plans.formatted(joined).lower()
     want = orders.filter(F.col("o_orderstatus") == "F").count()
     assert joined.collect()[0]["count"] == want
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering: a selective dim side must inject a
+    bloom filter on the fact scan of a shuffle join — the non-partition
+    analog of DPP (fact rows that can't match are dropped before the
+    exchange).  Local data is below the size thresholds, so they are
+    lowered for the assertion; on a 100 TB fact the defaults fire."""
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "bloom" in plans.formatted(j).lower()
+        assert j.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
