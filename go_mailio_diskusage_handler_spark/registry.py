@@ -875,10 +875,17 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     f"""
     WITH withb AS (SELECT vec_id, embedding, {_ddb_bucket('embedding')} AS bucket
-                   FROM embeddings)
+                   FROM embeddings),
+    ps AS (SELECT unnest(range({similarity.N_PLANES + 1})) AS p),
+    probed AS (SELECT vec_id, embedding,
+                      CASE WHEN p = 0 THEN bucket
+                           ELSE xor(bucket, CAST(1 << (p - 1) AS INTEGER)) END
+                          AS probe_bucket
+               FROM withb CROSS JOIN ps)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM probed a JOIN withb b
+      ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_ddb_cosine('a.embedding', 'b.embedding')} >= 0.4
     """,
 )

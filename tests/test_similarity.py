@@ -118,3 +118,27 @@ def test_ann_recall_floors(spark):
     for name, (fn, floor) in floors.items():
         r = recall(fn(emb, 8, 5).collect())
         assert r >= floor, f"{name} recall@5 collapsed: {r} < {floor}"
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_embedding_near_dup_recall_floor(spark):
+    """Multi-probe near-dup must recover a material fraction of the
+    TRUE cos ≥ 0.4 pairs (brute-force ground truth) — same-bucket-only
+    joins measured 3/59 on these fixtures; multi-probe 15/59."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    cos = similarity.dot(F.col("ea"), F.col("eb")) / (
+        similarity.l2_norm(F.col("ea")) * similarity.l2_norm(F.col("eb"))
+    )
+    n_true = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cos, 6) >= 0.4)
+        .count()
+    )
+    found = similarity.embedding_near_dup_pairs(emb, 0.4).count()
+    assert n_true > 0
+    assert found / n_true >= 0.2, (found, n_true)
