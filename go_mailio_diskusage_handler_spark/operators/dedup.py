@@ -23,6 +23,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
@@ -335,6 +337,111 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> tuple[DataFrame, int, bool]:
+    """Connected components over an undirected pair graph, labeling
+    every node with the smallest node id in its component.
+
+    Min-label propagation **with a pointer-doubling shortcut**: every
+    node starts labeled with itself; each round a node takes (a) the
+    min of its own and its neighbors' labels, then (b) jumps one hop
+    through the label table (``label ← label[label]``).  The hop is
+    what bounds rounds: plain propagation needs diameter rounds (a
+    10⁶-node chain would need 10⁶), while path-halving converges in
+    O(log diameter) — the same bound as the large-star/small-star
+    edge-rewrite algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), but with the edge set static and
+    checkpointed ONCE: star rounds shuffle O(E) rewritten edges every
+    iteration, whereas this loop shuffles O(E) join keys plus two
+    O(V) label tables, and near-dup graphs have E ≈ small·V.
+
+    Fixpoint detection: labels only ever decrease, so an unchanged
+    SUM(label) ⇔ no label changed — one cheap agg per round instead
+    of a set diff.  The 1-row ``collect`` per round is the loop
+    condition, not a data path.
+
+    ``localCheckpoint`` truncates lineage each round — without it the
+    plan doubles per iteration and Catalyst analysis time blows up
+    around round 8.  On a cluster, use a reliable HDFS checkpoint
+    instead (executor loss under localCheckpoint forces a rerun).
+
+    Iteration frames are re-sized to the measured edge count (the
+    checkpoint materializes edges anyway, so the count is free):
+    near-dup graphs are orders of magnitude smaller than the corpus,
+    and dragging the session's full partition count through every
+    round charged ~0.15 s/round of pure task overhead at sf0.1.
+
+    Returns ``(labels, rounds_used, converged)``; callers that hit
+    ``max_iterations`` without convergence get ``converged=False``
+    (and this function logs a warning — partially-converged labels
+    are silently WRONG cluster ids).
+    """
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    sc = pairs.sparkSession.sparkContext
+    loop_parts = max(
+        4, min(sc.defaultParallelism, edges.count() // 100_000)
+    )
+    edges = edges.coalesce(loop_parts)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .coalesce(loop_parts)
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    rounds = 0
+    converged = False
+    for _ in range(max_iterations):
+        rounds += 1
+        neighbor_min = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("nb_doc"))
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels["doc_id"] == F.col("nb_doc"), "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # Pointer-doubling: cluster_id values are themselves node ids,
+        # so one self-join follows the label a second hop per round.
+        hop = propagated.select(
+            F.col("doc_id").alias("h_id"), F.col("cluster_id").alias("h_cl")
+        )
+        labels = (
+            propagated.join(hop, propagated["cluster_id"] == hop["h_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("h_cl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .coalesce(loop_parts)
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iterations=%d without reaching a "
+            "fixpoint; returned cluster_ids may span unfinished merges",
+            max_iterations,
+        )
+    return labels, rounds, converged
+
+
 def duplicate_clusters(
     documents: DataFrame,
     threshold: float = 0.6,
@@ -348,27 +455,8 @@ def duplicate_clusters(
     generation in a training-data pipeline (keep ``doc_id ==
     cluster_id``, drop the rest).
 
-    Iterative min-label propagation, the idiomatic DataFrame form of
-    the classic CC algorithm: every node starts labeled with itself;
-    each round a node takes the min of its own and its neighbors'
-    labels; fixpoint when the label sum stops falling (labels only
-    ever decrease, so an unchanged SUM ⇔ no label changed — one agg
-    per round instead of a self-join diff).  Rounds needed = graph
-    diameter; near-dup components are tiny cliques (diameter ≤ 3
-    in the fixtures), and at 100 TB the large-star/small-star variant
-    bounds rounds at O(log n) with the same per-round plan.
-
-    ``localCheckpoint`` truncates the lineage each round — without it
-    the plan doubles per iteration and Catalyst analysis time blows
-    up around round 8.  On a cluster, use a reliable HDFS checkpoint
-    instead (executor loss under localCheckpoint forces a rerun).
-
-    Iteration frames are re-sized to the measured edge count (the
-    checkpoint materializes edges anyway, so the count is free):
-    near-dup graphs are orders of magnitude smaller than the corpus,
-    and dragging the session's full partition count through every
-    round charged ~0.15 s/round of pure task overhead at sf0.1.  The
-    same formula scales partitions back up with edge count at 100 TB.
+    Delegates to :func:`connected_components` (min-label propagation
+    with pointer-doubling, O(log diameter) rounds).
 
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
@@ -376,42 +464,5 @@ def duplicate_clusters(
     pairs = ngram_jaccard_pairs(documents, threshold, sh=sh).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    sc = documents.sparkSession.sparkContext
-    loop_parts = max(
-        4, min(sc.defaultParallelism, edges.count() // 100_000)
-    )
-    edges = edges.coalesce(loop_parts)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .coalesce(loop_parts)
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["doc_a"] == labels["doc_id"])
-            .groupBy(F.col("doc_b").alias("nb_doc"))
-            .agg(F.min("cluster_id").alias("nb_min"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels["doc_id"] == F.col("nb_doc"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .coalesce(loop_parts)
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels, _, _ = connected_components(pairs, max_iterations)
     return labels

@@ -570,10 +570,20 @@ def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
     projection, no shuffle.
     """
     absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
-    scale = (absmax.cast("double") / F.lit(127.0)).alias("scale")
+    # Zero-guard: an all-zero embedding has absmax 0, and dividing by a
+    # zero scale would send NaN/Infinity through floor→cast (null qvec
+    # entries).  Emit scale 0 and an all-zero qvec instead (dequantize
+    # q·scale still reproduces the zero vector exactly).
+    scale = (
+        F.when(absmax == 0, F.lit(0.0))
+        .otherwise(absmax.cast("double") / F.lit(127.0))
+        .alias("scale")
+    )
     qvec = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5)))
+        .cast("int"),
     )
     return widen_for_compute(embeddings).select(
         "vec_id",

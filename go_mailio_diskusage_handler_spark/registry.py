@@ -231,16 +231,33 @@ def distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame
     return relational.distinct_customers_per_status(load_table(spark, sf_dir, "orders"))
 
 
-# HLL sketch estimates are engine-specific → rows-only check (no oracle);
-# tests/test_relational.py bounds the relative error instead.
-@register("approx_distinct_customers")
+# Sketch estimates are engine-specific, so each query emits a
+# deterministic invariant (exact value + within-tolerance boolean) and
+# the oracle recomputes the exact side with a constant-true bound.
+@register(
+    "approx_distinct_customers",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_tol
+    FROM orders
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.approx_distinct_customers(load_table(spark, sf_dir, "orders"))
 
 
-@register("approx_order_percentiles")
+@register(
+    "approx_order_percentiles",
+    """
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders
+    """,
+)
 def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK quantile sketch, rows-only check (error bound tested)."""
+    """GK quantile sketch vs exact percentiles as a hashable invariant."""
     return relational.approx_order_percentiles(load_table(spark, sf_dir, "orders"))
 
 
@@ -301,7 +318,8 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, prop_key,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_value
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS sum_value
     FROM kv GROUP BY event_type, prop_key
     """,
 )
@@ -886,7 +904,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
     FROM probed a JOIN withb b
       ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_ddb_cosine('a.embedding', 'b.embedding')} >= 0.4
+    WHERE ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,13 +1269,15 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
     FROM (
         SELECT vec_id,
-               ROUND(list_max(list_transform(embedding, x -> abs(x))) / 127.0, 6)
-                   AS scale,
-               list_transform(embedding,
-                   x -> CAST(floor(x / (list_max(list_transform(embedding,
-                                                                y -> abs(y)))
-                                   / 127.0) + 0.5) AS INTEGER)) AS qvec
-        FROM embeddings) q
+               ROUND(CASE WHEN am = 0 THEN 0.0 ELSE am / 127.0 END, 6) AS scale,
+               CASE WHEN am = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                        x -> CAST(floor(x / (am / 127.0) + 0.5) AS INTEGER))
+               END AS qvec
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, y -> abs(y))) AS am
+              FROM embeddings) b) q
     """,
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:

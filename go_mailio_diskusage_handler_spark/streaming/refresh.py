@@ -44,6 +44,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.core import disk_usage
@@ -233,8 +234,16 @@ class StreamingDiskUsageRefresher:
         """
         try:
             rows = self._spark.read.parquet(self._snapshot_dir).collect()
-        except Exception:  # first start: no snapshot yet
-            return
+        except AnalysisException as exc:
+            # Only a MISSING snapshot path means "first start".  Any
+            # other failure (corrupt/partially-written/unreadable
+            # snapshot) must fail loudly: silently continuing with
+            # empty totals while the checkpoint suppresses replay
+            # would permanently undercount, breaking the documented
+            # exactly-once restart contract.
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return
+            raise
         self._map = {
             r["address"]: DiskUsage(
                 r["address"], r["size_bytes"], r["number_files"]

@@ -100,6 +100,21 @@ def test_curation_plan_shapes(spark):
     assert plans.has_broadcast_join(curation.contaminated_docs(docs, 200, 3))
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pointer-doubling bound: a 64-node chain (diameter 63) must
+    converge in O(log n) rounds — plain min-label propagation would
+    need ~63.  Also pins correctness: every node labels to node 0."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds, converged = dedup.connected_components(pairs, max_iterations=25)
+    assert converged
+    assert rounds <= 10, f"chain took {rounds} rounds; shortcut not effective"
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_duplicate_clusters_are_consistent_with_pairs(spark):
     """Cluster labels must be closed over the pair graph: both ends of
     every near-dup pair carry the same cluster_id, and each cluster's
