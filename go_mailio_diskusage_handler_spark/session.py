@@ -46,6 +46,11 @@ def build_session(app_name: str = "diskusage-spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # Pin the session clock: epoch extraction (unix_micros) and
+        # NTZ->TZ casts must be timezone-invariant so results match the
+        # DuckDB oracle (which treats naive parquet timestamps as-is)
+        # on any host, cluster or laptop.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
