@@ -37,30 +37,34 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
+    errors: dict[str, str] = {}
     for name, fn in registry.QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        # Queries that persist intermediates (near-dup, ANN) would
-        # otherwise accumulate executor storage across the run and
-        # pressure later queries; each query is timed self-contained,
-        # including its own materialization.
-        spark.catalog.clearCache()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # Queries that persist intermediates (near-dup, ANN) would
+            # otherwise accumulate executor storage across the run and
+            # pressure later queries; each query is timed self-contained,
+            # including its own materialization.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

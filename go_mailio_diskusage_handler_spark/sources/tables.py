@@ -42,10 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
+            # Parquet TIMESTAMP(NANOS): read as int64 nanos, exact div.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Fixture written tz-naive (timestamp[us] no tz).  The session
+            # timezone is pinned UTC (session.py), so NTZ -> LTZ is a
+            # deterministic relabel: wall-clock micros are preserved and
+            # match DuckDB's naive reading of the same file.  Downstream
+            # unix_micros()/window() call sites require TIMESTAMP (LTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

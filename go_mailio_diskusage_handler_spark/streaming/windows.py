@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # events.parquet schema with ts as int64 nanos (see sources.tables:
@@ -42,12 +43,61 @@ EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
+# Fixture variant: ts written as Parquet TIMESTAMP(MICROS) without tz
+# (Spark reads it as TIMESTAMP_NTZ).
+EVENTS_NTZ_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _ts_is_micros(events_dir: str) -> bool:
+    """Sniff one parquet footer under ``events_dir`` (which may contain
+    glob characters) to decide whether ``ts`` is TIMESTAMP(MICROS)
+    (→ NTZ schema + cast) or raw int64 nanos (→ long schema + div).
+
+    File-source streams need a fixed schema up front, but the fixture's
+    physical ts type has changed across driver revisions (NANOS →
+    tz-naive MICROS), so the reader adapts per-directory instead of
+    hard-coding one.  Footer-only read: no data pages touched.
+    """
+    base = events_dir.split("*")[0] or "."
+    for root, _dirs, fnames in os.walk(base):
+        for fn in sorted(fnames):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                try:
+                    import pyarrow.parquet as pq
+
+                    field = pq.read_schema(os.path.join(root, fn)).field("ts")
+                    return str(field.type).startswith("timestamp[us")
+                except Exception:
+                    return False
+    return False
+
 
 def read_event_stream(
     spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of events with the ns→µs timestamp fix."""
+    """File-source stream of events, normalized to ts TIMESTAMP (LTZ).
+
+    Handles both fixture encodings: int64-nanos columns get the exact
+    ns→µs integer division; TIMESTAMP(MICROS)-naive columns are read as
+    NTZ and relabeled LTZ (session tz is pinned UTC, so the relabel is
+    deterministic and preserves wall-clock micros).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _ts_is_micros(events_dir):
+        reader = spark.readStream.schema(EVENTS_NTZ_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.parquet(events_dir)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
