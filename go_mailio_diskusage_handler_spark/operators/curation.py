@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from go_mailio_diskusage_handler_spark.operators.dedup import shingles
+from go_mailio_diskusage_handler_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
+    cap_shingle_df,
+    shingles,
+)
 
 _HEX = "0123456789abcdef"
 
@@ -90,6 +94,7 @@ def contaminated_docs(
     min_overlap: int = 3,
     *,
     sh: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Training docs sharing ≥ ``min_overlap`` distinct shingles with
     the eval set (doc_id < ``eval_max_doc_id`` stands in for the
@@ -99,9 +104,16 @@ def contaminated_docs(
     shingle, count per (train, eval) pair, keep any train doc crossing
     the threshold against ANY eval doc.  The eval side is tiny —
     Spark broadcasts it; the train side is never self-joined.
+
+    ``max_doc_freq`` (off by default — overlap output is linear, not
+    quadratic) drops corpus-boilerplate shingles before the join: a
+    stopword trigram shared with an eval doc is evidence of nothing,
+    and at scale it is also the skew hot key of the shingle join.
     """
     if sh is None:
         sh = shingles(documents)
+    if max_doc_freq is not None:
+        sh = cap_shingle_df(sh, max_doc_freq)
     train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
     ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
@@ -207,9 +219,13 @@ def curated_corpus(
     from pyspark import StorageLevel
 
     # One shingle table feeds decontamination AND pair generation —
-    # persisted, the corpus is exploded/hashed once (7.4 s → ~5 s at
-    # sf0.1); at 100 TB this is a written intermediate, same shape.
-    sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    # df-capped ONCE (boilerplate shingles are noise for both consumers
+    # and the scale hot key for either join), then persisted so the
+    # corpus is exploded/hashed once (7.4 s → ~5 s at sf0.1); at 100 TB
+    # this is a written intermediate, same shape.
+    sh = cap_shingle_df(shingles(documents), MAX_SHINGLE_DF).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     quality_ok = (
         text.quality_scores(documents)
         .filter(
@@ -222,7 +238,9 @@ def curated_corpus(
         documents, eval_max_doc_id, min_overlap, sh=sh
     ).select("doc_id")
     dup_losers = (
-        duplicate_clusters(documents, dup_threshold, sh=sh)
+        # sh is already df-capped above; max_doc_freq=None avoids a
+        # second (no-op) cap pass inside the pair generator.
+        duplicate_clusters(documents, dup_threshold, sh=sh, max_doc_freq=None)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )

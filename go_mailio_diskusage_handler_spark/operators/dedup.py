@@ -34,6 +34,17 @@ N_HASHES = 12
 BAND_ROWS = 3
 N_BANDS = N_HASHES // BAND_ROWS  # 4
 
+# Document-frequency cap for the inverted-index (shared-shingle) joins:
+# a shingle present in more than this many documents is treated as
+# boilerplate and excluded from candidate generation, intersection
+# counting, AND set sizes (consistent "Jaccard over informative
+# shingles" semantics).  Without it, one stopword trigram with df=d
+# makes a single join group emit O(d²) pairs — the one scale-killer in
+# this family at 100 TB.  The fixtures' synthetic vocabulary keeps
+# every df far below this default, so capped and uncapped results
+# coincide at test scale while the guard stays on the hot path.
+MAX_SHINGLE_DF = 1000
+
 
 def shingles(documents: DataFrame) -> DataFrame:
     """doc_id → exploded DISTINCT word-trigram shingles.
@@ -61,6 +72,26 @@ def shingles(documents: DataFrame) -> DataFrame:
         .filter(F.size(toks) >= SHINGLE_N)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+
+
+def cap_shingle_df(sh: DataFrame, max_doc_freq: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    ``sh`` holds one row per (doc_id, DISTINCT shingle), so a plain
+    COUNT per shingle IS the document frequency.  The heavy-hitter set
+    is broadcast for an anti-join: its cardinality is bounded by
+    total_shingle_instances / max_doc_freq and in practice is a handful
+    of boilerplate phrases, so the corpus-side table never re-shuffles.
+    Map-side partial aggregation collapses the df count before its one
+    shuffle.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
@@ -175,13 +206,14 @@ def ngram_jaccard_pairs(
     *,
     persist: bool = True,
     sh: DataFrame | None = None,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥ 1 shingle.
 
-    The shared-shingle join bounds the pair set far under n²; at real
-    scale this is the 'exact verification' tier run after LSH, here
-    also exposed standalone (the fixtures' vocabulary keeps shingle
-    document-frequency low).  ``persist`` as in
+    The shared-shingle join bounds the pair set far under n² — as long
+    as no single shingle is corpus-frequent, which ``max_doc_freq``
+    enforces (:func:`cap_shingle_df`; ``None`` disables, callers that
+    pre-capped pass ``None``).  ``persist`` as in
     :func:`minhash_dedup_pairs` (three consumers here).  Callers that
     already hold a (persisted) shingle table pass it via ``sh`` so
     composite pipelines explode the corpus once.
@@ -192,6 +224,8 @@ def ngram_jaccard_pairs(
             from pyspark import StorageLevel
 
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_doc_freq is not None:
+        sh = cap_shingle_df(sh, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One shuffle-join + one aggregation: intersection sizes fall out of
     # the shared-shingle join directly (no distinct-pairs + re-join).
@@ -448,6 +482,7 @@ def duplicate_clusters(
     max_iterations: int = 25,
     *,
     sh: DataFrame | None = None,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Group near-duplicate documents into clusters: connected
     components over the exact-Jaccard pair graph, labeled by the
@@ -461,8 +496,8 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
     """
-    pairs = ngram_jaccard_pairs(documents, threshold, sh=sh).select(
-        "doc_a", "doc_b"
-    )
+    pairs = ngram_jaccard_pairs(
+        documents, threshold, sh=sh, max_doc_freq=max_doc_freq
+    ).select("doc_a", "doc_b")
     labels, _, _ = connected_components(pairs, max_iterations)
     return labels

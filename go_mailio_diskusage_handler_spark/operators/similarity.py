@@ -28,8 +28,25 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
 
-N_PLANES = 8  # 256 buckets
+N_PLANES = 8  # 256 buckets per table
+N_TABLES = 3  # independent hash tables OR-ed on the ANN path
 EMB_DIM = 64
+
+# Multi-probe bucket masks: the query's own bucket, every Hamming-1
+# flip, and every Hamming-2 flip.  A neighbor ≤ 2 planes away in SOME
+# table is reached; with T independent tables the per-pair miss rate
+# is (1 - p_h2)^T — measured recall@5 on the fixtures: 0.225 (round
+# 3: one table of correlated planes, Hamming-1) → 0.475 (two
+# independent tables, Hamming-2) → 0.65 (three tables).  37 masks ×
+# N_TABLES probes per query, all against a broadcast query list — the
+# corpus side is still touched once per table.
+from itertools import combinations as _combinations
+
+PROBE_MASKS = (
+    [0]
+    + [1 << p for p in range(N_PLANES)]
+    + [(1 << a) | (1 << b) for a, b in _combinations(range(N_PLANES), 2)]
+)
 
 
 def _to_double(arr: Column) -> Column:
@@ -100,20 +117,39 @@ def brute_force_topk(
 
 
 def hyperplane(p: int, dim: int = EMB_DIM) -> list[float]:
-    """Deterministic small-integer 'random' hyperplane p (public
-    formula; components in [-3, 3])."""
-    return [float((p * 31 + c * 17) % 7 - 3) for c in range(dim)]
+    """Deterministic small-integer 'random' hyperplane p: each
+    component is an md5-derived value in [-3, 3].
+
+    md5 (not a linear congruence) on purpose: the previous formula
+    ``(p*31 + c*17) % 7 - 3`` reduces to ``3(p+c) mod 7 - 3`` — it
+    depends only on ``(p+c) mod 7``, so it yields just SEVEN distinct
+    hyperplanes, all circular shifts of one another (plane 7 ≡ plane
+    0), and the correlated projections capped multi-probe recall@5 at
+    ≈0.22.  Hash-derived components are pairwise independent; the
+    planes are computed ONCE in Python and embedded as literals in
+    both the Spark plan and the DuckDB oracle, so determinism is free.
+    """
+    import hashlib
+
+    return [
+        float(int(hashlib.md5(f"{p}:{c}".encode()).hexdigest()[:8], 16) % 7 - 3)
+        for c in range(dim)
+    ]
 
 
-def bucket_id(emb: Column, dim: int = EMB_DIM) -> Column:
-    """Pack sign(dot(v, plane_p)) bits into an int bucket id.
+def bucket_id(emb: Column, dim: int = EMB_DIM, table: int = 0) -> Column:
+    """Pack sign(dot(v, plane_p)) bits into an int bucket id; hash
+    table ``t`` uses the independent plane block ``[t*N_PLANES,
+    (t+1)*N_PLANES)``.
 
     All N_PLANES hyperplanes ride in ONE nested-array literal scored
     by an indexed lambda (2^p contributions are exact in double up to
     2^52, far past any plausible plane count) — same
     literal-vs-unrolled-codegen tradeoff as the IVF codebook, measured
     2.2× at sf0.1 with bit-identical buckets."""
-    planes = F.lit([hyperplane(p, dim) for p in range(N_PLANES)])
+    planes = F.lit(
+        [hyperplane(table * N_PLANES + p, dim) for p in range(N_PLANES)]
+    )
     contrib = F.transform(
         planes,
         lambda pl, i: F.when(
@@ -131,38 +167,68 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
-    """ANN: candidates from the query's hyperplane bucket plus every
-    Hamming-1 neighbor bucket (multi-probe), exact cosine re-rank.
+    """ANN: N_TABLES independent hash tables, each probed at every
+    Hamming-≤2 neighbor of the query's bucket (PROBE_MASKS);
+    candidates are the UNION over tables, exact-cosine re-ranked.
 
-    A near neighbor falling on the other side of ONE hyperplane lands
-    in a bucket differing in exactly that bit — the single most likely
-    miss.  Probing the N_PLANES bit-flip buckets too recovers those
-    misses for a 9× candidate budget (measured on the fixtures:
-    recall@5 0.025 → 0.225 at 500 vectors / 256 buckets), the
-    standard multi-probe LSH trade.  Only the QUERY side fans out — the corpus
-    is still bucketed once, so at 100 TB this stays 'write bucketed
-    parquet once, touch ~(1+planes)·N/2^planes vectors per query'.
+    Two recall levers compose here.  Multi-probe: a near neighbor on
+    the other side of one or two hyperplanes lands ≤ 2 bits away, so
+    the mask set recovers those misses.  Multiple tables: a neighbor
+    ≥ 3 planes apart in table 0 is an independent draw in table 1's
+    plane block, so OR-ing tables turns per-table miss probability m
+    into mᵀ.  Only the QUERY side fans out — the corpus is bucketed
+    once per table (N_TABLES index rows per vector), so at 100 TB
+    this stays 'write bucketed parquet once per table, touch
+    ~tables·|masks|·N/2^planes vectors per query'.  Within one table
+    a neighbor matches exactly one mask (the mask IS the bucket xor),
+    but a candidate can surface via both tables, so scored rows dedup
+    before ranking — cos_sim is deterministic per pair, so distinct
+    over the scored row is exact.
     """
     withb = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
-        bucket_id(F.col("embedding")).alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
+        *[
+            bucket_id(F.col("embedding"), table=t).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ],
     )
-    probe_buckets = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    # Corpus index: one (table, bucket) row per vector per table.
+    corpus = withb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("idx"),
+    ).select("vec_id", "embedding", "nrm", "idx.t", "idx.bucket")
+    probe_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.col(f"b{t}").bitwiseXOR(F.lit(mask)).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+            for mask in PROBE_MASKS
+        ]
     )
     q = withb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(probe_buckets).alias("q_bucket"),
         F.col("nrm").alias("q_nrm"),
+        F.explode(probe_entries).alias("probe"),
     )
     scored = (
-        withb.join(
+        corpus.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket"))
+            (F.col("t") == F.col("probe.t"))
+            & (F.col("bucket") == F.col("probe.bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -174,6 +240,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
                 6,
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -314,46 +381,67 @@ def ivf_ann_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.4, *, persist: bool = True
 ) -> DataFrame:
-    """Embedding-cosine near-dup: multi-probe bucket join (LSH) then
-    exact-cosine verify ≥ threshold.  The n² risk is confined to
-    Hamming-≤1 bucket pairs; at scale, raise N_PLANES to shrink
-    buckets.
+    """Embedding-cosine near-dup: multi-table multi-probe bucket join
+    (LSH) then exact-cosine verify ≥ threshold.  The n² risk is
+    confined to Hamming-≤2 bucket pairs per table; at scale, raise
+    N_PLANES to shrink buckets.
 
-    One side probes its bucket plus every 1-bit flip (same multi-probe
-    trade as lsh_ann_topk): a true near-dup pair straddling a single
-    hyperplane lands one bit apart and a same-bucket-only join misses
-    it — measured on the fixtures, recall of true cos ≥ 0.4 pairs goes
-    3/59 → 15/59 for a 9× candidate budget (the remaining misses are
-    ≥ 2 planes apart; raise probes or add a second hash table to chase
-    them).  A pair at Hamming ≤ 1
-    matches via exactly one probe value, so no dedup of the join
-    output is needed.
+    Same probe structure as :func:`lsh_ann_topk` — N_TABLES
+    independent plane blocks, each probed over PROBE_MASKS (Hamming
+    ≤ 2): a true pair straddling a couple of hyperplanes in one table
+    is an independent draw in the next.  Measured on the fixtures,
+    recall of true cos ≥ 0.4 pairs goes 3/59 (single correlated
+    table, exact-bucket) → 15/59 (+Hamming-1 probes) → ≥ 30/59
+    (independent planes × 3 tables × Hamming-2).  Within one table a
+    pair matches exactly one mask (the mask is the bucket xor), but
+    up to N_TABLES times across tables — hence the distinct on the
+    scored output (cos_sim is deterministic per pair, so distinct
+    over the full row is exact).
 
-    The bucketed projection (8 hyperplane dots + norm per vector)
-    feeds both sides of the self-join and Spark does not reuse the
-    exchange — persist computes it once (measured 9× at sf0.1)."""
+    The bucketed projection (N_TABLES×N_PLANES hyperplane dots + norm
+    per vector) feeds both sides of the self-join and Spark does not
+    reuse the exchange — persist computes it once (measured 9× at
+    sf0.1)."""
     withb = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
-        bucket_id(F.col("embedding")).alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
+        *[
+            bucket_id(F.col("embedding"), table=t).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ],
     )
     if persist:
         from pyspark import StorageLevel
 
         withb = withb.persist(StorageLevel.MEMORY_AND_DISK)
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    index_entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(N_TABLES)
+        ]
+    )
+    probe_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.col(f"b{t}").bitwiseXOR(F.lit(mask)).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+            for mask in PROBE_MASKS
+        ]
     )
     a = withb.select(
-        "vec_id", "embedding", "nrm", F.explode(probes).alias("probe_bucket")
+        "vec_id", "embedding", "nrm", F.explode(probe_entries).alias("probe")
     ).alias("a")
-    b = withb.alias("b")
+    b = withb.select(
+        "vec_id", "embedding", "nrm", F.explode(index_entries).alias("idx")
+    ).alias("b")
     return (
         a.join(
             b,
-            (F.col("a.probe_bucket") == F.col("b.bucket"))
+            (F.col("a.probe.t") == F.col("b.idx.t"))
+            & (F.col("a.probe.bucket") == F.col("b.idx.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -365,6 +453,7 @@ def embedding_near_dup_pairs(
                 6,
             ).alias("cos_sim"),
         )
+        .distinct()
         .filter(F.col("cos_sim") >= threshold)
     )
 

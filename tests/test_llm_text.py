@@ -138,6 +138,39 @@ def test_duplicate_clusters_are_consistent_with_pairs(spark):
         assert c == min(members)
 
 
+def test_shingle_df_cap_drops_heavy_hitter(spark):
+    """A boilerplate shingle present in every document must be excluded
+    from candidate generation once its df crosses the cap: documents
+    that share ONLY the heavy-hitter produce no pair, while genuinely
+    near-duplicate documents still match on their rare shingles."""
+    boiler = "terms of service"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            (3, f"{boiler} iota kappa lam mu"),
+            (4, f"{boiler} alpha beta gamma delta"),  # true dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, 0.5, max_doc_freq=3, persist=False
+        ).collect()
+    }
+    assert (1, 4) in pairs, "rare-shingle duplicate lost by the cap"
+    assert all(p == (1, 4) for p in pairs), (
+        f"heavy-hitter shingle generated spurious pairs: {pairs}"
+    )
+    # Uncapped, every doc pairs with every other through the boilerplate
+    # candidate join (low jaccard filters most, but doc 1/4 remains and
+    # the candidate set is quadratic) — the cap is what changed shape.
+    capped_sh = dedup.cap_shingle_df(dedup.shingles(docs), 3)
+    assert capped_sh.filter(capped_sh.shingle == boiler).count() == 0
+    assert dedup.shingles(docs).filter(f"shingle = '{boiler}'").count() == 4
+
+
 def test_exact_dedup_keeps_min_doc_id(spark):
     """Duplicate groups keep the smallest doc_id; injecting a known
     duplicate exercises a non-trivial group."""

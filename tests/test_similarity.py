@@ -111,7 +111,8 @@ def test_ann_recall_floors(spark):
 
     floors = {
         "ivf": (similarity.ivf_ann_topk, 0.85),
-        "lsh": (similarity.lsh_ann_topk, 0.20),
+        # 3 independent-plane tables × Hamming-2 probes measured 0.65.
+        "lsh": (similarity.lsh_ann_topk, 0.50),
         "ivfpq": (similarity.ivfpq_ann_topk, 0.20),
         "pq": (similarity.pq_ann_topk, 0.10),
     }
@@ -126,7 +127,8 @@ from pyspark.sql import functions as F  # noqa: E402
 def test_embedding_near_dup_recall_floor(spark):
     """Multi-probe near-dup must recover a material fraction of the
     TRUE cos ≥ 0.4 pairs (brute-force ground truth) — same-bucket-only
-    joins measured 3/59 on these fixtures; multi-probe 15/59."""
+    joins measured 3/59 on these fixtures; 3-table Hamming-2
+    multi-probe ≥ 30/59."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
