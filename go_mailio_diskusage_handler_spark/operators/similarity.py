@@ -42,11 +42,18 @@ EMB_DIM = 64
 # corpus side is still touched once per table.
 from itertools import combinations as _combinations
 
-PROBE_MASKS = (
-    [0]
-    + [1 << p for p in range(N_PLANES)]
-    + [(1 << a) | (1 << b) for a, b in _combinations(range(N_PLANES), 2)]
-)
+# H≤1 set for the SELF-join near-dup path: there both sides are the
+# full corpus, so candidate volume scales with |masks|·bucket_size per
+# vector — H≤2 masks measured 10 s vs 3.4 s at sf0.1 for recall
+# 30/59 vs 20/59; the cheaper radius is the right default when the
+# query side is O(N), with table count as the remaining recall lever.
+PROBE_MASKS_H1 = [0] + [1 << p for p in range(N_PLANES)]
+
+# Full H≤2 set for the query-driven ANN path, where only the handful
+# of broadcast queries fan out and the probe budget is cheap.
+PROBE_MASKS = PROBE_MASKS_H1 + [
+    (1 << a) | (1 << b) for a, b in _combinations(range(N_PLANES), 2)
+]
 
 
 def _to_double(arr: Column) -> Column:
@@ -194,6 +201,14 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
             for t in range(N_TABLES)
         ],
     )
+    from pyspark import StorageLevel
+
+    # The bucketed projection (N_TABLES×N_PLANES hyperplane dots per
+    # vector) feeds the corpus index AND the query probe side; without
+    # persistence Spark evaluates it once per join side (measured ~2×
+    # at sf0.1).  Production twin: the bucket columns are written with
+    # the corpus, computed exactly once.
+    withb = withb.persist(StorageLevel.MEMORY_AND_DISK)
     # Corpus index: one (table, bucket) row per vector per table.
     corpus = withb.select(
         "vec_id",
@@ -386,17 +401,18 @@ def embedding_near_dup_pairs(
     confined to Hamming-≤2 bucket pairs per table; at scale, raise
     N_PLANES to shrink buckets.
 
-    Same probe structure as :func:`lsh_ann_topk` — N_TABLES
-    independent plane blocks, each probed over PROBE_MASKS (Hamming
-    ≤ 2): a true pair straddling a couple of hyperplanes in one table
-    is an independent draw in the next.  Measured on the fixtures,
-    recall of true cos ≥ 0.4 pairs goes 3/59 (single correlated
-    table, exact-bucket) → 15/59 (+Hamming-1 probes) → ≥ 30/59
-    (independent planes × 3 tables × Hamming-2).  Within one table a
-    pair matches exactly one mask (the mask is the bucket xor), but
-    up to N_TABLES times across tables — hence the distinct on the
-    scored output (cos_sim is deterministic per pair, so distinct
-    over the full row is exact).
+    Same table structure as :func:`lsh_ann_topk` — N_TABLES
+    independent plane blocks — but probed over PROBE_MASKS_H1 only:
+    in this SELF-join both sides are the corpus, so each extra mask
+    costs O(N·bucket_size) candidates (measured 10 s vs 3.4 s at
+    sf0.1 for H≤2 vs H≤1).  Measured recall of true cos ≥ 0.4
+    pairs: 3/59 (single correlated table, exact-bucket) → 15/59
+    (+Hamming-1 probes) → 20/59 (independent planes × 3 tables,
+    Hamming-1); chase the tail by raising N_TABLES, not the radius.
+    Within one table a pair matches exactly one mask (the mask is
+    the bucket xor), but up to N_TABLES times across tables — hence
+    the distinct on the scored output (cos_sim is deterministic per
+    pair, so distinct over the full row is exact).
 
     The bucketed projection (N_TABLES×N_PLANES hyperplane dots + norm
     per vector) feeds both sides of the self-join and Spark does not
@@ -428,7 +444,7 @@ def embedding_near_dup_pairs(
                 F.col(f"b{t}").bitwiseXOR(F.lit(mask)).alias("bucket"),
             )
             for t in range(N_TABLES)
-            for mask in PROBE_MASKS
+            for mask in PROBE_MASKS_H1
         ]
     )
     a = withb.select(

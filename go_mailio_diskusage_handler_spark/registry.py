@@ -930,7 +930,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           {", ".join(f"{_ddb_bucket('embedding', t)} AS b{t}"
                                      for t in range(similarity.N_TABLES))}
                    FROM embeddings),
-    ms AS (SELECT unnest([{", ".join(str(m) for m in similarity.PROBE_MASKS)}])
+    ms AS (SELECT unnest([{", ".join(str(m) for m in similarity.PROBE_MASKS_H1)}])
                AS mask),
     ts AS (SELECT unnest(range({similarity.N_TABLES})) AS t),
     probed AS (SELECT vec_id, embedding, t,

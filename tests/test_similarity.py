@@ -127,8 +127,8 @@ from pyspark.sql import functions as F  # noqa: E402
 def test_embedding_near_dup_recall_floor(spark):
     """Multi-probe near-dup must recover a material fraction of the
     TRUE cos ≥ 0.4 pairs (brute-force ground truth) — same-bucket-only
-    joins measured 3/59 on these fixtures; 3-table Hamming-2
-    multi-probe ≥ 30/59."""
+    joins measured 3/59 on these fixtures; 3-table Hamming-1
+    multi-probe 20/59."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
