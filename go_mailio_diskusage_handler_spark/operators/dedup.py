@@ -380,7 +380,10 @@ def simhash_dedup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    *,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int, bool]:
     """Connected components over an undirected pair graph, labeling
     every node with the smallest node id in its component.
@@ -403,10 +406,14 @@ def connected_components(
     of a set diff.  The 1-row ``collect`` per round is the loop
     condition, not a data path.
 
-    ``localCheckpoint`` truncates lineage each round — without it the
-    plan doubles per iteration and Catalyst analysis time blows up
-    around round 8.  On a cluster, use a reliable HDFS checkpoint
-    instead (executor loss under localCheckpoint forces a rerun).
+    Checkpointing truncates lineage each round — without it the plan
+    doubles per iteration and Catalyst analysis time blows up around
+    round 8.  Default is ``localCheckpoint`` (executor-local blocks:
+    fast, right for local mode); pass ``checkpoint_dir`` (HDFS/S3
+    path) on a real cluster to switch every round to a RELIABLE
+    checkpoint — executor loss under localCheckpoint discards blocks
+    and fails the job, while reliable checkpoints replay from
+    distributed storage.
 
     Iteration frames are re-sized to the measured edge count (the
     checkpoint materializes edges anyway, so the count is free):
@@ -419,20 +426,29 @@ def connected_components(
     (and this function logs a warning — partially-converged labels
     are silently WRONG cluster ids).
     """
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
     sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # eager=True in both modes: the iteration measures and reuses
+        # the materialized frame immediately.
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    edges = _ckpt(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     loop_parts = max(
         4, min(sc.defaultParallelism, edges.count() // 100_000)
     )
     edges = edges.coalesce(loop_parts)
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .coalesce(loop_parts)
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     rounds = 0
@@ -458,7 +474,7 @@ def connected_components(
         hop = propagated.select(
             F.col("doc_id").alias("h_id"), F.col("cluster_id").alias("h_cl")
         )
-        labels = (
+        labels = _ckpt(
             propagated.join(hop, propagated["cluster_id"] == hop["h_id"], "left")
             .select(
                 "doc_id",
@@ -468,7 +484,6 @@ def connected_components(
                 ).alias("cluster_id"),
             )
             .coalesce(loop_parts)
-            .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:

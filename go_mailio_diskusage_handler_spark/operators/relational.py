@@ -401,6 +401,42 @@ def approx_distinct_customers(orders: DataFrame, rsd: float = 0.01) -> DataFrame
     )
 
 
+def approx_top_event_types(events: DataFrame, k: int = 5) -> DataFrame:
+    """approx_top_k heavy-hitter sketch — the 100 TB path for "what
+    are the hottest keys": one pass, fixed memory (maxItemsTracked
+    counters), mergeable partials, vs the exact answer's full
+    groupBy + global sort.  Completes the sketch tier next to the HLL
+    distinct-count and GK quantile queries.
+
+    Same oracle pattern as those two: the engine-specific sketch
+    output is folded into a *deterministic invariant* — the exact
+    per-key counts of the exact top-k (count-desc, key tie-break)
+    plus a boolean asserting the sketch reported that key with the
+    exact count (with maxItemsTracked ≥ the distinct-key count the
+    ApproxTopK sketch degenerates to exact counting, so the boolean
+    is provably TRUE at fixture scale)."""
+    sketch = events.agg(
+        F.expr(f"approx_top_k(event_type, {k}, 100000)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").alias("approx_count"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("event_type"))
+    exact_top = (
+        exact.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    return exact_top.join(F.broadcast(sketch), "event_type", "left").select(
+        "event_type",
+        "n_events",
+        (F.col("approx_count") == F.col("n_events")).alias("sketch_exact"),
+    )
+
+
 def approx_order_percentiles(orders: DataFrame, accuracy: int = 10_000) -> DataFrame:
     """approx_percentile sketch (Greenwald-Khanna) — the 100 TB path
     for quantiles: single pass, bounded memory, mergeable partials,

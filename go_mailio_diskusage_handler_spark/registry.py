@@ -261,6 +261,22 @@ def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.approx_order_percentiles(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "approx_top_event_types",
+    """
+    SELECT event_type, n_events, TRUE AS sketch_exact
+    FROM (SELECT event_type, COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rk
+          FROM events GROUP BY event_type)
+    WHERE rk <= 5
+    """,
+)
+def approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitter sketch vs the exact top-k as a
+    hashable invariant (sketch exact at fixture cardinalities)."""
+    return relational.approx_top_event_types(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # [EXT] Scalar function families: date, math, JSON, array + event windows
 # ---------------------------------------------------------------------------
@@ -1993,6 +2009,8 @@ _R4_FRONT = [
     # Round-3 NTZ casualties: re-verify under the round-4 fix.
     "events_sessionize",
     "events_session_window",
+    # New in round 4: heavy-hitter sketch.
+    "approx_top_event_types",
 ]
 
 

@@ -100,6 +100,23 @@ def test_curation_plan_shapes(spark):
     assert plans.has_broadcast_join(curation.contaminated_docs(docs, 200, 3))
 
 
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """The cluster-mode switch: with ``checkpoint_dir`` set, every
+    round uses a reliable checkpoint (files must appear under the
+    dir) and labels are identical to the localCheckpoint path."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ckpt = tmp_path / "cc_ckpt"
+    labels, _, converged = dedup.connected_components(
+        pairs, checkpoint_dir=str(ckpt)
+    )
+    assert converged
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
+
+
 def test_connected_components_chain_converges_logarithmically(spark):
     """Pointer-doubling bound: a 64-node chain (diameter 63) must
     converge in O(log n) rounds — plain min-label propagation would

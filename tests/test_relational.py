@@ -47,6 +47,7 @@ ORACLE_CHECKED = [
     "scalar_map_props",
     "approx_distinct_customers",
     "approx_order_percentiles",
+    "approx_top_event_types",
 ]
 
 
