@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "sim_pq_codes",
     "sim_pq_ann_topk",
     "sim_ivfpq_ann_topk",
+    "sim_ivfpq_rerank_topk",
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_lsh_ann_topk",
@@ -114,6 +115,9 @@ def test_ann_recall_floors(spark):
         # 3 independent-plane tables × Hamming-2 probes measured 0.65.
         "lsh": (similarity.lsh_ann_topk, 0.50),
         "ivfpq": (similarity.ivfpq_ann_topk, 0.20),
+        # exact re-rank lifts ADC 0.2 to the coarse-quantizer ceiling
+        # (measured 0.70 at shortlist=20).
+        "ivfpq_rerank": (similarity.ivfpq_rerank_topk, 0.60),
         "pq": (similarity.pq_ann_topk, 0.10),
     }
     for name, (fn, floor) in floors.items():
