@@ -100,6 +100,20 @@ def test_curation_plan_shapes(spark):
     assert plans.has_broadcast_join(curation.contaminated_docs(docs, 200, 3))
 
 
+def test_shingle_df_cap_is_broadcast_anti_join(spark):
+    """The cap must not shuffle the corpus-side shingle table: the
+    heavy-hitter set is broadcast and anti-joined (at 100 TB a
+    shuffled anti-join on the raw shingle strings would itself be the
+    skew bottleneck the cap exists to remove)."""
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    capped = dedup.cap_shingle_df(dedup.shingles(docs), 1000)
+    plan = plans.executed_plan(capped)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     """The cluster-mode switch: with ``checkpoint_dir`` set, every
     round uses a reliable checkpoint (files must appear under the

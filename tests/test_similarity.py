@@ -30,6 +30,14 @@ def test_oracle_parity(spark, ddb, name):
     compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
 
+def test_rerank_broadcasts_shortlist(spark):
+    """The exact tier must stay corpus-size-independent: the ADC
+    shortlist reaches the corpus scan as a broadcast, never a shuffle
+    of the embedding table."""
+    df = registry.QUERIES["sim_ivfpq_rerank_topk"](spark, SF_CORRECT)
+    assert plans.has_broadcast_join(df)
+
+
 def test_brute_force_broadcasts_queries(spark):
     """The corpus side must not shuffle: query set is broadcast."""
     df = registry.QUERIES["sim_brute_topk"](spark, SF_CORRECT)
