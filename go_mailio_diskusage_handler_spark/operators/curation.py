@@ -227,12 +227,11 @@ def curated_corpus(
     # One shingle table feeds decontamination AND pair generation —
     # df-capped ONCE (boilerplate shingles are noise for both consumers
     # and the scale hot key for either join), then persisted so the
-    # corpus is exploded/hashed once; at 100 TB both tables are written
-    # intermediates, same shape.  The RAW table is persisted too: it
-    # feeds the cap's df-aggregate AND the anti-join probe side, and
-    # without it the corpus explode runs once per branch.
-    raw_sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = cap_shingle_df(raw_sh, MAX_SHINGLE_DF).persist(
+    # corpus is exploded/hashed once; at 100 TB this is a written
+    # intermediate, same shape.  Only the capped table is persisted —
+    # see ngram_jaccard_pairs: re-running the explode for the cap's two
+    # single-pass inputs beats a second storage materialization.
+    sh = cap_shingle_df(shingles(documents), MAX_SHINGLE_DF).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     quality_ok = (

@@ -220,7 +220,7 @@ def ngram_jaccard_pairs(
     """
     if sh is None:
         sh = shingles(documents)
-        if persist:
+        if persist and max_doc_freq is None:
             from pyspark import StorageLevel
 
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -229,10 +229,13 @@ def ngram_jaccard_pairs(
         if persist:
             from pyspark import StorageLevel
 
-            # The capped table is the one with three consumers (sizes +
-            # both self-join sides); persisting the UNCAPPED table alone
-            # re-runs the df-aggregate + anti-join once per consumer
-            # (measured +2 s at sf0.1).
+            # Persist the CAPPED table only — it is the one with three
+            # consumers (sizes + both self-join sides).  Persisting the
+            # raw table as well materializes the corpus explode twice
+            # for no reuse win: the raw table's two consumers (the df
+            # aggregate and the anti-join probe) are each single-pass,
+            # and re-running the explode is cheaper than a second
+            # storage materialization (A/B at sf0.1: 2.1 s vs 2.5-3 s).
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One shuffle-join + one aggregation: intersection sizes fall out of
