@@ -148,3 +148,44 @@ def test_pack_sequences_matches_prefix_sum_reference(spark, toks, cap):
     for i, n in enumerate(toks):
         assert got[i] == (n, start // cap), (i, got[i], n, start)
         start += n
+
+
+@settings(**_SETTINGS)
+@given(
+    doc_words=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w", "x", "y"]), min_size=3, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_shingle_df_cap_matches_python_reference(spark, doc_words, cap):
+    """cap_shingle_df == a direct Python reimplementation: keep exactly
+    the (doc, shingle) rows whose shingle appears in ≤ cap distinct
+    documents, for arbitrary corpora and cap values.  The tiny
+    alphabet forces genuine heavy-hitters."""
+    from go_mailio_diskusage_handler_spark.operators import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # python reference over the same distinct word-trigram shingles
+    per_doc: dict[int, set] = {}
+    for i, ws in enumerate(doc_words):
+        per_doc[i] = {
+            " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+        }
+    df_count: dict[str, int] = {}
+    for sh_set in per_doc.values():
+        for s in sh_set:
+            df_count[s] = df_count.get(s, 0) + 1
+    want = {
+        (i, s)
+        for i, sh_set in per_doc.items()
+        for s in sh_set
+        if df_count[s] <= cap
+    }
+    got = {
+        (r.doc_id, r.shingle)
+        for r in dedup.cap_shingle_df(dedup.shingles(docs), cap).collect()
+    }
+    assert got == want
