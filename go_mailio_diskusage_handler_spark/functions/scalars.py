@@ -128,6 +128,39 @@ def sliding_event_windows(
     )
 
 
+def windowed_distinct_users(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Distinct users per event-time tumbling window — exact count +
+    HLL++ sketch in ONE grouped aggregate (two partial buffers, one
+    shuffle), emitted as the deterministic invariant pattern of the
+    sketch tier: the exact count plus a boolean asserting the sketch
+    estimate lands within 5× the configured rsd.
+
+    This is the canonical always-on streaming metric (active users per
+    window); the same expression runs under ``withWatermark`` as a
+    stream, where ONLY the sketch column is feasible at 100 TB — exact
+    distinct state is O(users), the HLL buffer is KBs per window.  The
+    batch twin carries both so the oracle can check the exact column
+    and bound the sketch.
+    """
+    rsd = 0.01
+    return (
+        events.groupBy(F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "distinct_users",
+            (
+                F.abs(F.col("approx") - F.col("distinct_users"))
+                / F.col("distinct_users")
+                <= F.lit(5 * rsd)
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 def tumbling_event_windows(events: DataFrame, minutes: int = 10) -> DataFrame:
     """Event-time tumbling window aggregation (batch form).
 

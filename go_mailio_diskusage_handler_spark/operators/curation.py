@@ -136,6 +136,31 @@ def contaminated_docs(
     )
 
 
+def sample_weighted(
+    documents: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling: keep a document
+    iff ``bucket(doc_id)/65536 < rate[source]`` — mixture WEIGHTS as
+    probabilities, complementing :func:`mixture_rebalance`'s hard
+    per-source caps.
+
+    Same invariants as the hash splits: membership is a pure function
+    of (doc_id, rate), so re-runs, backfills, and repartitioning keep
+    the same sample, and RAISING a source's rate strictly grows its
+    sample (monotone in rate — an epoch-over-epoch mixture adjustment
+    never churns previously selected docs out).  Narrow projection,
+    zero shuffles, no RNG state; at 100 TB this is a map-side filter
+    the Parquet scan streams through.
+    """
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(float(r))).otherwise(rate)
+    frac = F.expr(_BUCKET_SQL) / F.lit(65536.0)
+    return documents.filter(frac < rate).select("doc_id", "source")
+
+
 def pack_sequences(documents: DataFrame, max_tokens: int = 512) -> DataFrame:
     """Sequence packing: assign each doc to a fixed-token-budget bin.
 

@@ -374,6 +374,23 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalars.tumbling_event_windows(load_table(spark, sf_dir, "events"), 10)
 
 
+@register(
+    "events_window_users",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '60 minutes', ts)) AS BIGINT)
+               AS window_start,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           TRUE AS sketch_ok
+    FROM events GROUP BY window_start
+    """,
+)
+def events_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event-time window: exact + HLL sketch
+    invariant in one grouped aggregate (scalars.windowed_distinct_users
+    — the streaming-feasible form of the metric)."""
+    return scalars.windowed_distinct_users(load_table(spark, sf_dir, "events"), 60)
+
+
 # ---------------------------------------------------------------------------
 # [EXT] LLM-pipeline: text analysis + fingerprinting + exact dedup
 # ---------------------------------------------------------------------------
@@ -642,6 +659,30 @@ _DDB_BUCKET = " + ".join(
 )
 def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.split_assignments(load_table(spark, sf_dir, "documents"))
+
+
+#: Mixture weights exercised by the sample_weighted query/oracle pair.
+_SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.0}
+_SAMPLE_DEFAULT = 0.9
+
+
+@register(
+    "curation_sample_weighted",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({_DDB_BUCKET}) / 65536.0 <
+          CASE source WHEN 'src0' THEN 0.5
+                      WHEN 'src1' THEN 0.25
+                      WHEN 'src2' THEN 0.0
+                      ELSE 0.9 END
+    """,
+)
+def curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling (mixture weights as
+    probabilities; curation.sample_weighted)."""
+    return curation.sample_weighted(
+        load_table(spark, sf_dir, "documents"), _SAMPLE_RATES, _SAMPLE_DEFAULT
+    )
 
 
 @register(
@@ -2065,9 +2106,12 @@ _R4_FRONT = [
     # Round-3 NTZ casualties: re-verify under the round-4 fix.
     "events_sessionize",
     "events_session_window",
-    # New in round 4: heavy-hitter sketch + exact-rerank ANN tier.
+    # New in round 4: heavy-hitter sketch, exact-rerank ANN tier,
+    # windowed distinct-user sketch, weighted mixture sampling.
     "approx_top_event_types",
     "sim_ivfpq_rerank_topk",
+    "events_window_users",
+    "curation_sample_weighted",
 ]
 
 

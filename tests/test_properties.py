@@ -189,3 +189,29 @@ def test_shingle_df_cap_matches_python_reference(spark, doc_words, cap):
         for r in dedup.cap_shingle_df(dedup.shingles(docs), cap).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n_docs=st.integers(min_value=1, max_value=40),
+    r_low=st.floats(min_value=0.0, max_value=0.5),
+    r_hi_delta=st.floats(min_value=0.0, max_value=0.5),
+)
+def test_weighted_sample_is_monotone_in_rate(spark, n_docs, r_low, r_hi_delta):
+    """Raising a source's rate must strictly GROW its sample (never
+    churn out previously selected docs), and membership must be
+    independent of partitioning."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, "w w w", "en", "s0", 5) for i in range(n_docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    low = {r.doc_id for r in curation.sample_weighted(docs, {"s0": r_low}).collect()}
+    hi = {
+        r.doc_id
+        for r in curation.sample_weighted(
+            docs.repartition(5), {"s0": min(1.0, r_low + r_hi_delta)}
+        ).collect()
+    }
+    assert low <= hi, f"rate increase dropped docs: {low - hi}"
