@@ -127,6 +127,27 @@ def windowed_counts(
     )
 
 
+def windowed_user_sketch(
+    events: DataFrame, minutes: int = 60, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming distinct-users-per-window via the HLL++ sketch —
+    the state-feasible form of the metric: exact distinct would hold
+    O(users) state per open window, the sketch holds a KB-sized
+    mergeable buffer, and the watermark bounds how many windows stay
+    open.  The batch twin (``functions.scalars.windowed_distinct_users``)
+    carries the exact column alongside the same sketch expression, so
+    stream ≡ batch is assertable on the sketch output."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "approx_users",
+        )
+    )
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     *,

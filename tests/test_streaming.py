@@ -80,6 +80,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert 0 not in starts, f"late row not dropped: {sorted(starts)}"
 
 
+def test_stream_user_sketch_equals_batch(spark, events_stream_dir):
+    """The streaming HLL distinct-user sketch must reproduce the batch
+    sketch exactly: HLL++ buffers are deterministic for a given rsd and
+    input set, and AvailableNow drains the whole fixture."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    got = {
+        (r.window_start, r.approx_users)
+        for r in windows.run_to_memory(
+            windows.windowed_user_sketch(stream, 60), output_mode="complete"
+        ).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "approx_users",
+        )
+    )
+    want = {(r.window_start, r.approx_users) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_sessionize_matches_batch(spark, events_stream_dir):
     """applyInPandasWithState sessions (closed by gap within the data)
     must match the batch sessionizer for all CLOSED sessions; the final
