@@ -55,6 +55,25 @@ PROBE_MASKS = PROBE_MASKS_H1 + [
     (1 << a) | (1 << b) for a, b in _combinations(range(N_PLANES), 2)
 ]
 
+# H≤3 adds the 56 three-bit flips (93 masks total).
+PROBE_MASKS_H3 = PROBE_MASKS + [
+    (1 << a) | (1 << b) | (1 << c)
+    for a, b, c in _combinations(range(N_PLANES), 3)
+]
+
+# Per-table probe budget for the query-driven ANN path.  The round-4
+# config (3 tables × H≤2 = 111 probe rows) measured recall@5 0.65 at
+# 3.3-3.7 s (sf0.1) — but the COST driver is table count, not probe
+# count: each extra table re-buckets and re-scans the corpus (the
+# probes are a broadcast).  Sweeping radius × tables on the fixtures:
+#   [H2,H1,H1] 0.475      [H2,H2,H1] 0.550      [H3,H1,H1] 0.675
+#   [H3,H2]    0.700 2.2s [H3,H2,H2] 0.825 3.1s [H3,H3]    0.800 3.6s
+# Two tables at asymmetric [H≤3, H≤2] dominate: fewer corpus passes
+# than any 3-table config, recall above every ≤111-row 3-table
+# variant.  Remaining recall lever: append a table (cost ~+0.5 s
+# each) or widen the second radius to H≤3 (recall 0.80 measured).
+PROBE_MASKS_BY_TABLE = [PROBE_MASKS_H3, PROBE_MASKS]
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -174,36 +193,41 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
-    """ANN: N_TABLES independent hash tables, each probed at every
-    Hamming-≤2 neighbor of the query's bucket (PROBE_MASKS);
-    candidates are the UNION over tables, exact-cosine re-ranked.
+    """ANN: independent hash tables (one per PROBE_MASKS_BY_TABLE
+    entry) probed with an asymmetric budget — Hamming-≤3 in table 0,
+    Hamming-≤2 in table 1; candidates are the UNION over tables,
+    exact-cosine re-ranked.
 
     Two recall levers compose here.  Multi-probe: a near neighbor on
-    the other side of one or two hyperplanes lands ≤ 2 bits away, so
+    the other side of up to h hyperplanes lands ≤ h bits away, so
     the mask set recovers those misses.  Multiple tables: a neighbor
-    ≥ 3 planes apart in table 0 is an independent draw in table 1's
-    plane block, so OR-ing tables turns per-table miss probability m
-    into mᵀ.  Only the QUERY side fans out — the corpus is bucketed
-    once per table (N_TABLES index rows per vector), so at 100 TB
-    this stays 'write bucketed parquet once per table, touch
-    ~tables·|masks|·N/2^planes vectors per query'.  Within one table
-    a neighbor matches exactly one mask (the mask IS the bucket xor),
+    far apart in table 0 is an independent draw in table 1's plane
+    block, so OR-ing tables turns per-table miss probability m into
+    mᵀ.  Only the QUERY side fans out — the corpus is bucketed once
+    per table (one index row per vector per table), so at 100 TB this
+    stays 'write bucketed parquet once per table, touch
+    ~Σ_t|masks_t|·N/2^planes vectors per query'.  Table count is the
+    cost driver (each re-buckets and re-scans the corpus); probes are
+    a broadcast and nearly free — hence few tables × wide radius (see
+    PROBE_MASKS_BY_TABLE's measured sweep).  Within one table a
+    neighbor matches exactly one mask (the mask IS the bucket xor),
     but a candidate can surface via both tables, so scored rows dedup
     before ranking — cos_sim is deterministic per pair, so distinct
     over the scored row is exact.
     """
+    n_tables = len(PROBE_MASKS_BY_TABLE)
     withb = widen_for_compute(embeddings).select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
         *[
             bucket_id(F.col("embedding"), table=t).alias(f"b{t}")
-            for t in range(N_TABLES)
+            for t in range(n_tables)
         ],
     )
     from pyspark import StorageLevel
 
-    # The bucketed projection (N_TABLES×N_PLANES hyperplane dots per
+    # The bucketed projection (n_tables×N_PLANES hyperplane dots per
     # vector) feeds the corpus index AND the query probe side; without
     # persistence Spark evaluates it once per join side (measured ~2×
     # at sf0.1).  Production twin: the bucket columns are written with
@@ -218,7 +242,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
             F.array(
                 *[
                     F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(N_TABLES)
+                    for t in range(n_tables)
                 ]
             )
         ).alias("idx"),
@@ -229,8 +253,8 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
                 F.lit(t).alias("t"),
                 F.col(f"b{t}").bitwiseXOR(F.lit(mask)).alias("bucket"),
             )
-            for t in range(N_TABLES)
-            for mask in PROBE_MASKS
+            for t in range(n_tables)
+            for mask in PROBE_MASKS_BY_TABLE[t]
         ]
     )
     q = withb.filter(F.col("vec_id") < n_queries).select(

@@ -948,25 +948,32 @@ _DDB_TBUCKET = "CASE " + " ".join(
     f"WHEN t = {t} THEN b{t}" for t in range(similarity.N_TABLES)
 ) + " END"
 
+_ANN_TABLES = len(similarity.PROBE_MASKS_BY_TABLE)
+_DDB_ANN_TBUCKET = "CASE " + " ".join(
+    f"WHEN t = {t} THEN b{t}" for t in range(_ANN_TABLES)
+) + " END"
+
 @register(
     "sim_lsh_ann_topk",
     f"""
     WITH withb AS (SELECT vec_id, embedding,
                           {", ".join(f"{_ddb_bucket('embedding', t)} AS b{t}"
-                                     for t in range(similarity.N_TABLES))}
+                                     for t in range(_ANN_TABLES))}
                    FROM embeddings),
-    ms AS (SELECT unnest([{", ".join(str(m) for m in similarity.PROBE_MASKS)}])
-               AS mask),
-    ts AS (SELECT unnest(range({similarity.N_TABLES})) AS t),
+    tm AS (SELECT * FROM (VALUES {", ".join(
+        f"({t}, {m})"
+        for t in range(_ANN_TABLES)
+        for m in similarity.PROBE_MASKS_BY_TABLE[t]
+    )}) AS tm(t, mask)),
     q AS (SELECT vec_id AS query_id, embedding AS q_emb, t,
-                 xor({_DDB_TBUCKET}, CAST(mask AS INTEGER)) AS q_bucket
-          FROM withb CROSS JOIN ts CROSS JOIN ms WHERE vec_id < 8),
+                 xor({_DDB_ANN_TBUCKET}, CAST(mask AS INTEGER)) AS q_bucket
+          FROM withb CROSS JOIN tm WHERE vec_id < 8),
     scored AS (
         SELECT DISTINCT query_id, e.vec_id AS neighbor_id,
                ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim
         FROM withb e JOIN q
           ON (CASE {" ".join(f"WHEN q.t = {t} THEN e.b{t}"
-                             for t in range(similarity.N_TABLES))} END) = q_bucket
+                             for t in range(_ANN_TABLES))} END) = q_bucket
          AND e.vec_id != query_id
     ),
     ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (

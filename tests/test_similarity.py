@@ -120,8 +120,9 @@ def test_ann_recall_floors(spark):
 
     floors = {
         "ivf": (similarity.ivf_ann_topk, 0.85),
-        # 3 independent-plane tables × Hamming-2 probes measured 0.65.
-        "lsh": (similarity.lsh_ann_topk, 0.50),
+        # 2 independent-plane tables × asymmetric [H≤3, H≤2] probes
+        # measured 0.700 (see PROBE_MASKS_BY_TABLE's sweep).
+        "lsh": (similarity.lsh_ann_topk, 0.60),
         "ivfpq": (similarity.ivfpq_ann_topk, 0.20),
         # exact re-rank lifts ADC 0.2 to the coarse-quantizer ceiling
         # (measured 0.70 at shortlist=20).
