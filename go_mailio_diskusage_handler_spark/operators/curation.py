@@ -22,6 +22,14 @@ row is selected on ANY engine and at ANY scale:
 
 At 100 TB: all three are one scan + ≤ 1 shuffle; the hash bucket is
 also the natural shard key for writing train splits out.
+
+Storage contract: operators that ``persist`` an intermediate (the
+capped shingle table in :func:`contaminated_docs` /
+:func:`curated_corpus`) keep it cached until the CALLER releases it —
+the result is lazy, so the operator itself has no post-action point to
+unpersist at.  Run ``spark.catalog.clearCache()`` between composite
+queries in a long-lived session (bench.py does, per query); a service
+embedding these operators should clear after each refresh cycle.
 """
 
 from __future__ import annotations
@@ -67,22 +75,67 @@ def split_assignments(documents: DataFrame) -> DataFrame:
     )
 
 
-def mixture_rebalance(documents: DataFrame, per_source_cap: int = 10) -> DataFrame:
+def mixture_rebalance(
+    documents: DataFrame,
+    per_source_cap: int = 10,
+    *,
+    skew_guard: bool = True,
+) -> DataFrame:
     """Keep at most ``per_source_cap`` docs per source, chosen by hash
     rank (doc_id tie-break) — downsampling over-represented sources to
     a target mixture without an RNG.
 
-    One shuffle (window on source).  Skewed sources are the classic
-    hazard at scale — a 10⁹-doc source all in one window partition —
-    so the production variant pre-filters with an approximate
-    per-source quantile of the hash before the exact window; here
-    sources are uniform and the direct window is the right plan.
+    The exact selection is a window on source — and a skewed source is
+    the classic hazard at scale: a 10⁹-doc source lands in ONE window
+    partition and sorts 10⁹ rows on a single task.  ``skew_guard``
+    (default on) bounds the window's input per source BEFORE the
+    shuffle with a per-source hash-quantile cutoff:
+
+    * The hash has a bounded domain (65 536 buckets), so instead of
+      ``approx_percentile`` (whose per-source fraction would need to
+      be a foldable literal — it can't vary by group) the cutoff is an
+      EXACT histogram: count docs per (source, hash), cumulative-sum
+      over the ≤ 65 536 histogram rows per source, and take the
+      smallest hash whose cumulative count reaches the cap.  The
+      histogram aggregate partial-aggregates map-side, so the shuffle
+      carries at most |sources|·65 536 pre-combined rows no matter how
+      many docs a source has.
+    * Every doc whose hash exceeds its source's cutoff cannot be among
+      the cap first rows of the (hash, doc_id) window order, so
+      filtering to ``hash ≤ cutoff`` is output-invariant; survivors
+      per source are ≤ cap − 1 plus one hash tie-group (~n/65 536
+      docs) — O(cap), not O(source).
+    * Sources smaller than the cap never reach the cutoff (cumulative
+      count stays below cap) and are kept whole via the left join.
+
+    Cost: one extra bounded-size aggregate and a broadcast of
+    |sources| cutoff rows; the exact window then runs on O(cap) rows
+    per source.
     """
+    h = F.expr(_BUCKET_SQL).cast("long")
+    base = documents.select("doc_id", "source", h.alias("h"))
+    if skew_guard:
+        cum_w = (
+            Window.partitionBy("source")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cutoffs = (
+            base.groupBy("source", "h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("source", "h", F.sum("n").over(cum_w).alias("cum"))
+            .filter(F.col("cum") >= per_source_cap)
+            .groupBy("source")
+            .agg(F.min("h").alias("h_cap"))
+        )
+        base = base.join(F.broadcast(cutoffs), "source", "left").filter(
+            F.col("h_cap").isNull() | (F.col("h") <= F.col("h_cap"))
+        )
     w = Window.partitionBy("source").orderBy(
-        F.expr(_BUCKET_SQL).asc(), F.col("doc_id").asc()
+        F.col("h").asc(), F.col("doc_id").asc()
     )
     return (
-        documents.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        base.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= per_source_cap)
         .select("doc_id", "source")
     )
