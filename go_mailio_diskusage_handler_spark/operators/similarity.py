@@ -20,6 +20,13 @@ Cross-engine determinism: both engines fold the element-wise product
 list left-to-right in double precision → bitwise-identical cosines;
 ranking uses the 6-digit-rounded cosine with vec_id tie-break so
 window order is stable everywhere.
+
+Storage contract: the ANN operators ``persist`` their bucketed /
+list-assigned corpus projection (it feeds both join sides) and return
+a lazy result, so the cached block outlives the query until the
+CALLER releases it — ``spark.catalog.clearCache()`` between composite
+queries (bench.py clears per query), or ``.unpersist()`` on the
+production twin's materialized index.
 """
 
 from __future__ import annotations
@@ -290,6 +297,18 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
 
 N_CENTROIDS = 16
 N_PROBE = 2
+# ADC shortlist width for the exact re-rank tier.  Sweeping
+# (n_probe, shortlist) on the fixtures:
+#   (2,20) 0.700   (4,20) 0.575   (4,40) 0.800
+#   (2,60) 0.925   (3,60) 0.925   (4,80) 0.925   (4,150) 0.925
+# Two lessons: (a) widening n_probe at a FIXED shortlist can *lower*
+# recall — extra lists add ADC-quantization-lucky candidates that
+# crowd true neighbors out of the fixed-size shortlist; (b) the 0.70
+# ceiling at shortlist=20 was shortlist truncation, not the coarse
+# quantizer (n_probe=2 reaches 0.925 untouched once the shortlist
+# admits rank-21..60 ADC candidates).  Cost of the wider shortlist is
+# only n_queries×shortlist exact point lookups — corpus-independent.
+RERANK_SHORTLIST = 60
 
 
 def _codebook_lit(embeddings: DataFrame) -> Column:
@@ -535,26 +554,37 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     posexplode, one scan, no shuffle.
     """
     cb = F.lit(_pq_codebook(embeddings))  # [M][K][SUB], ONE literal
-    emb = _to_double(F.col("embedding"))
-    # One nested indexed lambda, not PQ_M unrolled literal+transform
-    # blocks: same argmin math bit-for-bit, but codegen compiles one
-    # loop body instead of 8 — measured 4.8 s → 1.9 s per encoding
-    # pass at sf0.1 (the IVF _codebook_lit lesson, applied twice).
-    codes = F.transform(
+    return widen_for_compute(embeddings).select(
+        "vec_id",
+        F.posexplode(_pq_code_array(F.col("embedding"), cb)).alias(
+            "subspace", "code"
+        ),
+    )
+
+
+def _pq_code_array(emb: Column, cb: Column) -> Column:
+    """PQ_M-element code array for one embedding against the ``cb``
+    codebook literal — argmin squared L2 per subspace, centroid-id
+    tie-break via struct ordering.
+
+    One nested indexed lambda, not PQ_M unrolled literal+transform
+    blocks: same argmin math bit-for-bit, but codegen compiles one
+    loop body instead of 8 — measured 4.8 s → 1.9 s per encoding
+    pass at sf0.1 (the IVF _codebook_lit lesson, applied twice).
+    """
+    emb_d = _to_double(emb)
+    return F.transform(
         cb,
         lambda subcents, m: F.array_min(
             F.transform(
                 subcents,
                 lambda c, j: F.struct(
-                    F.round(_l2sq(F.slice(emb, m * PQ_SUB + 1, PQ_SUB), c), 6)
+                    F.round(_l2sq(F.slice(emb_d, m * PQ_SUB + 1, PQ_SUB), c), 6)
                     .alias("d"),
                     j.alias("cid"),
                 ),
             )
         )["cid"],
-    )
-    return widen_for_compute(embeddings).select(
-        "vec_id", F.posexplode(codes).alias("subspace", "code")
     )
 
 
@@ -621,33 +651,54 @@ def _adc_tables(embeddings: DataFrame, n_queries: int) -> DataFrame:
     )
 
 
-def _ivfpq_adc_scored(embeddings: DataFrame, n_queries: int) -> DataFrame:
+def _ivfpq_adc_scored(
+    embeddings: DataFrame, n_queries: int, n_probe: int = N_PROBE
+) -> DataFrame:
     """(query_id, neighbor_id, approx_dist) for every candidate in the
     queries' probed IVF lists, scored by PQ ADC — the shared core of
     :func:`ivfpq_ann_topk` (ADC order as final) and
-    :func:`ivfpq_rerank_topk` (exact re-rank of the ADC shortlist)."""
+    :func:`ivfpq_rerank_topk` (exact re-rank of the ADC shortlist).
+
+    ``n_probe`` only widens the QUERY side's probed lists; the corpus
+    assignment is always ``lists[0]``."""
     from pyspark import StorageLevel
 
     cents = _codebook_lit(embeddings)
+    cb = F.lit(_pq_codebook(embeddings))
     nrm = l2_norm(F.col("embedding"))
+    # ONE corpus projection carries the coarse-list assignment AND the
+    # PQ code array: computing codes in the same scan removes the old
+    # codes⋈assign join — pq_codes' posexplode made that an 8N-row
+    # SHUFFLE join against the N-row assignment table, the only
+    # non-broadcast join in the family and the piece that would
+    # dominate at 100 TB (at fixture scale the family is fixed-
+    # overhead-bound, so the local bench moves little; the projection
+    # itself measures 0.8 s of the ~4 s total).  The explode to
+    # (subspace, code) rows now happens AFTER probe pruning, on
+    # candidates only — which is also the production layout: codes and
+    # list ids are written zipped with the corpus, never joined.
     scored_corpus = (
         widen_for_compute(embeddings)
         .select(
             "vec_id",
             nrm.alias("nrm"),
-            _best_lists(F.col("embedding"), nrm, cents, N_PROBE).alias("lists"),
+            _best_lists(F.col("embedding"), nrm, cents, n_probe).alias("lists"),
+            _pq_code_array(F.col("embedding"), cb).alias("codes"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    assign = scored_corpus.select("vec_id", F.col("lists")[0].alias("list_id"))
     probes = scored_corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.explode("lists").alias("list_id")
     )
     cand = (
-        pq_codes(embeddings)
-        .join(assign, "vec_id")
+        scored_corpus.select(
+            "vec_id", F.col("lists")[0].alias("list_id"), "codes"
+        )
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.posexplode("codes").alias("subspace", "code")
+        )
     )
     return (
         cand.join(F.broadcast(_adc_tables(embeddings, n_queries)),
@@ -683,7 +734,8 @@ def ivfpq_rerank_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    shortlist: int = 20,
+    shortlist: int = RERANK_SHORTLIST,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF×PQ ADC shortlist → EXACT cosine re-rank — the full
     production ANN output stage.
@@ -697,11 +749,13 @@ def ivfpq_rerank_topk(
     vectors are fetched for the re-rank (a broadcast-joined point
     lookup against the vector store), so the exact tier's cost is
     independent of corpus size.  Measured recall@5 on the fixtures:
-    0.20 (ADC order) → 0.70 (shortlist=20 re-rank) — the residual
-    misses are vectors outside the N_PROBE probed lists, i.e. the
-    coarse quantizer's recall ceiling, not PQ error.
+    0.20 (ADC order) → 0.70 (shortlist=20) → 0.925 (shortlist=60,
+    the default) — the old ceiling was the SHORTLIST truncating
+    ADC-misranked true neighbors, not the coarse quantizer; see
+    RERANK_SHORTLIST's sweep, including why n_probe at fixed
+    shortlist moves recall the wrong way.
     """
-    scored = _ivfpq_adc_scored(embeddings, n_queries)
+    scored = _ivfpq_adc_scored(embeddings, n_queries, n_probe)
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
     )

@@ -1552,7 +1552,7 @@ def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
                       PARTITION BY query_id
                       ORDER BY approx_dist ASC, neighbor_id ASC) AS srank
-                  FROM approx) WHERE srank <= 20),
+                  FROM approx) WHERE srank <= {similarity.RERANK_SHORTLIST}),
     exact AS (SELECT s.query_id, s.neighbor_id,
                      ROUND({_ddb_cosine('qe.embedding', 'ne.embedding')}, 6)
                          AS cos_sim
