@@ -152,11 +152,20 @@ def windowed_distinct_users(events: DataFrame, minutes: int = 60) -> DataFrame:
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "distinct_users",
-            (
+            # A window whose events all carry NULL user_id has
+            # distinct_users = 0 (countDistinct skips NULLs); the
+            # relative-error form would divide by zero and emit a NULL
+            # that breaks the invariant's hashability — both sketches
+            # agreeing on zero IS the sketch being right.
+            F.when(
+                F.col("distinct_users") == 0, F.col("approx") == 0
+            )
+            .otherwise(
                 F.abs(F.col("approx") - F.col("distinct_users"))
                 / F.col("distinct_users")
                 <= F.lit(5 * rsd)
-            ).alias("sketch_ok"),
+            )
+            .alias("sketch_ok"),
         )
     )
 

@@ -414,9 +414,18 @@ def approx_top_event_types(events: DataFrame, k: int = 5) -> DataFrame:
     plus a boolean asserting the sketch reported that key with the
     exact count (with maxItemsTracked ≥ the distinct-key count the
     ApproxTopK sketch degenerates to exact counting, so the boolean
-    is provably TRUE at fixture scale)."""
+    is provably TRUE at fixture scale).
+
+    The sketch is asked for 2k items, not k: if counts TIE at the
+    rank-k boundary, the sketch's tie order need not match the exact
+    side's (count desc, key asc), and a boundary key the exact side
+    kept could fall outside the sketch's k — a NULL after the join
+    where the invariant expects a verdict.  With a 2k margin every
+    boundary-tied key still surfaces unless more than k keys share
+    the boundary count exactly; the join then always finds the key
+    and compares its count."""
     sketch = events.agg(
-        F.expr(f"approx_top_k(event_type, {k}, 100000)").alias("tk")
+        F.expr(f"approx_top_k(event_type, {2 * k}, 100000)").alias("tk")
     ).select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("event_type"),
         F.col("e.count").alias("approx_count"),
