@@ -66,16 +66,31 @@ def _ts_is_micros(events_dir: str) -> bool:
     physical ts type has changed across driver revisions (NANOS →
     tz-naive MICROS), so the reader adapts per-directory instead of
     hard-coding one.  Footer-only read: no data pages touched.
+
+    Only tz-NAIVE micros qualify for the NTZ schema: a tz-aware
+    ``timestamp[us, tz=...]`` column carries instant semantics, and
+    forcing TIMESTAMP_NTZ onto it would shift or misread the values —
+    those fall through to the long-schema path (and fail loudly there
+    rather than silently relabeling).  For glob inputs like
+    ``dir/part-*`` the walk base is the original prefix's DIRECTORY
+    (``dir/``), not the non-directory prefix ``dir/part-`` itself,
+    which os.walk would silently yield nothing for.
     """
-    base = events_dir.split("*")[0] or "."
+    prefix = events_dir.split("*")[0]
+    base = prefix if os.path.isdir(prefix) else (os.path.dirname(prefix) or ".")
     for root, _dirs, fnames in os.walk(base):
         for fn in sorted(fnames):
             if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 try:
                     import pyarrow.parquet as pq
+                    import pyarrow as pa
 
                     field = pq.read_schema(os.path.join(root, fn)).field("ts")
-                    return str(field.type).startswith("timestamp[us")
+                    return (
+                        isinstance(field.type, pa.TimestampType)
+                        and field.type.unit == "us"
+                        and field.type.tz is None
+                    )
                 except Exception:
                     return False
     return False
@@ -148,12 +163,46 @@ def windowed_user_sketch(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def configure_state_store(spark: SparkSession, provider: str = "rocksdb") -> None:
+    """Select the state-store backend for streaming queries STARTED
+    AFTER this call (the provider is captured per-query at start and
+    pinned into its checkpoint — restarting an existing checkpoint
+    with a different provider is an error Spark itself rejects).
+
+    The default HDFSBackedStateStoreProvider keeps every store's full
+    key→value map ON-HEAP per executor — fine for fixture-sized state,
+    but the 100 TB deployment's dedup/session state (billions of keys)
+    must spill: ``rocksdb`` switches to the bundled RocksDB provider
+    (native memory + local SSD, changelog-checkpointed to the query's
+    checkpoint location), which bounds heap usage regardless of key
+    cardinality.  ``hdfs`` switches back (e.g. for tiny always-on
+    metrics where JVM-heap lookups are cheaper than JNI).
+    """
+    providers = {"rocksdb": ROCKSDB_PROVIDER, "hdfs": _HDFS_PROVIDER}
+    try:
+        cls = providers[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown state-store provider {provider!r}; use 'rocksdb' or 'hdfs'"
+        ) from None
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     *,
     output_mode: str = "complete",
     query_name: str | None = None,
     timeout_sec: float = 120.0,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DF with Trigger.AvailableNow into a memory
     sink, block until drained, and return the sink table.
@@ -162,7 +211,13 @@ def run_to_memory(
     stop; a query still running after the deadline (e.g. a stateful op
     spinning no-data batches on processing-time timeouts) is stopped
     and reported instead of hanging the caller forever.
+
+    ``state_store`` ('rocksdb' | 'hdfs') selects the state backend for
+    THIS query via :func:`configure_state_store`; None keeps the
+    session's current setting.
     """
+    if state_store is not None:
+        configure_state_store(streaming_df.sparkSession, state_store)
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (

@@ -42,6 +42,48 @@ def test_stream_windows_equal_batch(spark, events_stream_dir):
     assert got_counts == want_counts
 
 
+def test_rocksdb_state_store_windows_equal_batch(spark, events_stream_dir):
+    """The 100 TB state backend: the same windowed aggregation under
+    the RocksDB state-store provider must (a) actually run its state
+    operator on RocksDB — asserted from the query progress's
+    RocksDB-specific custom metrics, not just the conf — and (b)
+    reproduce the batch twin bit-for-bit."""
+    import os
+    import tempfile
+    import uuid
+
+    windows.configure_state_store(spark, "rocksdb")
+    try:
+        stream = windows.read_event_stream(spark, events_stream_dir)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            windows.windowed_counts(stream, 10)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "rocksdb-backed query did not drain"
+        progress = q.lastProgress
+        state_ops = progress["stateOperators"]
+        assert state_ops, "no state operator in progress"
+        custom = state_ops[0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in custom), custom
+        got = {tuple(r) for r in spark.table(name).collect()}
+        batch = scalars.tumbling_event_windows(
+            load_table(spark, SF_SMOKE, "events"), 10
+        )
+        want = {(r[0], r[1], r[2], r[3]) for r in batch.collect()}
+        assert {(r[0], r[1], r[2], r[3]) for r in got} == want
+    finally:
+        windows.configure_state_store(spark, "hdfs")
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Micro-batched file stream (maxFilesPerTrigger=1): earlier
     batches advance the watermark far past an hours-late event in the
