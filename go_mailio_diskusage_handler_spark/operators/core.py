@@ -93,7 +93,7 @@ def inventory_quality(inventory: DataFrame) -> DataFrame:
     )
 
 
-def disk_usage_observed(inventory: DataFrame):
+def disk_usage_observed(inventory: DataFrame, *, round_to: int | None = 2):
     """:func:`disk_usage` instrumented with ``df.observe`` counters.
 
     Returns ``(aggregate_df, Observation)``.  The quality counters
@@ -112,7 +112,7 @@ def disk_usage_observed(inventory: DataFrame):
         F.count(F.lit(1)).alias("total_rows"),
         F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
     )
-    return disk_usage(observed), obs
+    return disk_usage(observed, round_to=round_to), obs
 
 
 def inventory_diff(inv_old: DataFrame, inv_new: DataFrame) -> DataFrame:

@@ -47,7 +47,7 @@ from datetime import datetime, timezone
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.core import disk_usage
+from ..operators.core import disk_usage, disk_usage_observed
 from ..sources.manifest import Manifest, fetch_manifest
 
 log = logging.getLogger(__name__)
@@ -95,6 +95,9 @@ class DiskUsageHandler:
         # Published snapshots (atomically rebound, never mutated):
         self._map: dict[str, DiskUsage] = {}
         self._df: DataFrame | None = None
+        # Per-refresh quality counters (total_rows, malformed_keys)
+        # observed in-flight on the refresh aggregation's own scan.
+        self.last_refresh_metrics: dict[str, int] | None = None
 
         if eager:
             self.execute_job()  # synchronous first run, handler.go:58
@@ -136,11 +139,20 @@ class DiskUsageHandler:
             log.warning("manifest lists no data files; keeping previous snapshot")
             return
         inv = self._spark.read.parquet(*paths).select("key", "size")
-        agg = disk_usage(inv, round_to=None)
+        # The quality counters ride the aggregation's own scan
+        # (df.observe) — per-refresh metrics with zero extra passes
+        # over the inventory, the O9 invariant running in-flight.
+        agg, obs = disk_usage_observed(inv, round_to=None)
         if self._serving == "map":
+            # collect(), not toLocalIterator(): the serving map is
+            # driver-resident either way (same memory envelope), and
+            # df.observe's listener only fires when the query RUNS TO
+            # COMPLETION as one action — under toLocalIterator's
+            # incremental per-partition jobs, Observation.get blocks
+            # forever (measured).
             snapshot = {
                 r["address"]: DiskUsage(r["address"], r["size_bytes"], r["number_files"])
-                for r in agg.toLocalIterator()
+                for r in agg.collect()
             }
             with self._lock:
                 self._map = snapshot  # atomic swap, handler.go:252
@@ -151,6 +163,10 @@ class DiskUsageHandler:
                 old, self._df = self._df, new_df
             if old is not None:
                 old.unpersist()
+        # Observation.get blocks until the action above completes; the
+        # dict swap is atomic under the same lock as the snapshot.
+        with self._lock:
+            self.last_refresh_metrics = dict(obs.get)
 
     # -- read path (O11) ----------------------------------------------------
     def get_disk_usage(self, address: str) -> DiskUsage:

@@ -133,6 +133,9 @@ def test_refresh_aggregates_across_all_files(spark, inventory_dir):
         h.get_disk_usage("noslash")  # malformed key filtered (O7)
     with pytest.raises(NotFoundError):
         h.get_disk_usage("nobody")
+    # O9 in-flight: the refresh scan itself observed 6 inventory rows,
+    # one of which ("noslash") the O7 guard dropped as malformed.
+    assert h.last_refresh_metrics == {"total_rows": 6, "malformed_keys": 1}
     h.stop()
 
 
@@ -141,6 +144,7 @@ def test_dataframe_serving_mode(spark, inventory_dir):
     assert h.get_disk_usage("bob").size_bytes == 7
     with pytest.raises(NotFoundError):
         h.get_disk_usage("nobody")
+    assert h.last_refresh_metrics == {"total_rows": 6, "malformed_keys": 1}
     h.stop()
 
 
