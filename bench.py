@@ -6,6 +6,15 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + count-style action;
 results are consumed via a cheap aggregate so the full plan runs but
 no driver materialization dominates).
+
+Run-to-run comparability: the round-4 recording showed a uniform
+~1.4-1.5x slowdown across the whole SQL tier vs round 2 with unchanged
+plans.  A controlled re-run in round 5 — same code, same registration
+order, idle machine — reproduced the ROUND-2 numbers (e.g.
+sql_large_orders 1.90/2.96/1.88 s across r2/r4/now), so the drift was
+co-located load on the recording host, not code, warmup ordering, or
+registration position.  Treat cross-round per-query deltas under ~1.5x
+as environment noise unless they reproduce on a quiet machine.
 """
 
 from __future__ import annotations
@@ -66,6 +75,12 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
+    # A failing query must read as a REGRESSION, not a speedup: it is
+    # charged a sentinel penalty far above any real query time, so the
+    # headline total grows when something breaks, while the run itself
+    # stays failure-isolated (one bad query can't abort the recording,
+    # as the round-3 events_sessionize crash did).
+    ERROR_PENALTY_SEC = 60.0
     errors: dict[str, str] = {}
     for name, fn in registry.QUERIES.items():
         t0 = time.perf_counter()
@@ -76,6 +91,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one bad query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = ERROR_PENALTY_SEC
         finally:
             # Queries that persist intermediates (near-dup, ANN) would
             # otherwise accumulate executor storage across the run and
