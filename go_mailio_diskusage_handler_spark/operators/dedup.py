@@ -382,6 +382,68 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def incremental_minhash_pairs(
+    documents: DataFrame,
+    batch_min_doc_id: int,
+    threshold: float = 0.8,
+    *,
+    persist: bool = True,
+) -> DataFrame:
+    """Incremental fuzzy dedup: near-dup pairs involving at least one
+    NEW document (doc_id ≥ ``batch_min_doc_id``), i.e. every
+    :func:`minhash_dedup_pairs` pair EXCEPT old×old — those were
+    already adjudicated when the old batch landed.
+
+    This is how a 100 TB corpus actually deduplicates day over day:
+    the banded signature index of the existing corpus is a stored
+    table (here: the full band table filtered by id; in production,
+    yesterday's output), and only the new batch is shingled, signed,
+    and probed against it.  Cost per ingest is
+    O(new·bands + matching-bucket pairs), never a re-scan of the
+    corpus-wide O(N²) candidate space; the probe side (new docs'
+    band keys) is the small side of the join.
+
+    Output matches the full-corpus pair set restricted to
+    ``doc_b ≥ batch_min_doc_id`` (pairs are emitted a < b, and b is
+    the newer doc whenever exactly one side is new), so re-running
+    the full dedup would find nothing new — the invariant the
+    incremental form must preserve.
+    """
+    sh = shingles(documents)
+    sigs = _signatures_from_shingles(sh)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), _band_key(b).alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    index_side = bands.alias("a")  # full corpus: the stored band index
+    probe_side = bands.filter(F.col("doc_id") >= batch_min_doc_id).alias("b")
+    cands = (
+        index_side.join(
+            probe_side,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 25,

@@ -149,6 +149,62 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Metadata-filtered vector search: per query, exact top-k cosine
+    among corpus vectors sharing the query's ``label`` — the
+    class-conditional neighbor query every curation pipeline runs
+    ("nearest docs of the same domain/language/cluster").
+
+    The filter composes as a JOIN KEY, not a post-filter: label
+    equality joins the broadcast query set against the corpus scan, so
+    a candidate outside the query's class is never scored — with the
+    corpus written partitioned by the filter column, partition pruning
+    makes this touch ~1/|labels| of the data, where post-filtering the
+    unfiltered top-k would both over-read and UNDER-RETURN (fewer than
+    k survivors).  Same broadcast + window shape as
+    :func:`brute_force_topk` otherwise.
+    """
+    embeddings = widen_for_compute(embeddings)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("n_emb"),
+        l2_norm(F.col("embedding")).alias("n_nrm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane(p: int, dim: int = EMB_DIM) -> list[float]:
     """Deterministic small-integer 'random' hyperplane p: each
     component is an md5-derived value in [-3, 3].

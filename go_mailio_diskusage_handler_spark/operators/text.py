@@ -195,6 +195,66 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText-
+    style quality-filter family (Rae et al. 2021 §A1.1 use duplicate
+    n-gram fractions and top-word dominance to drop boilerplate and
+    looping generations):
+
+    * ``dup_bigram_frac`` — fraction of word-bigram occurrences that
+      are repeats of an earlier bigram in the same doc
+      (``1 − distinct/total``; 0 for docs with < 2 words);
+    * ``top_word_frac`` — share of the document's words taken by its
+      single most frequent word.
+
+    Bigram stats are pure per-row array expressions (no shuffle): the
+    bigram list is built with one indexed ``transform`` over the word
+    array and deduped with ``array_distinct`` — document-local work
+    that scales with doc length, not corpus size.  Top-word dominance
+    explodes to (doc, word) and double-aggregates (word counts →
+    per-doc max); both aggregations partial-aggregate map-side, and
+    the explode is the same shape the token-frequency tier already
+    runs at 100 TB.  ``sequence`` is guarded for 1-word docs: Spark
+    infers a DESCENDING step for ``sequence(1, 0)``, which would
+    fabricate a phantom bigram instead of an empty list.
+    """
+    words = tokens()
+    n = F.size(words)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    per_doc = documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(bigrams).alias("total_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("distinct_bigrams"),
+    )
+    top = (
+        documents.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    return per_doc.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.when(
+                F.col("total_bigrams") > 0,
+                1.0 - F.col("distinct_bigrams") / F.col("total_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_bigram_frac"),
+        F.round(F.col("top_word_count") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup via content hash: keep the smallest doc_id per
     distinct content, report group size.

@@ -534,6 +534,36 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT doc_id, array_length(ws) AS n_words,
+                 CASE WHEN array_length(ws) >= 2
+                      THEN list_transform(range(1, array_length(ws)),
+                                          i -> ws[i] || ' ' || ws[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END AS bigs
+          FROM w),
+    tw AS (SELECT doc_id, MAX(c) AS top_word_count FROM (
+               SELECT doc_id, word, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+               GROUP BY doc_id, word)
+           GROUP BY doc_id)
+    SELECT b.doc_id, CAST(n_words AS INTEGER) AS n_words,
+           ROUND(CASE WHEN array_length(bigs) > 0
+                      THEN 1.0 - array_length(list_distinct(bigs)) * 1.0
+                                 / array_length(bigs)
+                      ELSE 0.0 END, 4) AS dup_bigram_frac,
+           ROUND(top_word_count * 1.0 / n_words, 4) AS top_word_frac
+    FROM b JOIN tw ON b.doc_id = tw.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-bigram
+    fraction + top-word dominance) — text.repetition_signals."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_exact",
     """
     SELECT sha256(text) AS content_sha,
@@ -618,6 +648,34 @@ _JACCARD_TAIL = """
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+#: Incremental-dedup batch boundary: docs with id ≥ this are "today's
+#: ingest", probed against the stored band index of the full corpus.
+_INCR_BATCH_MIN = 400
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shingles GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id AND b.doc_id >= {_INCR_BATCH_MIN}),
+    {_JACCARD_TAIL}
+    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day fuzzy dedup: only pairs involving a new-batch doc
+    (dedup.incremental_minhash_pairs) — the band index of the existing
+    corpus is probed, never re-self-joined."""
+    return dedup.incremental_minhash_pairs(
+        load_table(spark, sf_dir, "documents"), _INCR_BATCH_MIN, 0.8
+    )
 
 
 @register(
@@ -932,6 +990,32 @@ def _ddb_bucket(col: str, table: int = 0) -> str:
 )
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 8, 10)
+
+
+@register(
+    "sim_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id, e.label AS label,
+               ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim
+        FROM embeddings e JOIN q
+          ON e.label = q_label AND e.vec_id != query_id
+    ),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, label, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact top-k within the query's
+    label class (similarity.filtered_topk) — the filter is a join key,
+    not a post-filter, so off-class vectors are never scored."""
+    return similarity.filtered_topk(load_table(spark, sf_dir, "embeddings"), 8, 5)
 
 
 @register(

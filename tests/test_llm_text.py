@@ -18,8 +18,10 @@ ORACLE_CHECKED = [
     "text_fingerprints",
     "text_unigram_logprob",
     "text_language_ngram",
+    "text_repetition",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_incremental_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash_values",
     "dedup_simhash_pairs",
@@ -35,6 +37,50 @@ ORACLE_CHECKED = [
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_oracle_parity(spark, ddb, name):
     compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed fixtures: 'a a a a' has bigrams [aa,aa,aa] →
+    dup fraction 2/3 and total top-word dominance; a no-repeat doc
+    scores 0; a 1-word doc must NOT fabricate a phantom bigram from
+    Spark's descending-sequence inference."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "w x y z"),
+            (3, "solo"),
+            (4, "p q p q p"),
+        ],
+        "doc_id long, text string",
+    )
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    got = {r.doc_id: r for r in T.repetition_signals(docs).collect()}
+    assert (got[1].dup_bigram_frac, got[1].top_word_frac) == (0.6667, 1.0)
+    assert (got[2].dup_bigram_frac, got[2].top_word_frac) == (0.0, 0.25)
+    assert (got[3].n_words, got[3].dup_bigram_frac, got[3].top_word_frac) == (
+        1, 0.0, 1.0,
+    )
+    # 'p q p q p': bigrams [pq,qp,pq,qp] → 2 distinct of 4 → 0.5.
+    assert (got[4].dup_bigram_frac, got[4].top_word_frac) == (0.5, 0.6)
+
+
+def test_incremental_minhash_matches_full_restriction(spark):
+    """The incremental invariant: probing the stored band index with
+    only the new batch must yield exactly the full-corpus pair set
+    restricted to pairs whose newer side is in the batch — re-running
+    the full dedup after an incremental ingest finds nothing new."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_minhash_pairs(docs, 400, 0.8).collect()
+    }
+    assert incr == {(a, b) for a, b in full if b >= 400}
+    assert incr, "batch boundary produced an empty incremental set"
 
 
 def test_minhash_lsh_recall_vs_exact(spark):

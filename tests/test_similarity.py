@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "sim_ivfpq_ann_topk",
     "sim_ivfpq_rerank_topk",
     "sim_brute_topk",
+    "sim_filtered_topk",
     "sim_lsh_buckets",
     "sim_lsh_ann_topk",
     "dedup_embedding_cosine",
@@ -57,6 +58,39 @@ def test_ann_results_are_subset_quality(spark):
     assert ann, "ANN returned nothing"
     for r in ann:
         assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_filtered_topk_respects_label_and_cosine(spark):
+    """Every hit must share its query's label, carry the brute-force
+    cosine for that pair, and out-rank every unreturned same-label
+    candidate (true filtered top-k, not a post-filtered global one)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(emb, 8, 500).collect()
+    }
+    hits: dict[int, list] = {}
+    for r in similarity.filtered_topk(emb, 8, 5).collect():
+        assert labels[r.neighbor_id] == labels[r.query_id]
+        assert r.label == labels[r.query_id]
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
+        hits.setdefault(r.query_id, []).append(r)
+    for q, rows in hits.items():
+        floor = min(r.cos_sim for r in rows)
+        better_same_label = [
+            cos
+            for (qq, n), cos in brute.items()
+            if qq == q and labels[n] == labels[q] and cos > floor
+        ]
+        returned = {r.neighbor_id for r in rows}
+        missing = [
+            n
+            for (qq, n), cos in brute.items()
+            if qq == q and labels[n] == labels[q] and cos > floor
+            and n not in returned
+        ]
+        assert not missing, (q, missing)
 
 
 def test_cosine_self_similarity_is_one(spark):
