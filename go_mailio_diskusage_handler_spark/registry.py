@@ -2216,3 +2216,67 @@ def _rotate_front(front: list[str]) -> None:
 
 
 _rotate_front(_R4_FRONT)
+
+# Round-5 window (the driver checks the first ~50 registrations): the
+# rule, per the round-4 advisory, is that EVERY query whose semantics
+# or engine code changed this round must sit inside the external gate
+# — the in-repo oracle is edited in lockstep with the engine and
+# cannot arbitrate its own changes.  This list = all 42 queries whose
+# last driver row predates round 4's window (requirement: no query
+# goes >1 round without a fresh row) ∪ every round-5-touched query:
+# sim_lsh_ann_topk (asymmetric 2-table probes), sim_ivfpq_rerank_topk
+# (shortlist 60), sim_ivfpq_ann_topk (fused code projection),
+# curation_mixture (skew guard), events_window_users /
+# approx_top_event_types (sketch invariant guards), dedup_clusters /
+# curation_corpus (strict CC threading), and the three new queries.
+# 46 names — inside the window with slack.
+_R5_FRONT = [
+    "rollup_order_stats",
+    "distinct_customers_per_status",
+    "approx_distinct_customers",
+    "approx_order_percentiles",
+    "scalar_monthly_orders",
+    "scalar_math_buckets",
+    "scalar_json_events",
+    "scalar_map_props",
+    "scalar_embedding_arrays",
+    "events_tumbling_window",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_unigram_logprob",
+    "text_language_ngram",
+    "text_language_id",
+    "text_fingerprints",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "curation_split_assign",
+    "curation_mixture",
+    "curation_pack_sequences",
+    "curation_contaminated",
+    "curation_corpus",
+    "dedup_clusters",
+    "dedup_simhash_values",
+    "dedup_simhash_pairs",
+    "sim_brute_topk",
+    "sim_filtered_topk",
+    "sim_lsh_buckets",
+    "sim_lsh_ann_topk",
+    "dedup_embedding_cosine",
+    "media_metadata",
+    "media_decode_features",
+    "media_frame_sample",
+    "events_sliding_window",
+    "inventory_diff",
+    "pivot_status_revenue",
+    "percentile_order_value",
+    "cube_lineitem_flags",
+    "sim_ivfpq_rerank_topk",
+    "sim_ivfpq_ann_topk",
+    "events_window_users",
+    "approx_top_event_types",
+]
+
+_rotate_front(_R5_FRONT)
