@@ -106,11 +106,14 @@ def mixture_rebalance(
       per source are ≤ cap − 1 plus one hash tie-group (~n/65 536
       docs) — O(cap), not O(source).
     * Sources smaller than the cap never reach the cutoff (cumulative
-      count stays below cap) and are kept whole via the left join.
+      count stays below cap), are absent from the cutoff map, and are
+      kept whole.
 
-    Cost: one extra bounded-size aggregate and a broadcast of
-    |sources| cutoff rows; the exact window then runs on O(cap) rows
-    per source.
+    Cost: one bounded-size aggregation job whose ≤ |sources|-row
+    result rebinds as a map literal (the per-source-quota broadcast),
+    making the guard a pure filter expression on the main scan — the
+    exact window then runs on O(cap) rows per source with no extra
+    join in its plan.
     """
     h = F.expr(_BUCKET_SQL).cast("long")
     base = documents.select("doc_id", "source", h.alias("h"))
@@ -120,17 +123,33 @@ def mixture_rebalance(
             .orderBy("h")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cutoffs = (
+        # The cutoff table is ≤ |sources| rows — a low-cardinality
+        # dimension by definition — so it collects to the driver and
+        # rebinds as a map LITERAL (the per-source-quota broadcast a
+        # production mixture job ships), turning the guard into a
+        # plain filter expression on the main scan: no join stage, no
+        # second plan branch over the corpus.
+        cutoff_rows = (
             base.groupBy("source", "h")
             .agg(F.count(F.lit(1)).alias("n"))
             .select("source", "h", F.sum("n").over(cum_w).alias("cum"))
             .filter(F.col("cum") >= per_source_cap)
             .groupBy("source")
             .agg(F.min("h").alias("h_cap"))
+            .collect()
         )
-        base = base.join(F.broadcast(cutoffs), "source", "left").filter(
-            F.col("h_cap").isNull() | (F.col("h") <= F.col("h_cap"))
-        )
+        if cutoff_rows:
+            caps = F.create_map(
+                *[
+                    lit
+                    for r in cutoff_rows
+                    for lit in (F.lit(r["source"]), F.lit(r["h_cap"]))
+                ]
+            )
+            # Sources below the cap never reach a cutoff → absent from
+            # the map → NULL lookup → kept whole.
+            cap_h = caps[F.col("source")]
+            base = base.filter(cap_h.isNull() | (F.col("h") <= cap_h))
     w = Window.partitionBy("source").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     )

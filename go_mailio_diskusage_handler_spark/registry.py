@@ -755,6 +755,12 @@ def curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ranked per-source caps WITH the round-5 skew guard on its
+    default: the guard's bounded-histogram pre-filter adds ~0.5 s of
+    fixed local overhead vs the bare window (the price that fences a
+    10⁹-doc source at 100 TB — same accepted trade as the round-4
+    shingle DF cap on curation_contaminated); output is provably
+    identical, so the oracle is unchanged."""
     return curation.mixture_rebalance(load_table(spark, sf_dir, "documents"), 10)
 
 

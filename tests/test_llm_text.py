@@ -165,9 +165,14 @@ def test_mixture_skew_guard_bounds_window_input(spark):
     cutoff = big[cap - 1]
     survivors = sum(1 for h in big if h <= cutoff)
     assert survivors <= 5 * cap, survivors
-    # The cutoff table must reach the corpus as a broadcast, never a
-    # shuffle of the doc table.
-    assert plans.has_broadcast_join(guarded)
+    # The cutoff map is a literal in the plan — the guarded window must
+    # cost the SAME shuffles as the plain one, with no join node.
+    # (Fresh frames: AQE's post-action final plan double-prints
+    # materialized exchanges, so never count on a collected frame.)
+    g2 = curation.mixture_rebalance(docs, cap)
+    p2 = curation.mixture_rebalance(docs, cap, skew_guard=False)
+    assert plans.shuffle_count(g2) == plans.shuffle_count(p2) == 1
+    assert "Join" not in plans.executed_plan(g2)
 
 
 def test_curation_plan_shapes(spark):
