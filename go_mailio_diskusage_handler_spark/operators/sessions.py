@@ -121,3 +121,78 @@ def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES) -> Dat
         F.count(F.lit(1)).alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     ).select("user_id", "session_start_us", "n_events", "duration_us")
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel analysis: for every user, the first time each
+    step of ``steps`` was completed IN ORDER (each step strictly after
+    the previous step's completion) — the product-analytics
+    counterpart of sessionization, and the same shape a training
+    pipeline uses for ordered event-sequence mining.
+
+    One shuffle, bounded state: events are packed per user into a
+    sorted (time, type) array and folded ONCE with ``F.aggregate`` —
+    the accumulator carries one timestamp per step, so the fold's
+    state is O(|steps|) no matter how many events a user has.  The
+    per-user array is the collect_list bound every sessionization
+    carries (events-per-user, not corpus size); a deployment with
+    pathological per-user volumes pre-aggregates to first-event-per
+    -(user, type, coarse window) before folding.  Sequential semantics
+    need sequential state — three chained min-aggregate+join stages
+    (the relational alternative, and how the DuckDB oracle states it)
+    would shuffle three times; the fold shuffles once.
+
+    Output: (user_id, step_1_us..step_N_us epoch-micros or NULL,
+    steps_completed).
+    """
+    us = F.unix_micros(F.col("ts"))
+    # Anonymous events can't form a funnel; dropping them up front also
+    # keeps NULL-group semantics identical across engines.
+    packed = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type").isin(*steps),
+                        F.struct(us.alias("t"), F.col("event_type").alias("e")),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    n = len(steps)
+    acc0 = F.struct(
+        *[F.lit(None).cast("bigint").alias(f"s{i}") for i in range(n)]
+    )
+
+    def fold(acc, s):
+        fields = []
+        for i, step in enumerate(steps):
+            prev_done = F.lit(True) if i == 0 else acc[f"s{i-1}"].isNotNull()
+            prev_t = F.lit(-1).cast("bigint") if i == 0 else acc[f"s{i-1}"]
+            fields.append(
+                F.coalesce(
+                    acc[f"s{i}"],
+                    F.when(
+                        (s["e"] == step) & prev_done & (s["t"] > prev_t), s["t"]
+                    ),
+                ).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    folded = packed.select(
+        "user_id", F.aggregate(F.col("evs"), acc0, fold).alias("f")
+    )
+    step_cols = [
+        F.col("f")[f"s{i}"].alias(f"step_{i + 1}_us") for i in range(n)
+    ]
+    completed = sum(
+        (F.col("f")[f"s{i}"].isNotNull().cast("int") for i in range(n)),
+        F.lit(0),
+    )
+    return folded.select("user_id", *step_cols, completed.alias("steps_completed"))

@@ -1189,6 +1189,39 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+          GROUP BY e.user_id)
+    SELECT u.user_id,
+           v.t1 AS step_1_us, c.t2 AS step_2_us, p.t3 AS step_3_us,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user in ONE shuffle via
+    a sorted per-user fold (sessions.funnel); the oracle states the
+    same semantics as three chained min-aggregate joins."""
+    return sessions.funnel(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sliding_window",
     """
     WITH ex AS (
@@ -2283,6 +2316,7 @@ _R5_FRONT = [
     "sim_ivfpq_ann_topk",
     "events_window_users",
     "approx_top_event_types",
+    "events_funnel",
 ]
 
 _rotate_front(_R5_FRONT)

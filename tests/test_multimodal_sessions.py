@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "media_audio_chunks",
     "events_sessionize",
     "events_sliding_window",
+    "events_funnel",
 ]
 
 
@@ -38,3 +39,55 @@ def test_decode_media_real_codecs_stubbed(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(docs, real_codecs=True)
+
+
+def test_funnel_order_and_strictness(spark):
+    """Hand-built sequences pin the ordered-funnel semantics the dense
+    fixture can't discriminate (every fixture user completes all 3):
+
+    * u1 completes in order; * u2 clicked BEFORE viewing — the early
+    click must not count, a later one does; * u3 purchase-first then
+    view — purchase never counts (no click step at all); * u4's click
+    at the SAME microsecond as the view must not count (strictly
+    after); * u5 only views.  Also: one shuffle, no join in the plan
+    (the relational formulation would join three times)."""
+    from datetime import datetime
+
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    def ev(uid, sec, typ):
+        return (uid, datetime(2024, 1, 1, 0, 0, sec), typ)
+
+    rows = [
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        ev(2, 1, "click"), ev(2, 2, "view"), ev(2, 3, "click"), ev(2, 4, "purchase"),
+        ev(3, 1, "purchase"), ev(3, 2, "view"), ev(3, 3, "purchase"),
+        ev(4, 1, "view"), ev(4, 1, "click"), ev(4, 2, "purchase"),
+        ev(5, 1, "view"), ev(5, 2, "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.user_id: r for r in sessions.funnel(events).collect()}
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+
+    def us(sec):
+        return base + sec * 1_000_000
+
+    assert (got[1].step_1_us, got[1].step_2_us, got[1].step_3_us) == (
+        us(1), us(2), us(3),
+    )
+    assert got[1].steps_completed == 3
+    # u2: early click ignored, later click counts.
+    assert (got[2].step_2_us, got[2].steps_completed) == (us(3), 3)
+    # u3: purchase without a click never counts.
+    assert (got[3].step_2_us, got[3].step_3_us, got[3].steps_completed) == (
+        None, None, 1,
+    )
+    # u4: same-microsecond click is not strictly after the view.
+    assert (got[4].step_2_us, got[4].steps_completed) == (None, 1)
+    assert got[5].steps_completed == 1
+    fresh = sessions.funnel(events)
+    assert plans.shuffle_count(fresh) == 1
+    assert "Join" not in plans.executed_plan(fresh)
