@@ -29,7 +29,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -122,6 +125,151 @@ def sessionize_stream(
         lambda key, pdf_iter, state: _sessionize_group(key, pdf_iter, state, gap_us),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered-funnel twin of operators.sessions.funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step_1_us", LongType()),
+        StructField("step_2_us", LongType()),
+        StructField("step_3_us", LongType()),
+        StructField("steps_completed", IntegerType()),
+    ]
+)
+
+# Compact folded prefix (one timestamp per step) + the not-yet-final
+# buffer of (ts, type) events above the watermark.
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("s0", LongType()),
+        StructField("s1", LongType()),
+        StructField("s2", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_e", ArrayType(StringType())),
+    ]
+)
+
+
+def _funnel_fold(
+    steps: list, events: list[tuple[int, str]], step_names: tuple[str, ...]
+) -> None:
+    """In-place ordered fold — the exact gate structure of the batch
+    ``sessions.funnel`` aggregate: step i records the first event of
+    its type strictly after step i−1's recorded time."""
+    for t, e in events:
+        for i, name in enumerate(step_names):
+            if steps[i] is None and e == name:
+                if i == 0 or (steps[i - 1] is not None and t > steps[i - 1]):
+                    steps[i] = int(t)
+                break
+
+
+def _funnel_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    step_names: tuple[str, ...],
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+
+    def emit(steps: list) -> pd.DataFrame:
+        done = 0
+        for s in steps:
+            if s is None:
+                break
+            done += 1
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "step_1_us": [steps[0]],
+                "step_2_us": [steps[1]],
+                "step_3_us": [steps[2]],
+                "steps_completed": [done],
+            }
+        )
+
+    if state.hasTimedOut:
+        s0, s1, s2, buf_ts, buf_e = state.get
+        steps = [s0, s1, s2]
+        # Horizon semantics: the user has been idle past the watermark
+        # horizon — fold whatever is buffered and declare the funnel
+        # closed (the same assumption the session flush makes).
+        _funnel_fold(steps, sorted(zip(buf_ts, buf_e)), step_names)
+        state.remove()
+        yield emit(steps)
+        return
+
+    new = pd.concat(list(batches))
+    if state.exists:
+        s0, s1, s2, buf_ts, buf_e = state.get
+    else:
+        s0, s1, s2, buf_ts, buf_e = None, None, None, [], []
+    steps = [s0, s1, s2]
+    pending = sorted(
+        list(zip((int(t) for t in buf_ts), buf_e))
+        + list(zip(new["us"].astype("int64"), new["event_type"]))
+    )
+    # Only events at or below the watermark are FINAL (nothing earlier
+    # can still arrive — Spark drops sub-watermark rows before this
+    # function); fold those into the compact prefix, buffer the rest.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    final = [(t, e) for t, e in pending if t <= wm_us]
+    rest = [(t, e) for t, e in pending if t > wm_us]
+    _funnel_fold(steps, final, step_names)
+    if all(s is not None for s in steps):
+        state.remove()
+        yield emit(steps)
+        return
+    last_ms = (max(t for t, _ in pending) // 1000) if pending else 0
+    state.update(
+        (
+            steps[0],
+            steps[1],
+            steps[2],
+            [t for t, _ in rest],
+            [e for _, e in rest],
+        )
+    )
+    state.setTimeoutTimestamp(
+        max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming ordered funnel (batch twin: ``sessions.funnel``).
+
+    Correct under out-of-order arrival: an event only folds into the
+    compact per-user prefix once the watermark passes it (no earlier
+    event can still arrive), so a click delivered before its view
+    still counts when the view lands in a later micro-batch.  State is
+    one timestamp per step plus the above-watermark buffer — bounded
+    by the watermark horizon, not the stream length.  A completed
+    funnel emits (and clears state) immediately; idle users emit their
+    partial funnel when the watermark passes their last event.
+    """
+    from pyspark.sql import functions as F
+
+    with_us = (
+        events.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isin(*steps))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros("ts").alias("us"), "event_type")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdf_iter, state: _funnel_group(key, pdf_iter, state, steps),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

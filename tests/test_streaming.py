@@ -303,3 +303,69 @@ def test_streaming_refresher_survives_restart(spark, tmp_path):
         assert svc2.get_disk_usage("carol").number_files == 1
     finally:
         svc2.stop()
+
+
+def test_stateful_funnel_stream_matches_batch(spark, events_stream_dir):
+    """Streaming ordered funnel ≡ batch funnel for every user whose
+    event-time timeout fires during the drain (a user idle past the
+    watermark horizon folds its full buffer — identical input order to
+    the batch sort, so identical step timestamps).  Users whose last
+    event sits inside the horizon of the stream's max timestamp never
+    time out under AvailableNow; compare on the emitted subset."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    # Single-file fixture = single batch = no cross-batch disorder, so
+    # the test can run a tiny horizon; most users' LAST funnel event
+    # sits near the stream's max timestamp (max of ~40 uniform draws),
+    # and a wide horizon would leave them un-flushed at drain end.
+    got = {
+        tuple(r)
+        for r in windows.run_to_memory(
+            stateful.funnel_stream(stream, watermark="1 second"),
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in sessions.funnel(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got, "no funnel rows emitted"
+    assert got <= want, f"{len(got - want)} stream rows disagree with batch"
+    # sf0.001 has 15 funnel users; every one except the holder of the
+    # stream's global max event sits past the 1 s horizon and must flush.
+    assert len(got) >= 14, f"only {len(got)}/15 users flushed"
+
+
+def test_funnel_stream_out_of_order_across_batches(spark, tmp_path):
+    """The case a greedy per-batch fold gets WRONG: a click delivered
+    in an earlier micro-batch than its view, with a later event time.
+    The buffered design must credit both steps once the watermark
+    confirms no earlier event can still arrive."""
+    import os
+    import time
+
+    H = 3_600_000_000_000  # 1h in ns
+    d = tmp_path / "ooo_events"
+    d.mkdir()
+    batches = [
+        [(1, 2 * H, 7, "click", 1.0, "{}")],          # 02:00 click first
+        [(2, 2 * H - H // 6, 7, "view", 1.0, "{}")],  # 01:50 view arrives later
+        [(3, 5 * H, 8, "view", 1.0, "{}")],           # advances the watermark
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    got = {
+        r.user_id: r
+        for r in windows.run_to_memory(
+            stateful.funnel_stream(stream, watermark="30 minutes"),
+            output_mode="append",
+        ).collect()
+    }
+    assert 7 in got, f"user 7 never flushed: {got}"
+    r = got[7]
+    assert r.steps_completed == 2, r
+    assert r.step_1_us == (2 * H - H // 6) // 1000 and r.step_2_us == 2 * H // 1000, r
