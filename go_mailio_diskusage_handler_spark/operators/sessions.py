@@ -196,3 +196,33 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
         F.lit(0),
     )
     return folded.select("user_id", *step_cols, completed.alias("steps_completed"))
+
+
+def first_touch(events: DataFrame) -> DataFrame:
+    """Event-stream dedup: the earliest event per (user, event_type)
+    key — "first touch" attribution, and the batch oracle for the
+    streaming ``dropDuplicatesWithinWatermark`` twin
+    (``streaming.stateful.first_touch_stream``).
+
+    Deterministic winner: min (ts, event_id) lexicographically, via a
+    single min_by-shaped aggregation — one shuffle on the dedup key,
+    partial min per scan task first, so the exchange carries one row
+    per (task x key), not per event.  A row_number window would need
+    the same shuffle plus a per-partition sort of EVERY event; the
+    aggregation form keeps only the running winner per key.
+    """
+    us = F.unix_micros("ts")
+    # Pack (ts, event_id) into one orderable struct so min() picks the
+    # lexicographic winner atomically (no separate-min inconsistency).
+    winner = F.min(F.struct(us.alias("us"), F.col("event_id"))).alias("w")
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(winner)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.us").alias("first_ts_us"),
+            F.col("w.event_id").alias("first_event_id"),
+        )
+    )

@@ -272,3 +272,34 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with occurrence counts — the
+    heavy-hitter vocabulary scan every corpus audit starts with
+    (boilerplate discovery, contamination triage, tokenizer QA).
+
+    Plan shape at 100 TB: the explode materializes one row per n-gram
+    OCCURRENCE, but the aggregation's partial phase combines them
+    map-side within each scan task, so the one shuffle carries at most
+    (distinct n-grams x tasks) rows — vocabulary-bounded, not
+    corpus-bounded.  The final top-k is TakeOrderedAndProject (per-
+    partition heap + driver merge of k x partitions rows), never a
+    global sort.  Ties break on the n-gram string so the result is
+    deterministic across partitionings and engines.
+    """
+    words = tokens()
+    grams = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -2188,6 +2188,66 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: corpus n-gram heavy hitters, outer-join
+# aggregation (Q13 shape), returns top-k (Q10 shape), event-stream
+# first-touch dedup (batch oracle of the streaming
+# dropDuplicatesWithinWatermark twin).
+# ---------------------------------------------------------------------------
+TOP_NGRAMS_SQL = """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT u.bg AS ngram
+          FROM w, UNNEST(CASE WHEN len(ws) >= 2
+                              THEN list_transform(range(1, len(ws)),
+                                                  i -> ws[i] || ' ' || ws[i + 1])
+                              ELSE CAST([] AS VARCHAR[]) END) AS u(bg))
+    SELECT ngram, COUNT(*) AS occurrences
+    FROM b GROUP BY ngram
+    ORDER BY occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
+@register("text_ngram_topk", TOP_NGRAMS_SQL)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (text.top_ngrams) — map-side-combined
+    aggregation + TakeOrderedAndProject, vocabulary-bounded shuffle."""
+    return text.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register("sql_customer_distribution", sql_surface.CUSTOMER_DISTRIBUTION_SQL)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation
+    (sql.customer_distribution)."""
+    return sql_surface.customer_distribution(spark, sf_dir)
+
+
+@register("sql_returned_revenue", sql_surface.RETURNED_REVENUE_SQL)
+def sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: pushed-down returnflag filter, broadcast
+    nation, exact-decimal revenue, top-20 via TakeOrderedAndProject
+    (sql.returned_revenue)."""
+    return sql_surface.returned_revenue(spark, sf_dir)
+
+
+FIRST_TOUCH_SQL = """
+    SELECT user_id, event_type, us AS first_ts_us, event_id AS first_event_id
+    FROM (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ) WHERE rn = 1
+"""
+
+
+@register("events_first_touch", FIRST_TOUCH_SQL)
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest event per (user, event_type) via one min-struct
+    aggregation — sessions.first_touch, the batch oracle of the
+    streaming dedup twin."""
+    return sessions.first_touch(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness gate checks the
 # FIRST 50 entries of QUERIES each round; rounds 1-3 checked one fixed
 # 50-query prefix, leaving 35 queries without an official correctness
@@ -2268,7 +2328,14 @@ _rotate_front(_R4_FRONT)
 # curation_mixture (skew guard), events_window_users /
 # approx_top_event_types (sketch invariant guards), dedup_clusters /
 # curation_corpus (strict CC threading), and the three new queries.
-# 46 names — inside the window with slack.
+# Plus three of the four queries ADDED in round 5 (text_ngram_topk,
+# sql_returned_revenue, events_first_touch) — new code meets the
+# external gate in its first round.  sql_customer_distribution is the
+# one deferral to round 6: the window holds exactly 50, and it is the
+# lowest-risk candidate because its oracle IS the query text (one ANSI
+# string, two engines — no in-repo oracle to drift in lockstep) and
+# pytest runs the same cross-engine parity check in-repo.
+# 50 names — exactly the window.
 _R5_FRONT = [
     "rollup_order_stats",
     "distinct_customers_per_status",
@@ -2317,6 +2384,9 @@ _R5_FRONT = [
     "events_window_users",
     "approx_top_event_types",
     "events_funnel",
+    "text_ngram_topk",
+    "sql_returned_revenue",
+    "events_first_touch",
 ]
 
 _rotate_front(_R5_FRONT)

@@ -198,3 +198,58 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled-up ones.  One ANSI string runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(GROUPING_SETS_SQL)
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+    SELECT order_count, COUNT(*) AS customer_count
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY order_count
+"""
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders —
+    the one query in the tier whose join must be OUTER (zero-order
+    customers are the point; COUNT(o_orderkey) counts non-null only).
+
+    At 100 TB the inner aggregation keys the shuffle on c_custkey —
+    the same key the join shuffles on, so AQE reuses one exchange for
+    both; the outer GROUP BY is over the tiny (customer-count-bounded)
+    histogram domain.  One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(CUSTOMER_DISTRIBUTION_SQL)
+
+
+RETURNED_REVENUE_SQL = """
+    SELECT c_custkey,
+           c_name,
+           n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue_lost
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_lost DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Plan at scale: the returnflag predicate pushes into the lineitem
+    scan (row-group min/max skip), nation broadcasts, the
+    fact-to-orders join and the aggregation share the AQE-planned
+    exchanges, and the top-20 is TakeOrderedAndProject — no global
+    sort.  Exact-decimal revenue per the tier's cross-engine float
+    rule.  One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(RETURNED_REVENUE_SQL)

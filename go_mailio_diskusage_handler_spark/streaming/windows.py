@@ -288,7 +288,9 @@ def attributed_purchases(
 
 
 def deduplicated_stream(
-    events: DataFrame, key: str = "event_id", watermark: str = "30 minutes"
+    events: DataFrame,
+    key: str | list[str] = "event_id",
+    watermark: str = "30 minutes",
 ) -> DataFrame:
     """Streaming exact dedup: drop repeats of ``key`` arriving within
     the watermark horizon (``dropDuplicatesWithinWatermark``) — the
@@ -296,5 +298,14 @@ def deduplicated_stream(
     entry per distinct key seen inside the horizon and is evicted as
     the watermark advances, so memory is bounded at unbounded input —
     exactly how an always-on ingest pipeline suppresses redelivered
-    documents before they reach training storage."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+    documents before they reach training storage.
+
+    With a composite key like ``["user_id", "event_type"]`` this is the
+    streaming form of first-touch dedup: under in-order arrival the
+    first-arrived row per key IS the event-time winner, so the emitted
+    keys (and rows) match ``operators.sessions.first_touch`` — asserted
+    in ``tests/test_streaming.py``.  Under out-of-order arrival the
+    batch twin remains the authority (it re-sorts); the streaming form
+    trades that for bounded state, like every watermark operator."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

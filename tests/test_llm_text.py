@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "text_unigram_logprob",
     "text_language_ngram",
     "text_repetition",
+    "text_ngram_topk",
     "dedup_exact",
     "dedup_minhash",
     "dedup_incremental_minhash",

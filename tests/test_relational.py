@@ -114,6 +114,8 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_local_supplier_volume",
         "sql_large_orders",
         "sql_order_priority",
+        "sql_customer_distribution",
+        "sql_returned_revenue",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 

@@ -369,3 +369,45 @@ def test_funnel_stream_out_of_order_across_batches(spark, tmp_path):
     r = got[7]
     assert r.steps_completed == 2, r
     assert r.step_1_us == (2 * H - H // 6) // 1000 and r.step_2_us == 2 * H // 1000, r
+
+
+def test_streaming_first_touch_matches_batch(spark, tmp_path):
+    """Composite-key dropDuplicatesWithinWatermark == batch first_touch
+    under in-order arrival.  Each key's earliest event sits in a
+    strictly earlier micro-batch than its repeats, so the streaming
+    winner is deterministic (within one batch dropDuplicates keeps an
+    arbitrary row — the batch twin is the authority there)."""
+    import os
+    import time
+
+    d = tmp_path / "ft_events"
+    d.mkdir()
+    h = 3_600_000_000_000  # 1h in ns
+    batches = [
+        [(10, 1 * h, 1, "view", 1.0, "{}"),
+         (11, 1 * h, 2, "click", 1.0, "{}")],
+        [(12, 2 * h, 1, "view", 1.0, "{}"),      # repeat key (1, view)
+         (13, 2 * h, 1, "click", 1.0, "{}")],    # new key
+        [(14, 3 * h, 2, "click", 1.0, "{}"),     # repeat key (2, click)
+         (15, 3 * h, 2, "view", 1.0, "{}")],     # new key
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    result = windows.run_to_memory(
+        windows.deduplicated_stream(stream, ["user_id", "event_type"], "10 hours"),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type, int(r.ts.timestamp() * 1_000_000), r.event_id)
+        for r in result.collect()
+    }
+    batch_df = spark.read.schema(windows.EVENTS_RAW_SCHEMA).parquet(
+        str(d) + "/*/"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    want = {tuple(r) for r in sessions.first_touch(batch_df).collect()}
+    assert got == want, (got, want)
