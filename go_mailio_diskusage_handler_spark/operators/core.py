@@ -189,3 +189,36 @@ def disk_usage_lookup(disk_usage_df: DataFrame, address: str) -> DataFrame:
     a driver-side dict for O(1) probes matching handler.go:258.
     """
     return disk_usage_df.filter(F.col("address") == address)
+
+
+def heavy_users(disk_usage_df: DataFrame, multiple: float = 3.0) -> DataFrame:
+    """Capacity triage over the O8 aggregate: addresses holding at
+    least ``multiple``× the average per-address bytes, with their share
+    of the total — the "which users dominate the bucket" question the
+    reference's map can only answer by a full client-side scan.
+
+    Plan at scale: one global aggregate (avg + sum — a single 1-row
+    result) broadcast back over the per-address table, then a pure
+    filter.  No global sort, no window over the fact: the comparison
+    is against BROADCAST scalars, so cost is one pass over the
+    (distinct-address-bounded) aggregate regardless of corpus size.
+    """
+    stats = disk_usage_df.agg(
+        F.avg("size_bytes").alias("_avg_bytes"),
+        F.sum("size_bytes").alias("_total_bytes"),
+    )
+    return (
+        disk_usage_df.crossJoin(F.broadcast(stats))
+        .filter(F.col("size_bytes") >= multiple * F.col("_avg_bytes"))
+        .select(
+            "address",
+            "size_bytes",
+            "number_files",
+            F.round(F.col("size_bytes") / F.col("_total_bytes"), 4).alias(
+                "share_of_total"
+            ),
+            F.round(F.col("size_bytes") / F.col("_avg_bytes"), 2).alias(
+                "avg_multiple"
+            ),
+        )
+    )

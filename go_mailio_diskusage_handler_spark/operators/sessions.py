@@ -226,3 +226,34 @@ def first_touch(events: DataFrame) -> DataFrame:
             F.col("w.event_id").alias("first_event_id"),
         )
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by their first
+    active day; for each (cohort_day, day_offset) the count of cohort
+    members active that day — the standard product-analytics rollup,
+    and the shape a training pipeline uses for user-activity windows.
+
+    Scale: everything downstream of the first projection operates on
+    DISTINCT (user, day) pairs — bounded by active-user-days, not by
+    event count.  Because each (user, day) pair maps to exactly one
+    (cohort_day, day_offset) cell, the final count is a plain COUNT(*)
+    — no expensive distinct aggregation after the first dedup.  The
+    first-day table joins back on user_id (equi-join on the same key
+    the dedup shuffled on); no broadcast is assumed, so the plan holds
+    at 10^9 users.
+    """
+    user_days = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    firsts = user_days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        user_days.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_d")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

@@ -10,7 +10,13 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 
 from conftest import SF_SMOKE, compare_with_oracle
 
-CORE_QUERIES = ["du_core", "du_lookup", "du_multifile", "du_incremental"]
+CORE_QUERIES = [
+    "du_core",
+    "du_lookup",
+    "du_multifile",
+    "du_incremental",
+    "du_heavy_users",
+]
 
 
 @pytest.mark.parametrize("name", CORE_QUERIES)
@@ -78,3 +84,16 @@ def test_observed_metrics_match_quality_gate(spark):
     gate = core.inventory_quality(inv).collect()[0]
     assert obs.get["total_rows"] == gate["total_rows"]
     assert obs.get["malformed_keys"] == gate["malformed_keys"]
+
+
+def test_heavy_users_no_sort_no_window(spark):
+    """heavy_users compares against BROADCAST scalars: the plan must
+    contain no Sort/Window over the aggregate, and the 1-row stats
+    side must broadcast."""
+    from go_mailio_diskusage_handler_spark import plans
+
+    inv = core.inventory_from_lineitem(load_table(spark, SF_SMOKE, "lineitem"))
+    df = core.heavy_users(core.disk_usage(inv), 3.0)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "Broadcast" in plan, plan

@@ -329,3 +329,18 @@ def test_exact_dedup_keeps_min_doc_id(spark):
     assert 2 in groups.values(), "injected duplicate not grouped"
     dup_group = [r for r in res if r.dup_count == 2][0]
     assert dup_group.keep_doc_id < 100000
+
+
+def test_top_ngrams_plan_is_topk_with_partial_agg(spark):
+    """The corpus n-gram heavy-hitter scan must (a) take its top-k via
+    TakeOrderedAndProject (per-partition heaps), never a global Sort,
+    and (b) partial-aggregate before its one shuffle so the exchange
+    is vocabulary-bounded, not corpus-bounded."""
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import text
+
+    df = text.top_ngrams(load_table(spark, SF_CORRECT, "documents"))
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.shuffle_count(df) == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan

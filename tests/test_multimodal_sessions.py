@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "events_sliding_window",
     "events_funnel",
     "events_first_touch",
+    "events_retention_cohorts",
 ]
 
 
@@ -92,3 +93,54 @@ def test_funnel_order_and_strictness(spark):
     fresh = sessions.funnel(events)
     assert plans.shuffle_count(fresh) == 1
     assert "Join" not in plans.executed_plan(fresh)
+
+
+def test_first_touch_is_single_partial_aggregation(spark):
+    """first_touch must be ONE hash aggregation (partial before the
+    exchange), not a window: a window would shuffle + sort EVERY
+    event; the agg shuffles one running winner per (task x key)."""
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    df = sessions.first_touch(load_table(spark, SF_CORRECT, "events"))
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert plans.shuffle_count(df) == 1, plan
+
+
+def test_cohort_retention_counts_are_exact_distinct(spark):
+    """Each (user, day) pair maps to one (cohort, offset) cell, so the
+    plain COUNT(*) equals a COUNT(DISTINCT user) — pin that identity,
+    plus the invariant every cohort has an offset-0 row equal to its
+    size."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    events = load_table(spark, SF_CORRECT, "events")
+    m = sessions.cohort_retention(events)
+    day0 = {
+        r.cohort_day: r.active_users
+        for r in m.filter(F.col("day_offset") == 0).collect()
+    }
+    # offset-0 row exists for every cohort and equals the cohort size
+    ud = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    sizes = {
+        r.cohort_day: r.n
+        for r in ud.groupBy("user_id")
+        .agg(F.min("d").alias("cd"))
+        .groupBy(F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert day0 == sizes
+    # retention never exceeds cohort size
+    bad = [
+        r
+        for r in m.collect()
+        if r.active_users > sizes[r.cohort_day]
+    ]
+    assert not bad, bad[:3]

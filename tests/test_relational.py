@@ -197,3 +197,12 @@ def test_no_registered_query_uses_antipattern_nodes(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_returned_revenue_plan_shape(spark):
+    """Q10 shape: nation broadcast, top-20 via TakeOrderedAndProject
+    (no global sort of the aggregate)."""
+    df = registry.QUERIES["sql_returned_revenue"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.has_broadcast_join(df), plan
