@@ -266,71 +266,92 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
     the mask set recovers those misses.  Multiple tables: a neighbor
     far apart in table 0 is an independent draw in table 1's plane
     block, so OR-ing tables turns per-table miss probability m into
-    mᵀ.  Only the QUERY side fans out — the corpus is bucketed once
-    per table (one index row per vector per table), so at 100 TB this
-    stays 'write bucketed parquet once per table, touch
-    ~Σ_t|masks_t|·N/2^planes vectors per query'.  Table count is the
-    cost driver (each re-buckets and re-scans the corpus); probes are
-    a broadcast and nearly free — hence few tables × wide radius (see
-    PROBE_MASKS_BY_TABLE's measured sweep).  Within one table a
-    neighbor matches exactly one mask (the mask IS the bucket xor),
-    but a candidate can surface via both tables, so scored rows dedup
-    before ranking — cos_sim is deterministic per pair, so distinct
-    over the scored row is exact.
-    """
-    n_tables = len(PROBE_MASKS_BY_TABLE)
-    withb = widen_for_compute(embeddings).select(
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
-        *[
-            bucket_id(F.col("embedding"), table=t).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    )
-    from pyspark import StorageLevel
+    mᵀ.  Table count is the cost driver (each re-buckets and re-scans
+    the corpus); probes are a broadcast and nearly free — hence few
+    tables × wide radius (see PROBE_MASKS_BY_TABLE's measured sweep).
 
-    # The bucketed projection (n_tables×N_PLANES hyperplane dots per
-    # vector) feeds the corpus index AND the query probe side; without
-    # persistence Spark evaluates it once per join side (measured ~2×
-    # at sf0.1).  Production twin: the bucket columns are written with
-    # the corpus, computed exactly once.
-    withb = withb.persist(StorageLevel.MEMORY_AND_DISK)
-    # Corpus index: one (table, bucket) row per vector per table.
-    corpus = withb.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("idx"),
-    ).select("vec_id", "embedding", "nrm", "idx.t", "idx.bucket")
-    probe_entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.col(f"b{t}").bitwiseXOR(F.lit(mask)).alias("bucket"),
-            )
-            for t in range(n_tables)
-            for mask in PROBE_MASKS_BY_TABLE[t]
-        ]
+    Execution shape: the PROBE side is built on the driver — the
+    n_queries query vectors are point-looked-up (same tiny-collect
+    pattern as the IVF codebook), their buckets computed in Python
+    with the identical left-fold summation the JVM expression uses
+    (bit-identical sign decisions), and the (table, bucket⊕mask)
+    fan-out shipped as one small broadcast literal.  That leaves ONE
+    distributed job: the corpus scan computes each vector's
+    per-table bucket inline (each bucket expression evaluated once,
+    in the same scan that feeds the join — no persist, no
+    double-evaluation of the projection), explodes to (table,
+    bucket) index rows, hash-joins the broadcast probes, and
+    exact-reranks.  At 100 TB the corpus index is 'write bucketed
+    parquet once per table'; per query only
+    ~Σ_t|masks_t|·N/2^planes vectors are touched.  Within one table
+    a neighbor matches exactly one mask (the mask IS the bucket
+    xor), but a candidate can surface via both tables, so scored
+    rows dedup before ranking — cos_sim is deterministic per pair,
+    so distinct over the scored row is exact.
+    """
+    import math
+
+    n_tables = len(PROBE_MASKS_BY_TABLE)
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = withb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.explode(probe_entries).alias("probe"),
+    planes = [
+        [hyperplane(t * N_PLANES + p) for p in range(N_PLANES)]
+        for t in range(n_tables)
+    ]
+
+    def _fold_dot(u: list[float], v: list[float]) -> float:
+        # Left-to-right double accumulation — the same fp summation
+        # order as dot()'s F.aggregate fold, so sign(dot) and the
+        # query norm are bit-identical to the JVM expressions.
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += float(x) * float(y)
+        return acc
+
+    probe_rows = []
+    for r in sorted(qrows, key=lambda row: row.vec_id):
+        vec = [float(x) for x in r.embedding]
+        nrm = math.sqrt(_fold_dot(vec, vec))
+        for t in range(n_tables):
+            b = 0
+            for p in range(N_PLANES):
+                if _fold_dot(vec, planes[t][p]) > 0:
+                    b += 1 << p
+            for mask in PROBE_MASKS_BY_TABLE[t]:
+                probe_rows.append((r.vec_id, t, b ^ mask, vec, nrm))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, t int, bucket int, q_emb array<double>, q_nrm double",
+    )
+    corpus = (
+        widen_for_compute(embeddings)
+        .select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            bucket_id(F.col("embedding"), table=t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("idx"),
+        )
+        .select("vec_id", "embedding", "nrm", "idx.t", "idx.bucket")
     )
     scored = (
         corpus.join(
-            F.broadcast(q),
-            (F.col("t") == F.col("probe.t"))
-            & (F.col("bucket") == F.col("probe.bucket"))
+            F.broadcast(probes),
+            (corpus["t"] == probes["t"])
+            & (corpus["bucket"] == probes["bucket"])
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
