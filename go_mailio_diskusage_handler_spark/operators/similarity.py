@@ -922,3 +922,117 @@ def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         qvec.alias("qvec"),
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 15
+MMR_K = 5
+
+
+def mmr_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily select
+    candidates maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` —
+    the standard de-redundancy re-rank for retrieval-augmented
+    training-data selection (near-identical neighbors add no signal;
+    MMR trades a little relevance for coverage).
+
+    Scale shape: the GREEDY is inherently sequential, so it runs where
+    sequential is free — per query, over a bounded shortlist.  All
+    vector math stays in JVM expressions: relevance comes from the
+    exact top-``shortlist`` tier and the shortlist×shortlist pairwise
+    sims from a query-keyed self-join (≤ shortlist² rows per query,
+    corpus-independent).  The Arrow-batched ``applyInPandas`` step
+    then does only O(k·shortlist) float compares per query — no dot
+    products in Python, so engine/oracle fp agreement reduces to IEEE
+    arithmetic on the SAME rounded inputs.  At 100 TB the shortlist
+    tier is the ANN stack; the MMR cost never grows with the corpus.
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(embeddings, n_queries, shortlist).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("rel")
+    )
+    e = widen_for_compute(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("cand_id"),
+            F.col("a.rel").alias("rel"),
+            F.col("b.neighbor_id").alias("other_id"),
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("nrm").alias("c_nrm"),
+            ),
+            "cand_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("other_id"),
+                F.col("embedding").alias("o_emb"),
+                F.col("nrm").alias("o_nrm"),
+            ),
+            "other_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            "other_id",
+            F.round(
+                dot(F.col("c_emb"), F.col("o_emb"))
+                / (F.col("c_nrm") * F.col("o_nrm")),
+                6,
+            ).alias("pair_sim"),
+        )
+    )
+
+    out_schema = "query_id long, neighbor_id long, mmr_rank int, mmr_score double"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[int(row.cand_id)] = float(row.rel)
+            sim[(int(row.cand_id), int(row.other_id))] = float(row.pair_sim)
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out = []
+        while remaining and len(selected) < k:
+            best_id, best_score = None, None
+            for c in remaining:  # ascending id = deterministic tie-break
+                penalty = max((sim[(c, s)] for s in selected), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * penalty
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((qid, best_id, len(selected), best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+        )
+
+    # mmr_score stays an UNROUNDED double: both engines compute it from
+    # identical rounded-6 inputs with identical IEEE ops, so the raw
+    # values are bit-equal — while a final ROUND(·, 6) would sit right
+    # on decimal half-boundaries (0.7×6-digit rel has 7 digits) where
+    # HALF_UP (Spark) and double-nearest (DuckDB) disagree.
+    return pairs.groupBy("query_id").applyInPandas(_greedy, out_schema)

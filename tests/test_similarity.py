@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "dedup_embedding_cosine",
     "sim_ivf_assignments",
     "sim_ivf_ann_topk",
+    "sim_mmr_topk",
 ]
 
 
@@ -191,3 +192,36 @@ def test_embedding_near_dup_recall_floor(spark):
     found = similarity.embedding_near_dup_pairs(emb, 0.4).count()
     assert n_true > 0
     assert found / n_true >= 0.2, (found, n_true)
+
+
+def test_mmr_diversifies_near_duplicate_neighbors(spark):
+    """Hand-built geometry the dense fixture can't discriminate: the
+    two most relevant candidates are near-duplicates of each other, so
+    plain top-k returns both while MMR must spend rank 2 on the
+    diverse candidate (the duplicate's λ·rel − (1−λ)·sim≈1 penalty
+    loses).  Rank 1 always equals the relevance arg-max."""
+    from go_mailio_diskusage_handler_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),     # query
+        (10, [0.9, 0.1, 0.0, 0.0], 0),    # most relevant
+        (11, [0.9, 0.1001, 0.0, 0.0], 0), # near-duplicate of 10
+        (12, [0.5, 0.0, 0.5, 0.0], 0),    # diverse, less relevant
+        (13, [0.0, 0.1, 0.0, 0.9], 0),    # mostly orthogonal
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = (
+        S.mmr_rerank_topk(emb, n_queries=1, k=3, shortlist=4, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    order = [r.neighbor_id for r in got]
+    assert order[0] == 10, order
+    # the near-duplicate 11 (sim≈1 to the rank-1 pick) must lose rank
+    # 2 to the diverse candidate 12 — relevance-only ranking would
+    # have 11 second.
+    assert order == [10, 12, 11], order
+    # scores strictly decrease down the MMR ranking here
+    assert got[0].mmr_score > got[1].mmr_score > got[2].mmr_score
