@@ -471,3 +471,37 @@ def approx_order_percentiles(orders: DataFrame, accuracy: int = 10_000) -> DataF
         ok(1).alias("p90_ok"),
         ok(2).alias("p99_ok"),
     )
+
+
+def segment_spend_ranks(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Rank-family windows (NTILE / PERCENT_RANK / CUME_DIST): per
+    market segment, each customer's spend decile and rank statistics.
+
+    The window partitions by c_mktsegment — a per-partition sort of
+    per-CUSTOMER aggregates, never of raw orders, so the window input
+    is distinct-customer-bounded.  (An UNPARTITIONED ntile over a fact
+    table would serialize into one task; this module bans that shape —
+    see tests asserting no SinglePartition window.)  Spend is
+    aggregated first (one shuffle on o_custkey, partial agg map-side);
+    the broadcast customer dim attaches the segment.  Ties: identical
+    spend totals order by c_custkey so every rank function is
+    deterministic and engine-portable.
+    """
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    seg = spend.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        spend["o_custkey"] == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return seg.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "total_spend",
+        F.ntile(10).over(w).alias("spend_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

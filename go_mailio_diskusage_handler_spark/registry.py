@@ -2284,6 +2284,40 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+@register("sql_sales_opportunity", sql_surface.GLOBAL_SALES_OPPORTUNITY_SQL)
+def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-AVG subquery (1-row broadcast) + NOT
+    EXISTS → left anti join (sql.global_sales_opportunity)."""
+    return sql_surface.global_sales_opportunity(spark, sf_dir)
+
+
+SEGMENT_SPEND_RANKS_SQL = """
+    WITH spend AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey AS custkey,
+           c_mktsegment AS segment,
+           total_spend,
+           CAST(NTILE(10) OVER w AS INTEGER) AS spend_decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM spend JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY total_spend DESC, c_custkey ASC)
+"""
+
+
+@register("window_segment_deciles", SEGMENT_SPEND_RANKS_SQL)
+def window_segment_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE/PERCENT_RANK/CUME_DIST over a PARTITIONED window of
+    per-customer aggregates (relational.segment_spend_ranks)."""
+    return relational.segment_spend_ranks(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _mmr_oracle_sql(k: int, shortlist: int) -> str:
     """Generate the MMR greedy as chained CTEs: step s scores every
     unselected candidate as 0.7*rel - (1 - 0.7)*MAX(sim to selected)

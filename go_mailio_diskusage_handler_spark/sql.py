@@ -253,3 +253,30 @@ def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule.  One ANSI string runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(RETURNED_REVENUE_SQL)
+
+
+GLOBAL_SALES_OPPORTUNITY_SQL = """
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+"""
+
+
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers (above the positive-balance
+    average) who never ordered, rolled up by nation.
+
+    Two subquery forms in one plan: the scalar AVG compiles to a
+    1-row broadcast (computed once, not per row), and NOT EXISTS
+    becomes a LEFT ANTI join on c_custkey — at 100 TB that is one
+    aggregate pass + one anti join, never per-row probes.  nation
+    broadcasts; exact-decimal balance sum per the tier's float rule.
+    One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(GLOBAL_SALES_OPPORTUNITY_SQL)

@@ -48,6 +48,7 @@ ORACLE_CHECKED = [
     "approx_distinct_customers",
     "approx_order_percentiles",
     "approx_top_event_types",
+    "window_segment_deciles",
 ]
 
 
@@ -96,7 +97,11 @@ def test_topk_uses_take_ordered(spark):
 
 def test_windows_are_partitioned(spark):
     """No unpartitioned window (would serialize all data into one task)."""
-    for name in ("window_top_orders", "window_running_total"):
+    for name in (
+        "window_top_orders",
+        "window_running_total",
+        "window_segment_deciles",
+    ):
         plan = plans.executed_plan(registry.QUERIES[name](spark, SF_CORRECT))
         assert "Window" in plan
         assert "SinglePartition" not in plan, f"{name} window is unpartitioned:\n{plan}"
@@ -116,6 +121,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_order_priority",
         "sql_customer_distribution",
         "sql_returned_revenue",
+        "sql_sales_opportunity",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
@@ -206,3 +212,12 @@ def test_returned_revenue_plan_shape(spark):
     plan = plans.executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert plans.has_broadcast_join(df), plan
+
+
+def test_sales_opportunity_compiles_to_anti_join(spark):
+    """NOT EXISTS must become ONE left-anti join pass and the scalar
+    AVG subquery a 1-row broadcast — never per-row subquery probes."""
+    df = registry.QUERIES["sql_sales_opportunity"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
