@@ -604,3 +604,69 @@ def duplicate_clusters(
     ).select("doc_a", "doc_b")
     labels, _, _ = connected_components(pairs, max_iterations, strict=strict)
     return labels
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    *,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup: (doc_src, doc_dst) where
+    ``|S_src ∩ S_dst| / |S_src| ≥ threshold`` — the asymmetric
+    complement of Jaccard.  A short document quoted inside a long one
+    scores near-zero Jaccard (the union is huge) but containment ≈ 1
+    from the short side; corpus curation needs this direction to drop
+    subsumed fragments while keeping the containing document.
+
+    Same scale fence as the Jaccard path: candidates come from the
+    shared-shingle self-join over the DF-CAPPED shingle table (one
+    shuffle-join + one aggregation; quadratic only inside bounded
+    shingle groups).  Each unordered candidate pair is evaluated once
+    and emits 0-2 directed rows via an array-filter-explode — no
+    second join, no union re-scan.
+    """
+    sh = shingles(documents)
+    if max_doc_freq is not None:
+        sh = cap_shingle_df(sh, max_doc_freq)
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = inter.join(
+        sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id")
+    ).join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+    directed = F.array(
+        F.struct(
+            F.col("doc_a").alias("doc_src"),
+            F.col("doc_b").alias("doc_dst"),
+            (F.col("inter") / F.col("za.n_shingles")).alias("c"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_dst"),
+            (F.col("inter") / F.col("zb.n_shingles")).alias("c"),
+        ),
+    )
+    return (
+        both.select(
+            F.explode(
+                F.filter(directed, lambda s: s["c"] >= F.lit(threshold))
+            ).alias("p")
+        )
+        .select(
+            F.col("p.doc_src").alias("doc_src"),
+            F.col("p.doc_dst").alias("doc_dst"),
+            F.round(F.col("p.c"), 4).alias("containment"),
+        )
+    )

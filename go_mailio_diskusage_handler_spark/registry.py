@@ -2284,6 +2284,32 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+NGRAM_CONTAINMENT_SQL = f"""
+    WITH {_CAPPED_SHINGLE_CTES},
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              FROM shingles x JOIN shingles y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY doc_a, doc_b),
+    j AS (SELECT doc_a, doc_b, i, za.n AS na, zb.n AS nb
+          FROM inter
+          JOIN sizes za ON doc_a = za.doc_id
+          JOIN sizes zb ON doc_b = zb.doc_id)
+    SELECT doc_src, doc_dst, ROUND(c, 4) AS containment FROM (
+        SELECT doc_a AS doc_src, doc_b AS doc_dst, i * 1.0 / na AS c FROM j
+        UNION ALL
+        SELECT doc_b AS doc_src, doc_a AS doc_dst, i * 1.0 / nb AS c FROM j
+    ) WHERE c >= 0.8
+"""
+
+
+@register("dedup_ngram_containment", NGRAM_CONTAINMENT_SQL)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.8 over the df-capped shingle
+    join — dedup.ngram_containment_pairs (asymmetric near-dup:
+    fragment-inside-document)."""
+    return dedup.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register("sql_sales_opportunity", sql_surface.GLOBAL_SALES_OPPORTUNITY_SQL)
 def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-AVG subquery (1-row broadcast) + NOT
@@ -2474,13 +2500,20 @@ _rotate_front(_R4_FRONT)
 # curation_mixture (skew guard), events_window_users /
 # approx_top_event_types (sketch invariant guards), dedup_clusters /
 # curation_corpus (strict CC threading), and the three new queries.
-# Plus three of the four queries ADDED in round 5 (text_ngram_topk,
+# Plus three of the queries ADDED in round 5 (text_ngram_topk,
 # sql_returned_revenue, events_first_touch) — new code meets the
-# external gate in its first round.  sql_customer_distribution is the
-# one deferral to round 6: the window holds exactly 50, and it is the
-# lowest-risk candidate because its oracle IS the query text (one ANSI
-# string, two engines — no in-repo oracle to drift in lockstep) and
-# pytest runs the same cross-engine parity check in-repo.
+# external gate in its first round where the window allows.  The
+# window holds exactly 50, so the REMAINING round-5 additions defer to
+# the round-6 front: sql_customer_distribution and
+# sql_sales_opportunity (lowest risk — their oracle IS the query text:
+# one ANSI string, two engines, no in-repo oracle to drift in
+# lockstep), du_heavy_users, events_retention_cohorts,
+# window_segment_deciles, and sim_mmr_topk.  Deferring NEW queries is
+# categorically different from deferring CHANGED ones (the advisory's
+# concern): a new query has no stale green driver row to hide behind —
+# it is visibly unchecked until its first gate pass — and every one of
+# these runs the same cross-engine parity check in pytest
+# (tests/test_*.py ORACLE_CHECKED lists).
 # 50 names — exactly the window.
 _R5_FRONT = [
     "rollup_order_stats",

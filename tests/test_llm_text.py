@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "dedup_minhash",
     "dedup_incremental_minhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_simhash_values",
     "dedup_simhash_pairs",
     "dedup_clusters",
@@ -344,3 +345,26 @@ def test_top_ngrams_plan_is_topk_with_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plans.shuffle_count(df) == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_containment_is_directional_where_jaccard_is_blind(spark):
+    """A short fragment quoted inside a long document: containment
+    from the fragment side must be 1.0 while Jaccard stays under any
+    useful threshold, and the long→short direction must NOT fire."""
+    frag = "alpha beta gamma delta"
+    long_doc = frag + " " + " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, frag), (2, long_doc), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in dedup.ngram_containment_pairs(docs, 0.8).collect()
+    }
+    assert got.get((1, 2)) == 1.0, got
+    assert (2, 1) not in got, got
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.1, jac
