@@ -505,3 +505,82 @@ def segment_spend_ranks(orders: DataFrame, customer: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def customer_spend_trend(orders: DataFrame, min_orders: int = 5) -> DataFrame:
+    """Per-customer linear spend trend (least-squares slope of
+    o_totalprice over order day) — regression via SUFFICIENT
+    STATISTICS: one aggregation collecting (n, Σx, Σy, Σxy, Σx²) per
+    customer, slope assembled from the closed form afterwards.  The
+    distributed pattern matters at 100 TB: any per-group model with
+    additive sufficient statistics costs exactly one partial-agg
+    shuffle — no per-group iteration, no data movement beyond the
+    5-number summary.
+
+    Engine-portable arithmetic: x is an exact day int, y an exact
+    2-decimal DECIMAL, so every Σ is exact (no summation-order ulp);
+    the single double division happens on identical exact operands in
+    both engines.  Customers whose orders all land on one day
+    (denominator 0) are excluded rather than emitting ±Inf.
+    """
+    x = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    y = F.col("o_totalprice").cast("decimal(12,2)")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast("decimal(12,0)") * y).alias("sxy"),
+        F.sum(x.cast("long") * x.cast("long")).alias("sxx"),
+    )
+    num = (F.col("n_orders") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (
+        F.col("n_orders") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return (
+        stats.filter((F.col("n_orders") >= min_orders) & (den != 0))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(num / den, 6).alias("spend_slope"),
+        )
+    )
+
+
+def part_type_affinity(
+    lineitem: DataFrame, part: DataFrame, k: int = 20
+) -> DataFrame:
+    """Co-occurrence mining: pairs of part TYPES appearing in the same
+    order, counted across orders — the market-basket rollup used for
+    curriculum mixing and contamination triage when "order" is a
+    document and "type" a tag.
+
+    Scale fence: the quadratic step is a self-join of DISTINCT
+    (order, type) rows keyed on the order — bounded by the per-order
+    line count (≤7 on this schema), so each order emits ≤ C(types,2)
+    pairs regardless of corpus size.  The part dim broadcasts; top-k
+    is TakeOrderedAndProject with a lexicographic tie-break.
+    """
+    order_types = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_type")),
+                      lineitem["l_partkey"] == F.col("p_partkey"))
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = order_types.alias("a")
+    b = order_types.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
+        .limit(k)
+    )

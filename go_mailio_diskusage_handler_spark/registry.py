@@ -2284,6 +2284,63 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+SPEND_TREND_SQL = """
+    WITH s AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               SUM(date_diff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE))) AS sx,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE))
+                        AS DECIMAL(12,0))
+                   * CAST(o_totalprice AS DECIMAL(12,2))) AS sxy,
+               SUM(CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                   * CAST(date_diff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT))
+                   AS sxx
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           ROUND(CAST(n_orders * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_orders * sxx - sx * sx AS DOUBLE), 6) AS spend_slope
+    FROM s
+    WHERE n_orders >= 5 AND CAST(n_orders * sxx - sx * sx AS DOUBLE) != 0
+"""
+
+
+@register("trend_customer_spend", SPEND_TREND_SQL)
+def trend_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares spend slope per customer from one pass of exact
+    sufficient statistics (relational.customer_spend_trend)."""
+    return relational.customer_spend_trend(load_table(spark, sf_dir, "orders"))
+
+
+PART_AFFINITY_SQL = """
+    WITH ot AS (
+        SELECT DISTINCT l_orderkey, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_orders
+    FROM ot a JOIN ot b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY type_a, type_b
+    ORDER BY n_orders DESC, type_a ASC, type_b ASC
+    LIMIT 20
+"""
+
+
+@register("part_type_affinity", PART_AFFINITY_SQL)
+def part_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-ordered part-type pairs — order-bounded self-join
+    (relational.part_type_affinity)."""
+    return relational.part_type_affinity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 NGRAM_CONTAINMENT_SQL = f"""
     WITH {_CAPPED_SHINGLE_CTES},
     inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i

@@ -49,6 +49,8 @@ ORACLE_CHECKED = [
     "approx_order_percentiles",
     "approx_top_event_types",
     "window_segment_deciles",
+    "trend_customer_spend",
+    "part_type_affinity",
 ]
 
 
@@ -221,3 +223,27 @@ def test_sales_opportunity_compiles_to_anti_join(spark):
     plan = plans.executed_plan(df)
     assert "LeftAnti" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_spend_trend_recovers_known_slope(spark):
+    """Hand-built series: y = 100·x + 50 over days 0..4 must recover
+    slope 100 exactly; a flat series recovers 0; a single-day customer
+    (denominator 0) must be excluded, as must one below min_orders."""
+    from datetime import datetime
+
+    from go_mailio_diskusage_handler_spark.operators import relational as R
+
+    def o(ck, day, price, key):
+        return (key, ck, datetime(1992, 1, 1 + day), float(price))
+
+    rows = (
+        [o(1, d, 100.0 * d + 50.0, d) for d in range(5)]
+        + [o(2, d, 777.0, 100 + d) for d in range(5)]
+        + [o(3, 0, 10.0 * k, 200 + k) for k in range(6)]   # all same day
+        + [o(4, d, 5.0 * d, 300 + d) for d in range(3)]    # n < min_orders
+    )
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r.o_custkey: r.spend_slope for r in R.customer_spend_trend(orders).collect()}
+    assert got == {1: 100.0, 2: 0.0}, got
