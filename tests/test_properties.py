@@ -215,3 +215,43 @@ def test_weighted_sample_is_monotone_in_rate(spark, n_docs, r_low, r_hi_delta):
         ).collect()
     }
     assert low <= hi, f"rate increase dropped docs: {low - hi}"
+
+
+@settings(**_SETTINGS)
+@given(
+    doc_words=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w", "x", "y"]), min_size=3, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_containment_matches_python_reference(spark, doc_words, threshold):
+    """ngram_containment_pairs == a direct Python reimplementation
+    (directed |S_src ∩ S_dst| / |S_src| over distinct word trigrams,
+    emitted when ≥ threshold) for arbitrary corpora.  DF cap disabled
+    so the tiny alphabet's heavy-hitters don't mask pairs — the cap's
+    own algebra is property-tested separately."""
+    from go_mailio_diskusage_handler_spark.operators import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {
+        i: {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        for i, ws in enumerate(doc_words)
+    }
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= threshold:
+                want[(a, b)] = round(c, 4)
+    got = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in dedup.ngram_containment_pairs(
+            docs, threshold, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
