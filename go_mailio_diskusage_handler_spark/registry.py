@@ -2374,6 +2374,20 @@ def sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.global_sales_opportunity(spark, sf_dir)
 
 
+@register("sql_shipping_modes", sql_surface.SHIPPING_MODES_SQL)
+def sql_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — both CASE counters
+    from ONE pass (sql.shipping_modes)."""
+    return sql_surface.shipping_modes(spark, sf_dir)
+
+
+@register("sql_promo_revenue", sql_surface.PROMO_REVENUE_SQL)
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional exact-decimal sums, one
+    double division (sql.promo_revenue)."""
+    return sql_surface.promo_revenue(spark, sf_dir)
+
+
 SEGMENT_SPEND_RANKS_SQL = """
     WITH spend AS (
         SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend

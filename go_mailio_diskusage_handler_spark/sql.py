@@ -280,3 +280,53 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     One ANSI string runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(GLOBAL_SALES_OPPORTUNITY_SQL)
+
+
+SHIPPING_MODES_SQL = """
+    SELECT l_returnflag AS ship_group,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1999-01-01'
+    GROUP BY ship_group
+"""
+
+
+def shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM)
+    after a fact-fact equi-join.  The date predicate pushes into the
+    lineitem scan; the CASE branches cost nothing extra — both
+    counters come out of the ONE aggregation pass, where a naive
+    per-priority UNION would scan and join twice.  One ANSI string
+    runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHIPPING_MODES_SQL)
+
+
+PROMO_REVENUE_SQL = """
+    SELECT ROUND(100.0
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+        AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of revenue — a ratio of two
+    conditional sums in one
+    aggregation over a broadcast dimension join.  Both sums are exact
+    decimals (summation-order-independent), cast to DOUBLE only for
+    the single division — identical exact operands → identical IEEE
+    quotient in both engines (DECIMAL division would not be safe
+    here: engines disagree on quotient precision/scale promotion).
+    One ANSI string runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(PROMO_REVENUE_SQL)

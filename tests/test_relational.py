@@ -124,6 +124,8 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_customer_distribution",
         "sql_returned_revenue",
         "sql_sales_opportunity",
+        "sql_shipping_modes",
+        "sql_promo_revenue",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
