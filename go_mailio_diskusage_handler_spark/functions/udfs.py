@@ -22,6 +22,9 @@ far inside the rounding).
 
 from __future__ import annotations
 
+from typing import Iterator  # module-level: pandas_udf resolves the
+# iterator-form string annotations (PEP 563) against module globals
+
 import numpy as np
 import pandas as pd
 
@@ -193,3 +196,53 @@ def path_segments(inventory: DataFrame, limit_keys: int = 100) -> DataFrame:
     return keys.lateralJoin(
         SplitPathUDTF(F.col("key").outer())
     ).select("key", "pos", "piece")
+
+
+def _fake_model() -> dict:
+    """Stand-in for an expensive model load (weights file, tokenizer,
+    ONNX session): a deterministic token→score table derived from md5
+    nibbles, so the oracle can reproduce scores exactly in SQL."""
+    return {"mod": 1000}
+
+
+def _token_value(model: dict, tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16) % model["mod"]
+
+
+def model_scores(documents: DataFrame) -> DataFrame:
+    """Iterator-form scalar Pandas UDF — the model-inference pattern:
+    the 'model' loads ONCE per Python worker (outside the batch loop),
+    then Arrow batches stream through it.  With a per-batch or per-row
+    load, a real checkpoint (GBs) would be re-read thousands of times
+    per executor; the iterator form is how embedding/scoring inference
+    runs over a 100 TB corpus.
+
+    The UDF emits the exact INTEGER score sum per document; token
+    count and the final average stay JVM-side, so the only
+    cross-engine float is one division of exact integers (identical
+    IEEE result in both engines — no Python float summation to
+    mirror).
+    """
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def score_sum(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _fake_model()  # once per worker, NOT per batch
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(_token_value(model, w) for w in t.split(" "))
+            )
+
+    n_tok = F.size(F.split("text", " "))
+    return documents.select(
+        "doc_id",
+        score_sum("text").alias("model_sum"),
+        n_tok.alias("n_tok"),
+    ).select(
+        "doc_id",
+        "model_sum",
+        "n_tok",
+        F.round(F.col("model_sum") / F.col("n_tok"), 4).alias("model_score"),
+    )

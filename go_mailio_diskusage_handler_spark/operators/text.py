@@ -303,3 +303,41 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    signal for corpus audits and near-dup triage.
+
+    Three bounded aggregations: term frequency per (doc, word) — one
+    shuffle whose exchange is map-side combined; document frequency
+    per word — vocabulary-bounded; corpus size N — one scalar
+    broadcast (a 1-row frame, same pattern as heavy_users).  The
+    tf·ln(N/df) score joins tf to df on the word key, and the top-k
+    window partitions by doc_id (per-doc sort of ≤ |doc vocabulary|
+    rows).  Ordering is engine-safe: two terms' scores are EQUAL iff
+    their (tf, df) pairs are equal — then the word tie-break decides —
+    and otherwise differ by far more than libm's 1-ulp ln jitter.
+    """
+    words = documents.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("term_rank"))
+        .filter(F.col("term_rank") <= k)
+    )

@@ -1396,6 +1396,31 @@ def udtf_path_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udfs.path_segments(inv, 100)
 
 
+_HEX3 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {k + 1}, 1)) - 1) * {16 ** (2 - k)}"
+    for k in range(3)
+)
+
+MODEL_SCORES_SQL = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    v AS (SELECT doc_id, ({_HEX3}) % 1000 AS val FROM w),
+    s AS (SELECT doc_id, SUM(val) AS model_sum,
+                 CAST(COUNT(*) AS INTEGER) AS n_tok
+          FROM v GROUP BY doc_id)
+    SELECT doc_id, model_sum, n_tok,
+           ROUND(model_sum * 1.0 / n_tok, 4) AS model_score
+    FROM s
+"""
+
+
+@register("udf_iter_model_scores", MODEL_SCORES_SQL)
+def udf_iter_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas_udf: fake model loads once per worker,
+    Arrow batches stream through — udfs.model_scores."""
+    return udfs.model_scores(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # [EXT] Data-quality gate (O9), skew-salted aggregation, IVF ANN
 # ---------------------------------------------------------------------------
@@ -2282,6 +2307,32 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over distinct (user, day) pairs —
     sessions.cohort_retention."""
     return sessions.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+TFIDF_SQL = """
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words
+           GROUP BY doc_id, word),
+    dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, tf.word AS term,
+                      ROUND(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+               FROM tf JOIN dft ON tf.word = dft.word, n)
+    SELECT doc_id, term, tfidf,
+           CAST(rk AS INTEGER) AS term_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+    WHERE rk <= 3
+"""
+
+
+@register("text_tfidf_topterms", TFIDF_SQL)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — text.tfidf_top_terms
+    (vocabulary-bounded aggregations + broadcast corpus-size
+    scalar)."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
 SPEND_TREND_SQL = """

@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "text_language_ngram",
     "text_repetition",
     "text_ngram_topk",
+    "text_tfidf_topterms",
     "dedup_exact",
     "dedup_minhash",
     "dedup_incremental_minhash",

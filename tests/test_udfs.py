@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "udaf_weighted_avg_price",
     "udtf_path_segments",
     "udf_grouped_map_zscore",
+    "udf_iter_model_scores",
 ]
 
 
@@ -58,3 +59,13 @@ def test_pandas_cosine_is_arrow_vectorized_and_shuffle_free(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plans.shuffle_count(df) == 0, plan
+
+
+def test_iter_model_udf_is_arrow_not_batch_python(spark):
+    """The iterator-form scalar UDF must plan as ArrowEvalPython (Arrow
+    batches through one worker init), never row-at-a-time
+    BatchEvalPython."""
+    df = udfs.model_scores(load_table(spark, SF_CORRECT, "documents"))
+    plan = plans.executed_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
