@@ -382,6 +382,25 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """Signatures → one (doc_id, band_idx, band_key) row per band —
+    the storable LSH index layout shared by the batch incremental
+    dedup and the streaming ingest twin."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), _band_key(b).alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 def incremental_minhash_pairs(
     documents: DataFrame,
     batch_min_doc_id: int,
@@ -416,19 +435,7 @@ def incremental_minhash_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), _band_key(b).alias("band_key")
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    bands = band_rows(sigs)
     index_side = bands.alias("a")  # full corpus: the stored band index
     probe_side = bands.filter(F.col("doc_id") >= batch_min_doc_id).alias("b")
     cands = (

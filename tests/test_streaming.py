@@ -411,3 +411,44 @@ def test_streaming_first_touch_matches_batch(spark, tmp_path):
     ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     want = {tuple(r) for r in sessions.first_touch(batch_df).collect()}
     assert got == want, (got, want)
+
+
+def test_streaming_dedup_ingest_equals_full_batch(spark, tmp_path):
+    """StreamingDedupIngest over the documents corpus split into two
+    arrival batches must accumulate EXACTLY the full-corpus MinHash
+    pair set: each unordered pair is adjudicated once, when its
+    second member lands (new×old via the stored index, new×new
+    within the batch)."""
+    import os
+    import time
+
+    from go_mailio_diskusage_handler_spark.operators import dedup
+    from go_mailio_diskusage_handler_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    now = time.time()
+    for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
+        p = d / f"b{i}.parquet"
+        docs.filter(pred).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    ingest = StreamingDedupIngest(
+        spark,
+        str(d) + "/*/",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "work"),
+        threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    ingest.await_drained()
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in ingest.pairs().collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain near-dup pairs"
