@@ -191,3 +191,40 @@ def tumbling_event_windows(events: DataFrame, minutes: int = 10) -> DataFrame:
             "total_value",
         )
     )
+
+
+def mergeable_user_sketches(
+    events: DataFrame, rel_tol: float = 0.05
+) -> DataFrame:
+    """Apache DataSketches HLL as a MERGEABLE rollup: per-(type, day)
+    partial sketches (``hll_sketch_agg``) unioned per type
+    (``hll_union_agg``) — the two-level pattern a 100 TB metrics
+    pipeline stores: small daily sketch blobs answer any later
+    date-range distinct question by UNION, never by rescanning events.
+    (``approx_count_distinct`` covers the one-shot estimate; this
+    covers re-aggregatability, which one-shot estimates don't give.)
+
+    Driver-checkable invariant form (sketch bytes aren't
+    SQL-portable): per event type, the exact distinct-user count plus
+    a boolean asserting the merged estimate lands within ``rel_tol``
+    — at fixture cardinalities (≤150 users) the default lgK=12 sketch
+    is essentially exact.
+    """
+    typed = events.filter(F.col("user_id").isNotNull())
+    daily = typed.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = typed.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= rel_tol * F.col("exact_users")
+        ).alias("merge_ok"),
+    )

@@ -391,6 +391,24 @@ def events_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalars.windowed_distinct_users(load_table(spark, sf_dir, "events"), 60)
 
 
+@register(
+    "events_sketch_merge",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_ok
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level DataSketches rollup: per-day hll_sketch_agg partials
+    → hll_union_agg per type, estimate asserted against the exact
+    count (scalars.mergeable_user_sketches — the re-aggregatable
+    sketch pattern)."""
+    return scalars.mergeable_user_sketches(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # [EXT] LLM-pipeline: text analysis + fingerprinting + exact dedup
 # ---------------------------------------------------------------------------

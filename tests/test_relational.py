@@ -51,6 +51,7 @@ ORACLE_CHECKED = [
     "window_segment_deciles",
     "trend_customer_spend",
     "part_type_affinity",
+    "events_sketch_merge",
 ]
 
 
@@ -249,3 +250,30 @@ def test_spend_trend_recovers_known_slope(spark):
     )
     got = {r.o_custkey: r.spend_slope for r in R.customer_spend_trend(orders).collect()}
     assert got == {1: 100.0, 2: 0.0}, got
+
+
+def test_sketch_union_equals_single_level_sketch(spark):
+    """Merge correctness, not just accuracy: unioning per-day HLL
+    partials must give the SAME estimate as one sketch over all the
+    data — the defining property of a mergeable sketch."""
+    from pyspark.sql import functions as F2
+
+    events = load_table(spark, SF_CORRECT, "events").filter(
+        F2.col("user_id").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F2.date_trunc("day", "ts").alias("d")
+    ).agg(F2.hll_sketch_agg("user_id").alias("sk"))
+    merged = {
+        r.event_type: r.est
+        for r in daily.groupBy("event_type")
+        .agg(F2.hll_sketch_estimate(F2.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    single = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(F2.hll_sketch_estimate(F2.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == single
