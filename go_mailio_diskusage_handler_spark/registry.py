@@ -2643,17 +2643,20 @@ _rotate_front(_R4_FRONT)
 # Plus three of the queries ADDED in round 5 (text_ngram_topk,
 # sql_returned_revenue, events_first_touch) — new code meets the
 # external gate in its first round where the window allows.  The
-# window holds exactly 50, so the REMAINING round-5 additions defer to
-# the round-6 front: sql_customer_distribution and
-# sql_sales_opportunity (lowest risk — their oracle IS the query text:
-# one ANSI string, two engines, no in-repo oracle to drift in
-# lockstep), du_heavy_users, events_retention_cohorts,
-# window_segment_deciles, and sim_mmr_topk.  Deferring NEW queries is
-# categorically different from deferring CHANGED ones (the advisory's
-# concern): a new query has no stale green driver row to hide behind —
-# it is visibly unchecked until its first gate pass — and every one of
-# these runs the same cross-engine parity check in pytest
-# (tests/test_*.py ORACLE_CHECKED lists).
+# window holds exactly 50, so the remaining 14 round-5 ADDITIONS defer
+# to the round-6 front (after them, every query's last driver row is
+# ≤1 round old again): dedup_ngram_containment, du_heavy_users,
+# events_retention_cohorts, events_sketch_merge, part_type_affinity,
+# sim_mmr_topk, sql_customer_distribution, sql_promo_revenue,
+# sql_sales_opportunity, sql_shipping_modes, text_tfidf_topterms,
+# trend_customer_spend, udf_iter_model_scores, window_segment_deciles.
+# Deferring NEW queries is categorically different from deferring
+# CHANGED ones (the advisory's concern): a new query has no stale
+# green driver row to hide behind — it is visibly unchecked until its
+# first gate pass — and every one of these runs the same cross-engine
+# parity check in pytest (tests/test_*.py ORACLE_CHECKED lists); the
+# four sql_* among them are one-ANSI-string queries whose oracle IS
+# the query text.
 # 50 names — exactly the window.
 _R5_FRONT = [
     "rollup_order_stats",
