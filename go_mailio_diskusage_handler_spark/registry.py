@@ -392,6 +392,41 @@ def events_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_bitmap_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via two-level bitmap aggregation
+    (scalars.bitmap_distinct_users) — hash-matches COUNT(DISTINCT)
+    by construction, no tolerance band."""
+    return scalars.bitmap_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "scalar_variant_props",
+    """
+    WITH k AS (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k
+               FROM events)
+    SELECT k % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM k GROUP BY k_bucket
+    """,
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path: parse_json once, typed variant_get
+    extraction (scalars.variant_prop_stats)."""
+    return scalars.variant_prop_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sketch_merge",
     """
     SELECT event_type,

@@ -52,6 +52,8 @@ ORACLE_CHECKED = [
     "trend_customer_spend",
     "part_type_affinity",
     "events_sketch_merge",
+    "events_bitmap_users",
+    "scalar_variant_props",
 ]
 
 
