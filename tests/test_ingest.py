@@ -197,3 +197,50 @@ def test_corrupt_file_skipped_not_fatal(spark, tmp_path):
     df = spark.read.schema("key string, size double").parquet(str(d) + "/*")
     assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "true"
     assert df.count() == 2
+
+
+def test_python_datasource_reads_manifest_inventory(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): the manifest-driven
+    inventory as spark.read.format('mailio_inventory') — one input
+    partition PER manifest file entry (the reference reads them
+    sequentially, handler.go:83-91), rows identical to reading the
+    listed files directly, and the aggregate identical through
+    core.disk_usage."""
+    import json
+
+    from go_mailio_diskusage_handler_spark.operators import core
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    batches = [
+        [("alice/a.txt", 10), ("bob/b.txt", 20)],
+        [("alice/c.txt", 5), ("malformed", 7)],
+    ]
+    keys = []
+    for i, rows in enumerate(batches):
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(rows, "key string, size long").coalesce(1).write.parquet(
+            str(d)
+        )
+        keys.append(
+            str(next(p for p in d.iterdir() if p.name.endswith(".parquet")).relative_to(tmp_path))
+        )
+    manifest = {"sourceBucket": "b", "files": [{"key": k, "size": 0} for k in keys]}
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(json.dumps(manifest))
+    df = (
+        spark.read.format("mailio_inventory")
+        .option("manifest", str(mpath))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per listed file
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(t for rows in batches for t in rows)
+    assert got == want
+    agg = {
+        r.address: (r.size_bytes, r.number_files)
+        for r in core.disk_usage(df).collect()
+    }
+    assert agg == {"alice": (15.0, 2), "bob": (20.0, 1)}
