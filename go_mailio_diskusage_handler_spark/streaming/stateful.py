@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -272,4 +273,87 @@ def funnel_stream(
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state successor to ``applyInPandasWithState``
+    (typed state handles instead of one opaque tuple; per-key timers;
+    state TTL) — maintaining exactly the reference's serving-map shape
+    (address → running SUM/COUNT, handler.go:231-251) as an always-on
+    stream: every micro-batch emits each touched user's updated
+    totals.
+
+    Why the new API matters at 100 TB: ``getValueState`` columns live
+    individually in the state store (RocksDB-backed via
+    ``configure_state_store``), so a processor can evolve its state
+    schema and expire per-key state by TTL without hand-rolling
+    timestamp bookkeeping in a packed tuple — the exact pain points
+    the ``applyInPandasWithState`` operators above work around
+    manually.  Stream≡batch asserted in ``tests/test_streaming.py``
+    — skipped where the runtime lacks ``google.protobuf`` (the
+    transformWithState driver↔worker protocol is protobuf-encoded;
+    this sandbox ships pyspark without it, and installs are out of
+    scope).  The operator itself is environment-gated the same way.
+    """
+    try:  # the API's wire protocol needs protobuf at runtime
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, "
+            "which this runtime does not provide"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total double, cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, cnt = (
+                self._totals.get() if self._totals.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf["value"].fillna(0.0).sum())
+                cnt += len(pdf)
+            self._totals.update((total, cnt))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [total],
+                    "n_events": [cnt],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.filter(events["user_id"].isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )

@@ -452,3 +452,47 @@ def test_streaming_dedup_ingest_equals_full_batch(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture should contain near-dup pairs"
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API):
+    per-user running totals accumulated across two micro-batches must
+    end exactly at the batch aggregate (last Update-mode emission per
+    user wins).  Skips where the runtime lacks protobuf (the API's
+    wire protocol); the operator raises NotImplementedError there."""
+    import os
+    import time
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            stateful.user_totals_stream(
+                windows.read_event_stream(spark, str(tmp_path))
+            )
+        pytest.skip("runtime lacks google.protobuf for transformWithState")
+
+    d = tmp_path / "twe"
+    d.mkdir()
+    h = 3_600_000_000_000
+    batches = [
+        [(1, 1 * h, 1, "click", 2.0, "{}"),
+         (2, 1 * h, 2, "view", 3.0, "{}")],
+        [(3, 2 * h, 1, "click", 5.0, "{}"),
+         (4, 2 * h, 3, "view", 7.0, "{}")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    out = windows.run_to_memory(
+        stateful.user_totals_stream(stream), output_mode="update"
+    )
+    rows = out.collect()
+    last = {}
+    for r in rows:  # memory sink appends update rows in batch order
+        last[r.user_id] = (r.total_value, r.n_events)
+    assert last == {1: (7.0, 2), 2: (3.0, 1), 3: (7.0, 1)}
