@@ -677,3 +677,43 @@ def ngram_containment_pairs(
             F.round(F.col("p.c"), 4).alias("containment"),
         )
     )
+
+
+def simhash_pairs_editdist(
+    documents: DataFrame, head_chars: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Edit-distance verification tier over the SimHash candidate
+    pairs: Levenshtein on the documents' fixed-width heads, appended
+    to each banded-candidate pair.
+
+    The tiering is the scale story: Levenshtein is O(m·n) PER PAIR —
+    unthinkable corpus-wide — but the SimHash bands have already cut
+    the pair space to hash-close candidates, and the fixed
+    ``head_chars`` cap bounds each evaluation at O(head²) regardless
+    of document length.  This is the standard cheap-filter →
+    expensive-verify composition (same shape as the LSH → exact-cosine
+    re-rank), here with a string metric the sketch tiers cannot give.
+    """
+    pairs = simhash_dedup_pairs(documents, max_hamming).select("doc_a", "doc_b")
+    heads = documents.select(
+        "doc_id", F.substring("text", 1, head_chars).alias("head")
+    )
+    return (
+        pairs.join(
+            heads.select(
+                F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            heads.select(
+                F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").alias("head_edit_dist"),
+        )
+    )

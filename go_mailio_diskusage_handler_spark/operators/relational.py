@@ -584,3 +584,38 @@ def part_type_affinity(
         .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
         .limit(k)
     )
+
+
+def spend_reconciliation(orders: DataFrame, split_date: str) -> DataFrame:
+    """FULL OUTER reconcile of two per-customer aggregates (early vs
+    late period) — presence-classified with COALESCE'd measures.
+
+    When both sides come from the SAME table, `inventory_diff` shows
+    the cheaper form (one groupBy, no join).  The FULL OUTER join is
+    the general tool this query covers: two sides from DIFFERENT
+    sources/schemas (yesterday's published snapshot vs today's
+    recount, billing vs usage) that cannot be unioned into one
+    aggregation.  Both inputs arrive pre-aggregated (one row per
+    customer), so the join shuffles reduced data on the same key both
+    aggregations grouped by — AQE shares the exchanges.
+    """
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit(split_date).cast("date"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_early"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit(split_date).cast("date"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_late"))
+    )
+    e, l = early.alias("e"), late.alias("l")
+    return e.join(l, F.col("e.o_custkey") == F.col("l.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("e.o_custkey"), F.col("l.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("spend_early"), F.lit(0.0)).alias("spend_early"),
+        F.coalesce(F.col("spend_late"), F.lit(0.0)).alias("spend_late"),
+        F.when(F.col("e.o_custkey").isNull(), F.lit("late_only"))
+        .when(F.col("l.o_custkey").isNull(), F.lit("early_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )

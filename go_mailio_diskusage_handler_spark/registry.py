@@ -2271,6 +2271,59 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-touch dedup (batch oracle of the streaming
 # dropDuplicatesWithinWatermark twin).
 # ---------------------------------------------------------------------------
+@register(
+    "join_spend_reconcile",
+    """
+    WITH a AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend_early
+               FROM orders WHERE o_orderdate < DATE '1997-01-01'
+               GROUP BY o_custkey),
+    b AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend_late
+          FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+          GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.spend_early, 0) AS spend_early,
+           COALESCE(b.spend_late, 0) AS spend_late,
+           CASE WHEN a.o_custkey IS NULL THEN 'late_only'
+                WHEN b.o_custkey IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_spend_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconcile of two pre-aggregated periods
+    (relational.spend_reconciliation) — the join type for two-source
+    reconciliation; same-table diffs use the cheaper single-groupBy
+    `inventory_diff` form."""
+    return relational.spend_reconciliation(
+        load_table(spark, sf_dir, "orders"), "1997-01-01"
+    )
+
+
+@register(
+    "dedup_pair_editdist",
+    f"""
+    WITH {_SIMHASH_CTES},
+    blocks AS ({_SIM_BLOCKS}),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+              FROM blocks a JOIN blocks b
+                ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+               AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
+                AS INTEGER) AS head_edit_dist
+    FROM (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3) p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    """,
+)
+def dedup_pair_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification tier over SimHash candidate pairs —
+    cheap-filter → expensive-verify composition with a string metric
+    (dedup.simhash_pairs_editdist; per-pair cost capped at O(head²))."""
+    return dedup.simhash_pairs_editdist(load_table(spark, sf_dir, "documents"))
+
+
 TOP_NGRAMS_SQL = """
     WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
     b AS (SELECT u.bg AS ngram

@@ -28,6 +28,7 @@ ORACLE_CHECKED = [
     "dedup_ngram_containment",
     "dedup_simhash_values",
     "dedup_simhash_pairs",
+    "dedup_pair_editdist",
     "dedup_clusters",
     "curation_split_assign",
     "curation_mixture",

@@ -54,6 +54,7 @@ ORACLE_CHECKED = [
     "events_sketch_merge",
     "events_bitmap_users",
     "scalar_variant_props",
+    "join_spend_reconcile",
 ]
 
 
