@@ -15,6 +15,13 @@ sql_large_orders 1.90/2.96/1.88 s across r2/r4/now), so the drift was
 co-located load on the recording host, not code, warmup ordering, or
 registration position.  Treat cross-round per-query deltas under ~1.5x
 as environment noise unless they reproduce on a quiet machine.
+
+Cross-round TOTALS are not comparable when the registry grows: round
+5 roughly doubled the query count, so compare the COMMON per-query
+subset instead.  End-of-round-5 idle-box reference: the 66 entries
+parsed from BENCH_r04's tail summed 68.0 s there and 76.9 s here, and
+the residual is dominated by curation_mixture's documented
+skew-guard aggregation (0.3 -> 1.0 s) plus sub-1.5x noise.
 """
 
 from __future__ import annotations

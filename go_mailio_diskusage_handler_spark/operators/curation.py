@@ -359,3 +359,42 @@ def curated_corpus(
     return kept.join(split_assignments(documents), "doc_id").select(
         "doc_id", "source", "split"
     )
+
+
+def keep_best_per_cluster(documents, threshold: float = 0.6):
+    """Representative selection for near-dup clusters: within each
+    duplicate cluster keep the LONGEST document (n_chars, ties to the
+    smallest doc_id) — the standard curation heuristic (the longest
+    variant usually subsumes its truncated/boilerplate-trimmed
+    near-dups; pure min-doc_id keep is arbitrary about content).
+
+    One min-struct aggregation per cluster over (−n_chars, doc_id) —
+    the same single-shuffle argmax shape as ``sessions.first_touch``;
+    no window sort of cluster members.  Composes
+    ``dedup.duplicate_clusters`` (strict-by-default: unconverged
+    clusters raise rather than silently electing a wrong keeper).
+    """
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import dedup
+
+    clusters = dedup.duplicate_clusters(documents, threshold)
+    members = clusters.join(
+        documents.select("doc_id", "n_chars"), "doc_id"
+    )
+    winner = F.min(
+        F.struct((-F.col("n_chars")).alias("neg_chars"), F.col("doc_id"))
+    ).alias("w")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            winner,
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("w.doc_id").alias("keep_doc_id"),
+            (-F.col("w.neg_chars")).alias("keep_n_chars"),
+            "n_members",
+        )
+    )

@@ -341,3 +341,31 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         scored.select("*", F.row_number().over(w).alias("term_rank"))
         .filter(F.col("term_rank") <= k)
     )
+
+
+def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup after canonical text normalization — lowercase,
+    non-alphanumerics to spaces, whitespace squeezed, trimmed —
+    catching the trivially-reformatted duplicates (case, punctuation,
+    spacing) that raw content hashing misses; the standard first
+    rung of the dedup ladder, under the fuzzy tiers.
+
+    Same single-shuffle shape as :func:`exact_dedup` (hash → partial
+    min/count → exchange on the digest); normalization is a pure
+    per-row JVM expression chain, free at scan time.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        documents.select(F.sha2(norm, 256).alias("norm_sha"), "doc_id")
+        .groupBy("norm_sha")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

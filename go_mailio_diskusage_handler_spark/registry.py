@@ -911,9 +911,10 @@ def curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curated_corpus(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_clusters",
-    f"""
+#: Shared recursive-CTE chain ending in a ``clusters(doc_id,
+#: cluster_id)`` CTE — used by dedup_clusters and the keep-best
+#: composition.
+_CLUSTERS_CTES = f"""
     WITH RECURSIVE {_CAPPED_SHINGLE_CTES},
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM shingles x JOIN shingles y
@@ -931,9 +932,15 @@ def curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a AS src, a AS dst FROM edges
               UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-    """,
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                 FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"{_CLUSTERS_CTES} SELECT doc_id, cluster_id FROM clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component duplicate clusters (iterative label
@@ -2271,6 +2278,50 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-touch dedup (batch oracle of the streaming
 # dropDuplicatesWithinWatermark twin).
 # ---------------------------------------------------------------------------
+@register(
+    "dedup_normalized",
+    """
+    SELECT sha256(norm) AS norm_sha,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+    GROUP BY norm_sha
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (case/punctuation/
+    whitespace) — text.normalized_exact_dedup.  NOTE the oracle's 'g'
+    flags: DuckDB regexp_replace is first-match by default while
+    Spark's is global."""
+    return text.normalized_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_keep_best",
+    f"""
+    {_CLUSTERS_CTES},
+    m AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+          FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+           n_members
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM m) WHERE rn = 1
+    """,
+)
+def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-document representative per duplicate cluster — one
+    argmax aggregation, no per-cluster sort
+    (curation.keep_best_per_cluster)."""
+    return curation.keep_best_per_cluster(
+        load_table(spark, sf_dir, "documents"), 0.6
+    )
+
+
 @register(
     "join_spend_reconcile",
     """

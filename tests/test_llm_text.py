@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "text_ngram_topk",
     "text_tfidf_topterms",
     "dedup_exact",
+    "dedup_normalized",
     "dedup_minhash",
     "dedup_incremental_minhash",
     "dedup_ngram_jaccard",
@@ -35,6 +36,7 @@ ORACLE_CHECKED = [
     "curation_contaminated",
     "curation_pack_sequences",
     "curation_corpus",
+    "curation_keep_best",
 ]
 
 
@@ -370,3 +372,40 @@ def test_containment_is_directional_where_jaccard_is_blind(spark):
         for r in dedup.ngram_jaccard_pairs(docs, 0.0).collect()
     }
     assert jac[(1, 2)] < 0.1, jac
+
+
+def test_normalized_dedup_collapses_reformatted_duplicates(spark):
+    """'Hello,  WORLD!' and 'hello world' must hash together after
+    normalization (raw exact dedup keeps them apart); distinct
+    content stays distinct."""
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,  WORLD!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    norm = {r.keep_doc_id: r.dup_count for r in T.normalized_exact_dedup(docs).collect()}
+    assert norm == {1: 2, 3: 1}
+    raw = T.exact_dedup(docs)
+    assert raw.count() == 3
+
+
+def test_keep_best_prefers_longest_member(spark):
+    """Within a duplicate cluster the longest document wins (ties to
+    the smallest doc_id) — not simply the smallest id."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base, len(base)),
+            (2, base + " extra tail words", len(base) + 17),
+            (3, "unrelated totally different content here", 40),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r.cluster_id: (r.keep_doc_id, r.n_members)
+        for r in curation.keep_best_per_cluster(docs, 0.5).collect()
+    }
+    assert got == {1: (2, 2)}, got  # doc 2 is longer → keeper, despite id 1
