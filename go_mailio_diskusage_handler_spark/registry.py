@@ -2782,10 +2782,12 @@ _rotate_front(_R4_FRONT)
 # Plus three of the queries ADDED in round 5 (text_ngram_topk,
 # sql_returned_revenue, events_first_touch) — new code meets the
 # external gate in its first round where the window allows.  The
-# window holds exactly 50, so the remaining 14 round-5 ADDITIONS defer
+# window holds exactly 50, so the remaining 20 round-5 ADDITIONS defer
 # to the round-6 front (after them, every query's last driver row is
-# ≤1 round old again): dedup_ngram_containment, du_heavy_users,
-# events_retention_cohorts, events_sketch_merge, part_type_affinity,
+# ≤1 round old again): curation_keep_best, dedup_ngram_containment,
+# dedup_normalized, dedup_pair_editdist, du_heavy_users,
+# events_bitmap_users, events_retention_cohorts, events_sketch_merge,
+# join_spend_reconcile, part_type_affinity, scalar_variant_props,
 # sim_mmr_topk, sql_customer_distribution, sql_promo_revenue,
 # sql_sales_opportunity, sql_shipping_modes, text_tfidf_topterms,
 # trend_customer_spend, udf_iter_model_scores, window_segment_deciles.
