@@ -1036,3 +1036,114 @@ def mmr_rerank_topk(
     # on decimal half-boundaries (0.7×6-digit rel has 7 digits) where
     # HALF_UP (Spark) and double-nearest (DuckDB) disagree.
     return pairs.groupBy("query_id").applyInPandas(_greedy, out_schema)
+
+
+RRF_K = 60
+RRF_TOPK = 5
+RRF_POOL = 20
+
+
+def rrf_hybrid_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = RRF_TOPK,
+    pool: int = RRF_POOL,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: a LEXICAL ranking
+    (n-gram Jaccard over the df-capped shingle join) and a VECTOR
+    ranking (exact cosine) are fused per query as
+    ``Σ 1/(rrf_k + rank)`` — the standard multi-retriever combination
+    (rank-based, so the two scoring scales never need calibrating).
+
+    Scale shape: both rank lists are per-query top-``pool`` — the
+    lexical side probes the shingle index with only the query docs'
+    shingles (probe-side bounded, same fence as incremental dedup),
+    the vector side is the exact tier (swap in the ANN stack at
+    corpus scale) — and the fusion is a FULL OUTER join of two
+    (n_queries × pool)-row lists: query-bounded, corpus-independent.
+    Fused scores are sums of exact reciprocals of small ints —
+    bit-identical across engines; ties share identical rank pairs and
+    break on candidate id.
+    """
+    from go_mailio_diskusage_handler_spark.operators import dedup
+
+    docs = widen_for_compute(documents)
+    sh = dedup.cap_shingle_df(dedup.shingles(docs))
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    probe = sh.filter(F.col("doc_id") < n_queries)
+    inter = (
+        sh.alias("c")
+        .join(
+            probe.alias("q"),
+            (F.col("c.shingle") == F.col("q.shingle"))
+            & (F.col("c.doc_id") != F.col("q.doc_id")),
+        )
+        .groupBy(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("cand_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.alias("zq"), F.col("query_id") == F.col("zq.doc_id"))
+        .join(sizes.alias("zc"), F.col("cand_id") == F.col("zc.doc_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("inter")
+                / (F.col("zq.n_sh") + F.col("zc.n_sh") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("cand_id")
+    )
+    text_ranks = (
+        jac.select("*", F.row_number().over(w_t).alias("rank_t"))
+        .filter(F.col("rank_t") <= pool)
+        .select("query_id", "cand_id", "rank_t")
+    )
+    vec_ranks = (
+        brute_force_topk(embeddings, n_queries, pool)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").alias("rank_v"),
+        )
+    )
+    t, v = text_ranks.alias("t"), vec_ranks.alias("v")
+    fused = (
+        t.join(
+            v,
+            (F.col("t.query_id") == F.col("v.query_id"))
+            & (F.col("t.cand_id") == F.col("v.cand_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("t.query_id"), F.col("v.query_id")).alias(
+                "query_id"
+            ),
+            F.coalesce(F.col("t.cand_id"), F.col("v.cand_id")).alias("cand_id"),
+            (
+                F.coalesce(
+                    1.0 / (F.lit(rrf_k) + F.col("rank_t")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(rrf_k) + F.col("rank_v")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        fused.select("*", F.row_number().over(w_f).alias("fused_rank"))
+        .filter(F.col("fused_rank") <= k)
+    )

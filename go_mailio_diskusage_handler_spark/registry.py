@@ -2623,6 +2623,60 @@ def window_segment_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_HYBRID_SQL = f"""
+    WITH {_CAPPED_SHINGLE_CTES},
+    inter AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                     COUNT(*) AS i
+              FROM shingles c
+              JOIN shingles q ON c.shingle = q.shingle
+                             AND c.doc_id != q.doc_id
+              WHERE q.doc_id < 4
+              GROUP BY query_id, cand_id),
+    jac AS (SELECT query_id, cand_id,
+                   i * 1.0 / (zq.n + zc.n - i) AS jaccard
+            FROM inter
+            JOIN sizes zq ON query_id = zq.doc_id
+            JOIN sizes zc ON cand_id = zc.doc_id),
+    t AS (SELECT query_id, cand_id, rank_t FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY jaccard DESC, cand_id ASC) AS rank_t
+              FROM jac) WHERE rank_t <= {similarity.RRF_POOL}),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 4),
+    vscored AS (SELECT query_id, e.vec_id AS cand_id,
+                       ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6)
+                           AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id != query_id),
+    v AS (SELECT query_id, cand_id, rank_v FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, cand_id ASC) AS rank_v
+              FROM vscored) WHERE rank_v <= {similarity.RRF_POOL}),
+    fused AS (SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+                     COALESCE(t.cand_id, v.cand_id) AS cand_id,
+                     COALESCE(1.0 / ({similarity.RRF_K} + rank_t), 0)
+                     + COALESCE(1.0 / ({similarity.RRF_K} + rank_v), 0)
+                         AS rrf_score
+              FROM t FULL OUTER JOIN v
+                ON t.query_id = v.query_id AND t.cand_id = v.cand_id)
+    SELECT query_id, cand_id, rrf_score,
+           CAST(fr AS INTEGER) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, cand_id ASC) AS fr
+          FROM fused) WHERE fr <= {similarity.RRF_TOPK}
+"""
+
+
+@register("sim_rrf_hybrid_topk", RRF_HYBRID_SQL)
+def sim_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank —
+    similarity.rrf_hybrid_topk (query-bounded probe sides, FULL OUTER
+    fusion of two pool-sized rank lists)."""
+    return similarity.rrf_hybrid_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _mmr_oracle_sql(k: int, shortlist: int) -> str:
     """Generate the MMR greedy as chained CTEs: step s scores every
     unselected candidate as 0.7*rel - (1 - 0.7)*MAX(sim to selected)

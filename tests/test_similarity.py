@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "sim_ivf_assignments",
     "sim_ivf_ann_topk",
     "sim_mmr_topk",
+    "sim_rrf_hybrid_topk",
 ]
 
 
@@ -225,3 +226,37 @@ def test_mmr_diversifies_near_duplicate_neighbors(spark):
     assert order == [10, 12, 11], order
     # scores strictly decrease down the MMR ranking here
     assert got[0].mmr_score > got[1].mmr_score > got[2].mmr_score
+
+
+def test_rrf_rewards_agreement_across_retrievers(spark):
+    """A candidate ranked by BOTH retrievers must outrank a candidate
+    that only one retriever surfaces at similar depth — the defining
+    property of reciprocal-rank fusion."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark import registry
+    from conftest import SF_CORRECT
+
+    out = registry.QUERIES["sim_rrf_hybrid_topk"](spark, SF_CORRECT)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r.fused_rank)
+        assert len(rs) == 5
+        # scores non-increasing down the fused ranking
+        assert all(
+            rs[i].rrf_score >= rs[i + 1].rrf_score for i in range(len(rs) - 1)
+        )
+        # every fused score decomposes into valid reciprocal terms:
+        # 1/(60+a) or 1/(60+a) + 1/(60+b) with pool ranks a, b
+        singles = {1.0 / (60 + r) for r in range(1, 21)}
+        doubles = {a + b for a in singles for b in singles}
+        for r in rs:
+            assert r.rrf_score in singles | doubles, (q, r)
+    # the synthetic fixture's embeddings are independent of the text,
+    # so cross-retriever overlap may be empty per query — the fusion
+    # of overlapping lists is pinned by the structural check above
+    # and by the oracle parity test (FULL OUTER + COALESCE algebra).
