@@ -18,10 +18,12 @@ as environment noise unless they reproduce on a quiet machine.
 
 Cross-round TOTALS are not comparable when the registry grows: round
 5 roughly doubled the query count, so compare the COMMON per-query
-subset instead.  End-of-round-5 idle-box reference: the 66 entries
-parsed from BENCH_r04's tail summed 68.0 s there and 76.9 s here, and
-the residual is dominated by curation_mixture's documented
-skew-guard aggregation (0.3 -> 1.0 s) plus sub-1.5x noise.
+subset instead.  End-of-round-5 reference: the 66 entries parsed from
+BENCH_r04's tail summed 68.0 s there and 50.5-76.9 s across round-5
+closing runs (spread = co-located load; the faster runs follow the
+LSH driver-probe rewrite, sim_lsh_ann_topk 3.65 -> ~1.5-2.1 s at 3x
+round 2's recall).  The one real added common-subset cost is
+curation_mixture's documented skew-guard aggregation (0.3 -> 1.0 s).
 """
 
 from __future__ import annotations
