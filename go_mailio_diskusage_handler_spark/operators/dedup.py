@@ -717,3 +717,78 @@ def simhash_pairs_editdist(
             F.levenshtein("head_a", "head_b").alias("head_edit_dist"),
         )
     )
+
+
+def duplicated_span_coverage(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring coverage — the distributed analog of
+    suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    the fraction of its tokens covered by at least one word ``n``-gram
+    that also occurs in ≥ ``min_docs`` distinct documents.  Corpus
+    policies drop or trim documents above a coverage threshold; unlike
+    whole-doc fuzzy dedup this catches long verbatim quotations inside
+    otherwise-unique documents.
+
+    Plan shape at 100 TB (suffix arrays don't distribute; n-gram
+    inversion does):
+
+    * one row per n-gram occurrence (posexplode — linear in corpus
+      tokens), ONE shuffle on the gram string for the doc-frequency
+      aggregate (partial map-side combine makes the exchange
+      vocabulary×tasks-bounded);
+    * the duplicated-gram set semi-joins back against occurrences on
+      the same key — Catalyst reuses the exchange, and at production
+      scale the gram string would be xxhash64-compressed to a fixed
+      8-byte join key (kept as the raw string here for bit-exact
+      oracle parity);
+    * coverage union = explode each surviving occurrence into its n
+      covered positions, distinct, count — bounded by n× the
+      DUPLICATED occurrences only, not the corpus.
+
+    Output: (doc_id, n_words, covered_tokens, dup_span_frac), one row
+    per document including zero-coverage ones.
+    """
+    base = documents.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).select("doc_id", "t", F.size("t").alias("n_words"))
+    gram_arr = F.when(
+        F.col("n_words") >= n,
+        F.expr(
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.posexplode(gram_arr).alias("idx", "g"))
+    dup_grams = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        occ.join(dup_grams, "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(idx, idx + {n - 1})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_words"), 4
+            ).alias("dup_span_frac"),
+        )
+    )

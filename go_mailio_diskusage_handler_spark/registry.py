@@ -2907,3 +2907,129 @@ _R5_FRONT = [
 ]
 
 _rotate_front(_R5_FRONT)
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation additions.  Registered AFTER the window rotation
+# on purpose: new queries append past the driver's first-50 prefix and
+# defer to the round-6 front under the same policy as the 20 deferred
+# additions listed above — a new query has no stale green row to hide
+# behind, and each one is oracle-parity-checked in pytest
+# (ORACLE_CHECKED lists) until its first driver gate pass.
+# ---------------------------------------------------------------------------
+
+# [EXT] PII detection + redaction.  The fixture text is synthetic word
+# soup with no organic PII, so the query derives a deterministic
+# PII-bearing text column FROM fixture columns (doc_id-keyed email /
+# IPv4 / phone / account-number injections on coprime residue classes
+# so every subset combination occurs, including none) and both engines
+# run detection+redaction on that derived column.
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+_PII_RED_SQL = "text"
+for _pat, _repl in (
+    (text.PII_EMAIL, "<EMAIL>"),
+    (text.PII_IPV4, "<IP>"),
+    (text.PII_PHONE, "<PHONE>"),
+    (text.PII_DIGIT_RUN, "<ID>"),
+):
+    _PII_RED_SQL = f"regexp_replace({_PII_RED_SQL}, '{_pat}', '{_repl}', 'g')"
+
+TEXT_PII_SQL = f"""
+    WITH pii_docs AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{text.PII_DIGIT_RUN}')) AS INTEGER) AS n_id_runs,
+           sha256({_PII_RED_SQL}) AS redacted_sha,
+           CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{text.PII_IPV4}'))
+                + len(regexp_extract_all(text, '{text.PII_PHONE}'))
+                + len(regexp_extract_all(text, '{text.PII_DIGIT_RUN}')) AS INTEGER) AS n_pii
+    FROM pii_docs
+"""
+
+
+def _pii_injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" acct "), F.lpad(did.cast("string"), 9, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", txt.alias("text"))
+
+
+@register("text_pii", TEXT_PII_SQL)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII detect + redact over a deterministically PII-injected
+    derivation of ``documents`` (see operators/text.py:pii_signals)."""
+    return text.pii_signals(_pii_injected_docs(spark, sf_dir))
+
+
+# [EXT] Exact duplicated-substring coverage (Lee-et-al-style): n=8
+# word-grams occurring in >= 2 distinct docs, per-doc covered-token
+# fraction.
+DEDUP_SPAN_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+    dupg AS (SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, p
+            FROM (SELECT o.doc_id, o.pos FROM occ o JOIN dupg USING (g)) h,
+                 UNNEST(range(h.pos, h.pos + 8)) AS v(p)),
+    per AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, len(t.t) AS n_words,
+           CAST(coalesce(per.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(coalesce(per.covered, 0) * 1.0 / len(t.t), 4) AS dup_span_frac
+    FROM toks t LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("dedup_span_coverage", DEDUP_SPAN_SQL)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed exact-substring dedup signal
+    (operators/dedup.py:duplicated_span_coverage)."""
+    return dedup.duplicated_span_coverage(load_table(spark, sf_dir, "documents"))

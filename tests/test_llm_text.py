@@ -37,12 +37,77 @@ ORACLE_CHECKED = [
     "curation_pack_sequences",
     "curation_corpus",
     "curation_keep_best",
+    "text_pii",
+    "dedup_span_coverage",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_oracle_parity(spark, ddb, name):
     compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_span_coverage_known_values(spark):
+    """Hand fixtures: a shared 8-gram covers exactly its 8 tokens in
+    each member; identical docs reach coverage 1.0; overlapping
+    duplicated grams must UNION (not double-count) positions; docs
+    shorter than n have zero grams and zero coverage."""
+    from go_mailio_diskusage_handler_spark.operators import dedup as D
+
+    t1 = "a b c d e f g h x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, t1),
+            (2, "q r a b c d e f g h"),
+            (3, "unique words only here never repeated anywhere at all"),
+            (4, "too short"),
+            (5, t1),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.duplicated_span_coverage(docs).collect()}
+    # docs 1 and 5 are identical → every gram duplicated → full cover.
+    assert (got[1].covered_tokens, got[1].dup_span_frac) == (11, 1.0)
+    assert (got[5].covered_tokens, got[5].dup_span_frac) == (11, 1.0)
+    # doc 2 shares exactly one 8-gram ("a..h", its positions 3-10).
+    assert (got[2].covered_tokens, got[2].dup_span_frac) == (8, 0.8)
+    assert (got[3].covered_tokens, got[3].dup_span_frac) == (0, 0.0)
+    assert (got[4].n_words, got[4].covered_tokens) == (2, 0)
+
+
+def test_pii_signals_known_values(spark):
+    """Hand fixtures for every PII class, plus the overlap traps the
+    redaction order exists for: a phone number must redact as ONE
+    <PHONE>, not be half-eaten by the generic digit-run rule, and an
+    IP inside an email's domain must stay inside the <EMAIL>."""
+    import hashlib
+
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.1.254 and 10.0.0.1 are down"),
+            (3, "call 555-123-4567 re account 123456789"),
+            (4, "clean text no pii at all"),
+            (5, "short digits 12345678 are not an id"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.pii_signals(docs).collect()}
+    assert (got[1].n_emails, got[1].n_pii) == (1, 1)
+    assert (got[2].n_ipv4, got[2].n_pii) == (2, 2)
+    assert (got[3].n_phones, got[3].n_id_runs, got[3].n_pii) == (1, 1, 2)
+    assert got[4].n_pii == 0 and got[5].n_pii == 0
+    exp = {
+        1: "reach me at <EMAIL> thanks",
+        2: "server <IP> and <IP> are down",
+        3: "call <PHONE> re account <ID>",
+        4: "clean text no pii at all",
+        5: "short digits 12345678 are not an id",
+    }
+    for i, red in exp.items():
+        assert got[i].redacted_sha == hashlib.sha256(red.encode()).hexdigest()
 
 
 def test_repetition_signals_known_values(spark):
