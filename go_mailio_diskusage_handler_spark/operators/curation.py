@@ -398,3 +398,52 @@ def keep_best_per_cluster(documents, threshold: float = 0.6):
             "n_members",
         )
     )
+
+
+def temperature_sample(documents: DataFrame, scale: int = 1 << 16) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    standard: sample source s proportionally to p_s^alpha, here
+    alpha = 1/2): deterministic hash sampling whose per-source keep
+    rate is ``sqrt(n_min / n_s)`` — the rate that realizes q_s ∝
+    sqrt(p_s) with the smallest source kept whole, flattening the
+    source distribution without an RNG.
+
+    alpha is pinned to 1/2 on purpose: the rate then needs only one
+    IEEE-correctly-rounded ``sqrt`` of an exact integer ratio, and the
+    cutoff ``floor(rate · 2^16)`` multiplies by a power of two — every
+    step bit-exact across engines, so the sample is oracle-checkable.
+    (A general-alpha variant would go through ``pow`` and need an
+    explicit rounding pin before the floor.)
+
+    Scale shape: one map-side-combined count per source (≤ |sources|
+    rows collect to the driver — same bounded-dimension pattern as
+    :func:`mixture_rebalance`'s cutoff map), then the keep decision is
+    a pure filter expression on the scan (md5-bucket < broadcast map
+    literal).  No join, no shuffle, no RNG state.
+    """
+    import math
+
+    counts = (
+        documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_min = min(r["n"] for r in counts)
+    cutoffs = {
+        r["source"]: math.floor(math.sqrt(n_min / r["n"]) * scale)
+        for r in counts
+    }
+    cap_map = F.create_map(
+        *[F.lit(x) for kv in sorted(cutoffs.items()) for x in kv]
+    )
+    rate_map = F.create_map(
+        *[
+            F.lit(x)
+            for s, c in sorted(cutoffs.items())
+            for x in (s, round(c / scale, 6))
+        ]
+    )
+    h = F.expr(_BUCKET_SQL).cast("long")
+    return (
+        documents.select("doc_id", "source")
+        .filter(h < cap_map[F.col("source")])
+        .select("doc_id", "source", rate_map[F.col("source")].alias("keep_rate"))
+    )

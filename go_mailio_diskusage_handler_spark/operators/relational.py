@@ -619,3 +619,73 @@ def spend_reconciliation(orders: DataFrame, split_date: str) -> DataFrame:
         .otherwise(F.lit("both"))
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Z-order (Morton) multi-dimensional clustering keys
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 8
+
+
+def _morton_interleave(bx, by, bits: int = ZORDER_BITS):
+    """Morton code from two quantized bucket columns: bit i of x lands
+    at position 2i, bit i of y at 2i+1 — pure integer arithmetic
+    (shift/mask/scale) so the oracle computes the identical key."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+            + (F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        )
+    return z
+
+
+def zorder_keys(
+    orders: DataFrame, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Z-order clustering key over (o_custkey, o_totalprice) — the
+    layout primitive behind multi-dimensional data skipping (Delta
+    OPTIMIZE ZORDER BY, Hudi/Iceberg z-ordering): sort-by-z groups
+    rows that are close in BOTH dimensions into the same file, so
+    parquet row-group min/max stats prune scans filtered on either
+    or both columns, where a single-column sort only prunes one.
+
+    Quantization is exact integer math end-to-end: per-dimension
+    min/max (two scalars, collected once — the same bounded-driver
+    pattern as every codebook/cutoff broadcast here) scale each value
+    to a 2^bits bucket via INTEGER division, then the Morton
+    interleave is shift/mask/add.  No floats anywhere, so the key is
+    bit-identical in the DuckDB oracle.
+
+    The production write path is
+    ``df.repartitionByRange(N, "z_key").sortWithinPartitions("z_key")``
+    — range exchange on the z key (sampled bounds, skew-tolerant),
+    then file-local sort; tested in
+    tests/test_relational.py::test_zorder_partitions_have_local_bounding_boxes.
+    """
+    # floor() before the long cast: Spark's double→long cast truncates
+    # while DuckDB's rounds, so neither engine's bare CAST is portable.
+    lo_x, hi_x, lo_y, hi_y = orders.select(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min(F.floor("o_totalprice").cast("long")),
+        F.max(F.floor("o_totalprice").cast("long")),
+    ).first()
+    bx = F.expr(
+        f"(o_custkey - {lo_x}) * {1 << bits} div {hi_x - lo_x + 1}"
+    ).cast("long")
+    by = F.expr(
+        f"(CAST(floor(o_totalprice) AS BIGINT) - {lo_y}) * {1 << bits}"
+        f" div {hi_y - lo_y + 1}"
+    ).cast("long")
+    return orders.select(
+        "o_orderkey", bx.alias("bucket_x"), by.alias("bucket_y")
+    ).select(
+        "o_orderkey",
+        "bucket_x",
+        "bucket_y",
+        _morton_interleave(
+            F.col("bucket_x"), F.col("bucket_y"), bits
+        ).alias("z_key"),
+    )

@@ -1147,3 +1147,103 @@ def rrf_hybrid_topk(
         fused.select("*", F.row_number().over(w_f).alias("fused_rank"))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Distributed k-means training (Lloyd's algorithm)
+# ---------------------------------------------------------------------------
+KM_K = 8
+KM_ITERS = 2
+
+
+def _km_assign(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """One Lloyd assignment pass: argmin squared-L2 over the broadcast
+    centroid literals, cid tie-break.  Distances are 6-digit-rounded
+    BEFORE the argmin in both engines, so a cross-engine fp divergence
+    at an assignment boundary would need two centroids within 1e-6 of
+    exactly equidistant."""
+    cid_lit = F.lit([c for c, _ in cents])
+    vec_lit = F.lit([v for _, v in cents])
+    scored = F.transform(
+        vec_lit,
+        lambda c, i: F.struct(
+            F.round(_l2sq(F.col("v"), c), 6).alias("d"),
+            F.element_at(cid_lit, i + 1).alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    cols = [
+        F.col("vec_id"),
+        best["cid"].alias("cluster_id"),
+        best["d"].alias("dist_sq"),
+    ]
+    if keep_vec:
+        cols.append(F.col("v"))
+    return e.select(*cols)
+
+
+def kmeans_train(
+    embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Train a k-means codebook with Lloyd's algorithm, fully
+    distributed, and return the final per-vector assignment
+    (vec_id, cluster_id, dist_sq).
+
+    This is the trainer for the codebook the IVF/PQ stack broadcasts
+    (:func:`_codebook_lit` loads a deterministic stand-in; a real
+    deployment trains it here).  Per iteration:
+
+    * **assignment** is a pure map — centroids broadcast as ONE nested
+      literal (KBs at any corpus size), argmin inside whole-stage
+      codegen, no shuffle, no Python;
+    * **update** shuffles only (cluster_id, dim, partial-sum) — the
+      posexplode is k·dim-bounded after map-side combine, never
+      corpus-bounded — and the new k×dim centroid table collects to
+      the driver (the same ≤KB object the next pass broadcasts).
+
+    Determinism contract for the oracle: init = the k lowest vec_ids
+    (cid = vec_id), fixed ``iters``, centroid means and distances
+    rounded to 6 digits each round in BOTH engines, ties on cid.
+    Empty clusters drop out of the codebook in both engines (standard
+    Lloyd behavior without re-seeding).  At 100 TB you raise k, not
+    the collect size: 65 536 × 64 doubles is still ~34 MB — driver-
+    and broadcast-friendly.
+    """
+    e = widen_for_compute(embeddings).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(iters):
+        # The assignment keeps the vector column inline — no join back
+        # to the corpus; the only exchange is the k·dim-bounded
+        # partial-mean shuffle below.
+        assign = _km_assign(e, cents, keep_vec=True)
+        rows = (
+            assign.select("cluster_id", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster_id", "i")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "val"))).alias("s")
+            )
+            .select(
+                "cluster_id",
+                F.transform("s", lambda s: s["val"]).alias("v"),
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster_id"]), [float(x) for x in r["v"]]) for r in rows
+        )
+    return _km_assign(e, cents)

@@ -3033,3 +3033,123 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Distributed exact-substring dedup signal
     (operators/dedup.py:duplicated_span_coverage)."""
     return dedup.duplicated_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Distributed k-means training (Lloyd): k=8 init from the 8
+# lowest vec_ids, 2 unrolled update iterations, 6-digit rounding of
+# means and distances each round in both engines, cid tie-break.
+def _km_dist(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+
+
+def _km_assign_cte(src: str, cents: str, out: str) -> str:
+    d = _km_dist("e.v", "c.v")
+    return f"""
+    {out} AS (SELECT vec_id, cid, d FROM (
+        SELECT e.vec_id, c.cid, {d} AS d,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d} ASC, c.cid ASC) AS rn
+        FROM {src} e, {cents} c) WHERE rn = 1)"""
+
+
+def _km_update_cte(assign: str, out: str) -> str:
+    return f"""
+    {out} AS (SELECT cid, list(val ORDER BY i) AS v FROM (
+        SELECT a.cid, u.i, ROUND(avg(e.v[u.i]), 6) AS val
+        FROM {assign} a JOIN e USING (vec_id),
+             UNNEST(range(1, {similarity.EMB_DIM + 1})) AS u(i)
+        GROUP BY a.cid, u.i) GROUP BY cid)"""
+
+
+SIM_KMEANS_SQL = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {similarity.KM_K}),
+    {_km_assign_cte('e', 'c0', 'a1')},
+    {_km_update_cte('a1', 'c1')},
+    {_km_assign_cte('e', 'c1', 'a2')},
+    {_km_update_cte('a2', 'c2')},
+    {_km_assign_cte('e', 'c2', 'a3')}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, d AS dist_sq FROM a3
+"""
+
+
+@register("sim_kmeans_train", SIM_KMEANS_SQL)
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lloyd k-means codebook training, final assignment
+    (operators/similarity.py:kmeans_train)."""
+    return similarity.kmeans_train(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Temperature-based source rebalancing: keep rate sqrt(n_min/n_s)
+# realizes q_s ∝ sqrt(p_s) (alpha = 1/2) with the smallest source kept
+# whole; cutoff = floor(rate·2^16) over the md5 bucket is bit-exact in
+# both engines (integer-ratio sqrt, power-of-two scaling).  The
+# fixture's sources are uniform (every rate would be 1.0), so the
+# query derives a deterministically SKEWED source label (60/30/10 by
+# doc_id residue) and rebalances that — exercising the sub-1 rates.
+CURATION_TEMP_SQL = f"""
+    WITH skewed AS (SELECT doc_id,
+                           CASE WHEN doc_id % 10 < 6 THEN 'big'
+                                WHEN doc_id % 10 < 9 THEN 'mid'
+                                ELSE 'small' END AS source
+                    FROM documents),
+    counts AS (SELECT source, count(*) AS n FROM skewed GROUP BY source),
+    cut AS (SELECT source,
+                   CAST(floor(sqrt((SELECT min(n) FROM counts) * 1.0 / n) * 65536)
+                        AS BIGINT) AS cutoff
+            FROM counts)
+    SELECT d.doc_id, d.source,
+           ROUND(cut.cutoff / 65536.0, 6) AS keep_rate
+    FROM skewed d JOIN cut USING (source)
+    WHERE ({_DDB_BUCKET}) < cut.cutoff
+"""
+
+
+@register("curation_temperature_mix", CURATION_TEMP_SQL)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] alpha=0.5 temperature sampling
+    (operators/curation.py:temperature_sample) over a derived
+    60/30/10-skewed source labeling."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    skewed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("big"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("source"),
+    )
+    return curation.temperature_sample(skewed)
+
+
+# [EXT] Z-order (Morton) clustering keys over (o_custkey,
+# o_totalprice): exact-integer quantization to 2^8 buckets per dim,
+# bit-interleaved — the layout primitive for multi-dimensional data
+# skipping.  All integer math, bit-identical across engines.
+ZORDER_SQL = """
+    WITH stats AS (SELECT min(o_custkey) AS lo_x, max(o_custkey) AS hi_x,
+                          min(CAST(floor(o_totalprice) AS BIGINT)) AS lo_y,
+                          max(CAST(floor(o_totalprice) AS BIGINT)) AS hi_y
+                   FROM orders),
+    b AS (SELECT o_orderkey,
+                 (o_custkey - lo_x) * 256 // (hi_x - lo_x + 1) AS bucket_x,
+                 (CAST(floor(o_totalprice) AS BIGINT) - lo_y) * 256
+                     // (hi_y - lo_y + 1) AS bucket_y
+          FROM orders, stats)
+    SELECT o_orderkey, bucket_x, bucket_y,
+           CAST(((bucket_x >> 0) & 1) * 1 + ((bucket_y >> 0) & 1) * 2 + ((bucket_x >> 1) & 1) * 4 + ((bucket_y >> 1) & 1) * 8 + ((bucket_x >> 2) & 1) * 16 + ((bucket_y >> 2) & 1) * 32 + ((bucket_x >> 3) & 1) * 64 + ((bucket_y >> 3) & 1) * 128 + ((bucket_x >> 4) & 1) * 256 + ((bucket_y >> 4) & 1) * 512 + ((bucket_x >> 5) & 1) * 1024 + ((bucket_y >> 5) & 1) * 2048 + ((bucket_x >> 6) & 1) * 4096 + ((bucket_y >> 6) & 1) * 8192 + ((bucket_x >> 7) & 1) * 16384 + ((bucket_y >> 7) & 1) * 32768 AS BIGINT) AS z_key
+    FROM b
+"""
+
+
+@register("scalar_zorder_keys", ZORDER_SQL)
+def scalar_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Morton z-order clustering keys
+    (operators/relational.py:zorder_keys)."""
+    return relational.zorder_keys(load_table(spark, sf_dir, "orders"))

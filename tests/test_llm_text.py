@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "curation_keep_best",
     "text_pii",
     "dedup_span_coverage",
+    "curation_temperature_mix",
 ]
 
 
@@ -474,3 +475,40 @@ def test_keep_best_prefers_longest_member(spark):
         for r in curation.keep_best_per_cluster(docs, 0.5).collect()
     }
     assert got == {1: (2, 2)}, got  # doc 2 is longer → keeper, despite id 1
+
+
+def test_temperature_sample_flattens_sources(spark):
+    """alpha=1/2 invariants: the smallest source is kept whole
+    (rate 1.0), larger sources keep ~sqrt(n_min/n_s), and the KEPT
+    distribution's big/small ratio shrinks from n_big/n_small toward
+    sqrt(n_big/n_small) (flattening, not equalizing)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import curation as C
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    from conftest import SF_CORRECT
+
+    d = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 8, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("source"),
+    )
+    pre = {r["source"]: r["n"] for r in
+           d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = C.temperature_sample(d).collect()
+    post: dict[str, int] = {}
+    rates: dict[str, float] = {}
+    for r in kept:
+        post[r.source] = post.get(r.source, 0) + 1
+        rates[r.source] = r.keep_rate
+    assert rates["small"] == 1.0 and post["small"] == pre["small"]
+    want = math.sqrt(pre["small"] / pre["big"])
+    assert abs(rates["big"] - round(math.floor(want * 65536) / 65536, 6)) < 1e-9
+    # Realized keep fraction tracks the rate within md5-bucket noise.
+    frac = post["big"] / pre["big"]
+    assert abs(frac - want) < 0.1, (frac, want)
+    assert post["big"] / post["small"] < pre["big"] / pre["small"]

@@ -11,6 +11,7 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 from conftest import SF_CORRECT, compare_with_oracle
 
 ORACLE_CHECKED = [
+    "scalar_zorder_keys",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
@@ -280,3 +281,68 @@ def test_sketch_union_equals_single_level_sketch(spark):
         .collect()
     }
     assert merged == single
+
+
+def test_morton_interleave_known_values(spark):
+    """Hand-computed Morton codes: interleave(10, 5) — x bits on even
+    positions, y bits on odd — is 0b01100110... check a few."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators.relational import (
+        _morton_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(10, 5), (0, 0), (255, 0), (0, 255), (255, 255), (1, 1)],
+        "x long, y long",
+    )
+    got = [
+        r.z
+        for r in df.select(
+            _morton_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(x, y) for x, y in
+                   [(10, 5), (0, 0), (255, 0), (0, 255), (255, 255), (1, 1)]]
+    assert ref(10, 5) == 0b01000100 | 0b00100010
+
+
+def test_zorder_partitions_have_local_bounding_boxes(spark):
+    """The property data skipping monetizes: after repartitionByRange
+    on z_key, each partition's (bucket_x, bucket_y) bounding box must
+    cover a small corner of the domain, not a full-width stripe — so
+    min/max stats prune on EITHER dimension.  Contrast: range-
+    partitioning on bucket_x alone leaves bucket_y spanning ~the full
+    256 in every partition."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import relational
+
+    zk = relational.zorder_keys(load_table(spark, SF_CORRECT, "orders"))
+    boxes = (
+        zk.repartitionByRange(16, "z_key")
+        .select(
+            "bucket_x", "bucket_y", F.spark_partition_id().alias("pid")
+        )
+        .groupBy("pid")
+        .agg(
+            (F.max("bucket_x") - F.min("bucket_x") + 1).alias("wx"),
+            (F.max("bucket_y") - F.min("bucket_y") + 1).alias("wy"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 8
+    mean_area = sum(r.wx * r.wy for r in boxes) / len(boxes)
+    domain = 256 * 256
+    assert mean_area < domain / 4, (mean_area, domain)
+    # And the y-dimension specifically must be bounded (the dimension
+    # a single-column sort would leave unpruned).
+    assert sum(r.wy for r in boxes) / len(boxes) < 256 * 0.75

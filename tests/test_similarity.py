@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "sim_ivf_ann_topk",
     "sim_mmr_topk",
     "sim_rrf_hybrid_topk",
+    "sim_kmeans_train",
 ]
 
 
@@ -260,3 +261,45 @@ def test_rrf_rewards_agreement_across_retrievers(spark):
     # so cross-retriever overlap may be empty per query — the fusion
     # of overlapping lists is pinned by the structural check above
     # and by the oracle parity test (FULL OUTER + COALESCE algebra).
+
+
+def test_kmeans_separates_well_separated_clusters(spark):
+    """Two tight blobs far apart, one seed in each (init = lowest
+    vec_ids): Lloyd must recover the exact partition, and within-blob
+    distances to the final centroid must be small relative to the
+    blob separation."""
+    from go_mailio_diskusage_handler_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    dim = 8
+    rows = []
+    # Blob A near 0, blob B near 100; seeds are vec_id 0 (A) and 1 (B).
+    for i in range(12):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + ((i * 7 + j) % 5) * 0.1 for j in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in kmeans_train(df, k=2, iters=2).collect()}
+    assert all(got[i].cluster_id == 0 for i in range(0, 12, 2))
+    assert all(got[i].cluster_id == 1 for i in range(1, 12, 2))
+    # Intra-cluster dist_sq bounded by blob radius (<< separation).
+    assert all(r.dist_sq < 10.0 for r in got.values())
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """Lloyd's invariant on the real fixture: total inertia after 2
+    update rounds <= after 1 round (both measured with the same
+    rounding contract the oracle uses)."""
+    from go_mailio_diskusage_handler_spark.operators.similarity import (
+        kmeans_train,
+    )
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    inertia = []
+    for iters in (1, 2):
+        df = kmeans_train(emb, k=8, iters=iters)
+        inertia.append(sum(r.dist_sq for r in df.collect()))
+        spark.catalog.clearCache()
+    assert inertia[1] <= inertia[0] + 1e-6
