@@ -447,3 +447,101 @@ def temperature_sample(documents: DataFrame, scale: int = 1 << 16) -> DataFrame:
         .filter(h < cap_map[F.col("source")])
         .select("doc_id", "source", rate_map[F.col("source")].alias("keep_rate"))
     )
+
+
+def bloom_shingle_filter(
+    probe_side: DataFrame,
+    build_side: DataFrame,
+    *,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Filter ``probe_side`` to shingles that MIGHT be in
+    ``build_side`` via a driver-built Bloom bitmap: k xxhash64 seeds →
+    bit positions mod ``m_bits``, OR-folded into a long[] literal;
+    membership = AND of k shift-and-mask probes, pure codegen
+    expression at the scan.  No false negatives; false-positive rate
+    ≈ (1 - e^(-k·n/m))^k."""
+    pos = [
+        F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(m_bits))
+        for seed in range(k_hashes)
+    ]
+    bitmap = [0] * (m_bits // 64)
+    rows = (
+        build_side.select(F.explode(F.array(*pos)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in bitmap]
+    member = None
+    for seed in range(k_hashes):
+        probe = (
+            F.expr(
+                f"shiftright(element_at(_bloom, "
+                f"CAST(pmod(xxhash64(shingle, {seed}), {m_bits}) div 64 AS INT) + 1), "
+                f"CAST(pmod(xxhash64(shingle, {seed}), {m_bits}) % 64 AS INT)) & 1"
+            )
+            == 1
+        )
+        member = probe if member is None else member & probe
+    return (
+        probe_side.withColumn("_bloom", F.lit(words))
+        .filter(member)
+        .drop("_bloom")
+    )
+
+
+def bloom_prefiltered_contamination(
+    documents: DataFrame,
+    eval_max_doc_id: int = 200,
+    min_overlap: int = 3,
+    *,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contaminated_docs` with a broadcast BLOOM FILTER
+    pre-filter on the train side — identical output, different plan.
+
+    Why this exists at 100 TB: the exact path broadcasts the eval
+    SHINGLE TABLE (strings) into the join, so every train shingle
+    still flows into a join operator.  A Bloom filter over the eval
+    shingles is a fixed ``m_bits/8``-byte bitmap (16 KB here; a few
+    MB even for 10⁸ eval shingles) that the Parquet scan can apply as
+    a pure per-row expression — the overwhelmingly non-contaminated
+    train corpus is dropped AT THE SCAN, and only candidate shingles
+    (true hits + ~6% false positives at these parameters) reach the
+    exact join that confirms overlap counts.  False positives cannot
+    corrupt the output (the exact join re-checks); false negatives
+    are impossible (Bloom property), so the result provably equals
+    the exact operator's — which is exactly what the oracle asserts.
+
+    Construction: k xxhash64 seeds → bit positions mod m over the
+    (tiny) eval side, OR-folded into a long[] bitmap on the driver,
+    rebound as ONE array literal; membership = AND over k
+    shift-and-mask probes, all inside whole-stage codegen.  (Spark's
+    internal ``bloom_filter_agg`` expression isn't registered for SQL
+    in this build — and a hand-rolled bitmap keeps the layout
+    engine-portable anyway.)
+    """
+    sh = shingles(documents)
+    ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    train = bloom_shingle_filter(
+        sh.filter(F.col("doc_id") >= eval_max_doc_id),
+        ev,
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    overlap = (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return overlap.groupBy("doc_id").agg(
+        F.max("n_overlap").alias("max_overlap"),
+        F.count(F.lit(1)).alias("n_eval_docs"),
+    )

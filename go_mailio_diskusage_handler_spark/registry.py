@@ -3153,3 +3153,31 @@ def scalar_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Morton z-order clustering keys
     (operators/relational.py:zorder_keys)."""
     return relational.zorder_keys(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] Bloom-prefiltered decontamination: same semantics as
+# curation_contaminated but NO df cap and a broadcast bitmap
+# prefilter on the train scan; the oracle is the plain exact overlap
+# (bloom false positives are cleared by the exact join, false
+# negatives are impossible — so equality to the exact result IS the
+# property under test).
+CURATION_BLOOM_SQL = f"""
+    WITH {_SHINGLE_CTES},
+    train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 200),
+    ev AS (SELECT doc_id AS eval_doc_id, shingle FROM shingles WHERE doc_id < 200),
+    overlap AS (SELECT t.doc_id, e.eval_doc_id, COUNT(*) AS n_overlap
+                FROM train t JOIN ev e ON t.shingle = e.shingle
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 3)
+    SELECT doc_id, MAX(n_overlap) AS max_overlap, COUNT(*) AS n_eval_docs
+    FROM overlap GROUP BY doc_id
+"""
+
+
+@register("curation_bloom_decontam", CURATION_BLOOM_SQL)
+def curation_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bloom-prefiltered decontamination
+    (operators/curation.py:bloom_prefiltered_contamination)."""
+    return curation.bloom_prefiltered_contamination(
+        load_table(spark, sf_dir, "documents"), 200, 3
+    )

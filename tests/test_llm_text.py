@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "text_pii",
     "dedup_span_coverage",
     "curation_temperature_mix",
+    "curation_bloom_decontam",
 ]
 
 
@@ -512,3 +513,43 @@ def test_temperature_sample_flattens_sources(spark):
     frac = post["big"] / pre["big"]
     assert abs(frac - want) < 0.1, (frac, want)
     assert post["big"] / post["small"] < pre["big"] / pre["small"]
+
+
+def test_bloom_prefilter_is_lossless_and_selective(spark):
+    """The bloom variant must (a) return EXACTLY the exact operator's
+    result — false positives are cleared by the exact join and false
+    negatives are impossible — and (b) actually drop a material share
+    of train shingles at the scan (the thing the bitmap buys)."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import curation as C
+    from go_mailio_diskusage_handler_spark.operators.dedup import shingles
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {
+        (r.doc_id, r.max_overlap, r.n_eval_docs)
+        for r in C.contaminated_docs(docs, 200, 3).collect()
+    }
+    bloom = {
+        (r.doc_id, r.max_overlap, r.n_eval_docs)
+        for r in C.bloom_prefiltered_contamination(docs, 200, 3).collect()
+    }
+    assert bloom == exact and exact
+    # Selectivity, measured at the prefilter stage itself: with a
+    # tiny build side (5 eval docs) most train shingles must fail the
+    # membership probe — and every TRUE member must survive.
+    sh = shingles(docs)
+    ev = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") >= 5)
+    survived = C.bloom_shingle_filter(train, ev)
+    n_train, n_surv = train.count(), survived.count()
+    assert n_surv < n_train * 0.5, (n_surv, n_train)
+    true_hits = train.join(
+        ev.select("shingle").distinct(), "shingle"
+    ).count()
+    kept_hits = survived.join(
+        ev.select("shingle").distinct(), "shingle"
+    ).count()
+    assert kept_hits == true_hits  # no false negatives
