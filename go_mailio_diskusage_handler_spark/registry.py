@@ -3181,3 +3181,25 @@ def curation_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bloom_prefiltered_contamination(
         load_table(spark, sf_dir, "documents"), 200, 3
     )
+
+
+@register("sql_top_supplier", sql_surface.TOP_SUPPLIER_SQL)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier via scalar subquery over
+    a shared CTE; exact-decimal revenue makes `= MAX` engine-safe
+    (sql.top_supplier)."""
+    return sql_surface.top_supplier(spark, sf_dir)
+
+
+@register("sql_small_qty_revenue", sql_surface.SMALL_QTY_REVENUE_SQL)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG threshold, decorrelated
+    by Catalyst into aggregate-then-join (sql.small_qty_revenue)."""
+    return sql_surface.small_qty_revenue(spark, sf_dir)
+
+
+@register("sql_waiting_suppliers", sql_surface.WAITING_SUPPLIERS_SQL)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins with a
+    correlated non-equi late predicate (sql.waiting_suppliers)."""
+    return sql_surface.waiting_suppliers(spark, sf_dir)

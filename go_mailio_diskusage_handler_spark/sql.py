@@ -330,3 +330,105 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     One ANSI string runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(PROMO_REVENUE_SQL)
+
+
+TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey,
+           s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue, via a scalar subquery over a shared CTE.
+
+    Plan at scale: the revenue CTE aggregates once (shuffle keyed on
+    l_suppkey after map-side partial agg); Catalyst evaluates the
+    MAX scalar subquery over the same aggregate and the final equality
+    is a one-row broadcast comparison.  Ties: TPC-H keeps all maximal
+    suppliers — no arbitrary pick, so no tie-break is needed.  Revenue
+    is exact-decimal per the tier's float rule, which is what makes
+    `= MAX(...)` safe across engines at all (a double sum would make
+    equality at the max an ulp lottery).  One ANSI string, both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(TOP_SUPPLIER_SQL)
+
+
+SMALL_QTY_REVENUE_SQL = """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by dropping
+    small-quantity orders — the classic correlated scalar subquery
+    (per-part average quantity) against the fact table itself.
+
+    Catalyst decorrelates this into an aggregate-then-join: one extra
+    aggregation over lineitem keyed on l_partkey, then a broadcast-
+    able join of per-part thresholds back to the brand-filtered rows.
+    The comparison is deterministic across engines because l_quantity
+    values are small exact integers in double: their SUM is exact in
+    ANY order, so AVG and 0.2*AVG are the identical double in both
+    engines.  One ANSI string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(SMALL_QTY_REVENUE_SQL)
+
+
+WAITING_SUPPLIERS_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL '90' DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order (late = shipped >90 days after the
+    order date, standing in for the reference schema's
+    receipt-vs-commit lag, which the fixture lacks).
+
+    The interesting structure is the EXISTS + NOT EXISTS pair over
+    the same fact table: Catalyst turns them into a left-semi and a
+    left-anti join on l_orderkey — with the NON-equality late
+    predicate correlated through the outer ORDERS row.  Both
+    self-joins shuffle on l_orderkey, the key the main join already
+    uses, so AQE reuses the exchange; nation/supplier broadcast.
+    Top-20 via TakeOrderedAndProject with a name tie-break.  One ANSI
+    string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(WAITING_SUPPLIERS_SQL)

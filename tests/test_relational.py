@@ -131,6 +131,9 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_sales_opportunity",
         "sql_shipping_modes",
         "sql_promo_revenue",
+        "sql_top_supplier",
+        "sql_small_qty_revenue",
+        "sql_waiting_suppliers",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
@@ -346,3 +349,23 @@ def test_zorder_partitions_have_local_bounding_boxes(spark):
     # And the y-dimension specifically must be bounded (the dimension
     # a single-column sort would leave unpruned).
     assert sum(r.wy for r in boxes) / len(boxes) < 256 * 0.75
+
+
+def test_waiting_suppliers_compiles_to_semi_and_anti_joins(spark):
+    """Q21 shape: the EXISTS pair must become one LeftSemi and one
+    LeftAnti join on l_orderkey — never per-row correlated probes."""
+    df = registry.QUERIES["sql_waiting_suppliers"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_small_qty_revenue_decorrelates(spark):
+    """Q17 shape: the correlated per-part AVG must decorrelate into an
+    aggregate joined back on l_partkey (no per-row subquery), and the
+    brand filter must push into the part scan."""
+    df = registry.QUERIES["sql_small_qty_revenue"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "HashAggregate" in plan, plan
+    assert "PushedFilters" in plan and "Brand#4" in plan, plan
