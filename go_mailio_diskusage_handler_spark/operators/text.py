@@ -420,3 +420,44 @@ def pii_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", *counts, F.sha2(red, 256).alias("redacted_sha")
     ).select("*", total.cast("int").alias("n_pii"))
+
+
+def chunk_documents(
+    documents: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window
+    primitive for RAG indexing and long-document training: split each
+    document into windows of ``window`` whitespace tokens advancing by
+    ``stride`` (so consecutive chunks overlap by ``window - stride``),
+    with a final short chunk iff tokens remain past the last full
+    window's start.
+
+    Chunk starts are ``1, 1+stride, 1+2·stride, …`` while start ≤
+    n_words — deterministic, so the chunk table is reproducible under
+    backfills.  One narrow projection + one explode, no shuffle: at
+    100 TB this IS the map stage of the embedding-index build, and the
+    output inherits the input's partitioning for the downstream
+    encoder pass.  Emits (doc_id, chunk_id, start_tok, n_tokens,
+    chunk_sha) — the hash stands in for the chunk text downstream
+    (dedup of boilerplate chunks joins on it).
+    """
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(t), 1), {stride}), "
+        f"s -> struct(s AS start_tok, "
+        f"concat_ws(' ', slice(t, s, {window})) AS chunk))"
+    )
+    return (
+        documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
+        )
+        .select("doc_id", F.size("t").alias("n_words"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("chunk_id"),
+            F.col("col.start_tok").alias("start_tok"),
+            F.least(
+                F.lit(window), F.col("n_words") - F.col("col.start_tok") + 1
+            ).alias("n_tokens"),
+            F.sha2(F.col("col.chunk"), 256).alias("chunk_sha"),
+        )
+    )

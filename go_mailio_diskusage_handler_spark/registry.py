@@ -3203,3 +3203,24 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins with a
     correlated non-equi late predicate (sql.waiting_suppliers)."""
     return sql_surface.waiting_suppliers(spark, sf_dir)
+
+
+# [EXT] Overlapping token-window chunking (window 32, stride 24):
+# chunk starts 1, 25, 49, … ≤ n_words; chunk_id = (start-1)/stride+1
+# in both engines (no ordinality needed).
+TEXT_CHUNKS_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) // 24 + 1 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(32, len(t) - s + 1) AS BIGINT) AS n_tokens,
+           sha256(array_to_string(t[s:s+31], ' ')) AS chunk_sha
+    FROM toks, UNNEST(range(1, len(t) + 1, 24)) AS u(s)
+"""
+
+
+@register("text_chunks", TEXT_CHUNKS_SQL)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] RAG-style overlapping chunking
+    (operators/text.py:chunk_documents)."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"))

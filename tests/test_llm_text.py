@@ -41,6 +41,7 @@ ORACLE_CHECKED = [
     "dedup_span_coverage",
     "curation_temperature_mix",
     "curation_bloom_decontam",
+    "text_chunks",
 ]
 
 
@@ -553,3 +554,29 @@ def test_bloom_prefilter_is_lossless_and_selective(spark):
         ev.select("shingle").distinct(), "shingle"
     ).count()
     assert kept_hits == true_hits  # no false negatives
+
+
+def test_chunking_known_values(spark):
+    """Hand fixture at window=4, stride=3: 10 tokens chunk as
+    [1-4], [4-7], [7-10], [10] — overlap of 1, trailing singleton;
+    a short doc yields exactly one short chunk."""
+    import hashlib
+
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_tok, r.n_tokens, r.chunk_sha)
+        for r in T.chunk_documents(docs, window=4, stride=3).collect()
+    )
+    sha = lambda t: hashlib.sha256(t.encode()).hexdigest()  # noqa: E731
+    assert got == [
+        (1, 1, 1, 4, sha("a b c d")),
+        (1, 2, 4, 4, sha("d e f g")),
+        (1, 3, 7, 4, sha("g h i j")),
+        (1, 4, 10, 1, sha("j")),
+        (2, 1, 1, 2, sha("x y")),
+    ]
