@@ -545,3 +545,63 @@ def bloom_prefiltered_contamination(
         F.max("n_overlap").alias("max_overlap"),
         F.count(F.lit(1)).alias("n_eval_docs"),
     )
+
+
+def adaptive_quality_gate(documents: DataFrame, pct: float = 0.25) -> DataFrame:
+    """Per-source ADAPTIVE quality filtering: drop each source's worst
+    ``pct`` tail by quality score (distinct-token ratio — the
+    repetition detector from the quality suite) instead of one global
+    threshold.  Per-source thresholds are the curation standard: a
+    fixed global cutoff over-prunes noisy-but-valuable sources and
+    under-prunes clean boilerplate farms.
+
+    Semantics: keep a doc iff ``cume_dist() OVER (PARTITION BY source
+    ORDER BY q) > pct`` — a pure function of (source, q), which is
+    what makes the EXACT quantile computable WITHOUT windowing the
+    fact table:
+
+    * scores round to 4 decimals → a ≤ 10 001-value bounded domain;
+    * one map-side-combined histogram per (source, q) — the shuffle
+      carries at most |sources|·10 001 pre-combined rows regardless of
+      corpus size (the same bounded-histogram fence as
+      :func:`mixture_rebalance`'s skew guard);
+    * the per-source cutoff (min q with cumulative fraction > pct)
+      collects to a ≤ |sources|-row map literal, and the keep decision
+      is a scan-level filter expression.  No window touches the
+      corpus; a 10⁹-doc source costs the same exchange as a 10³-doc
+      one.
+
+    The oracle states the same result as the window form (cume_dist >
+    pct), asserting the histogram path implements it exactly.
+    """
+    toks = F.split(F.col("text"), " ")
+    q = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
+    base = documents.select("doc_id", "source", q.alias("q"))
+    hist = base.groupBy("source", "q").agg(F.count(F.lit(1)).alias("n"))
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("source")
+    cut_rows = (
+        hist.select(
+            "source",
+            "q",
+            (
+                F.sum("n").over(cum_w) / F.sum("n").over(tot_w)
+            ).alias("cd"),
+        )
+        .filter(F.col("cd") > pct)
+        .groupBy("source")
+        .agg(F.min("q").alias("q_cut"))
+        .collect()
+    )
+    cut_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in sorted(cut_rows, key=lambda r: r["source"])
+            for x in (r["source"], float(r["q_cut"]))
+        ]
+    )
+    return base.filter(F.col("q") >= cut_map[F.col("source")])

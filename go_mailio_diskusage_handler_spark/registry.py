@@ -3224,3 +3224,28 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] RAG-style overlapping chunking
     (operators/text.py:chunk_documents)."""
     return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Adaptive per-source quality gate: drop each source's worst 25%
+# by distinct-token ratio; the Spark side computes the exact quantile
+# via a bounded (source, rounded-score) histogram + map-literal
+# cutoffs, the oracle states the same set with a cume_dist window.
+CURATION_QUALITY_GATE_SQL = """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    q AS (SELECT doc_id, source,
+                 ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS q
+          FROM toks)
+    SELECT doc_id, source, q FROM (
+        SELECT doc_id, source, q,
+               cume_dist() OVER (PARTITION BY source ORDER BY q) AS cd
+        FROM q)
+    WHERE cd > 0.25
+"""
+
+
+@register("curation_quality_gate", CURATION_QUALITY_GATE_SQL)
+def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-source adaptive quality gate via bounded histogram
+    (operators/curation.py:adaptive_quality_gate)."""
+    return curation.adaptive_quality_gate(load_table(spark, sf_dir, "documents"))

@@ -42,6 +42,7 @@ ORACLE_CHECKED = [
     "curation_temperature_mix",
     "curation_bloom_decontam",
     "text_chunks",
+    "curation_quality_gate",
 ]
 
 
@@ -580,3 +581,27 @@ def test_chunking_known_values(spark):
         (1, 4, 10, 1, sha("j")),
         (2, 1, 1, 2, sha("x y")),
     ]
+
+
+def test_adaptive_quality_gate_tie_and_quantile_semantics(spark):
+    """Hand fixture: per-source cume_dist > 0.25 with a TIE straddling
+    the boundary — all tied rows share one cume_dist, so either the
+    whole tie group survives or none of it does; and a clean source is
+    gated independently of a dirty one (the point of per-source
+    thresholds)."""
+    from go_mailio_diskusage_handler_spark.operators import curation as C
+
+    rows = []
+    # Source A: 4 docs, scores .25 .5 .75 1.0 → cume_dist .25 .5 .75 1
+    # → the worst doc (cd=0.25, not > 0.25) is dropped.
+    rows += [(1, "a", "x x x x"), (2, "a", "x x y y"),
+             (3, "a", "x x y z"), (4, "a", "x y z w")]
+    # Source B: 4 docs all scoring 1.0 → one tie group, cume_dist 1.0
+    # for every row → ALL kept (a global gate would still drop 25%).
+    rows += [(10 + i, "b", t) for i, t in
+             enumerate(["p q r s", "t u v w", "c d e f", "g h i j"])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = {(r.doc_id, r.source) for r in C.adaptive_quality_gate(docs).collect()}
+    assert (1, "a") not in kept
+    assert {(2, "a"), (3, "a"), (4, "a")} <= kept
+    assert {(10, "b"), (11, "b"), (12, "b"), (13, "b")} <= kept
