@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
 
@@ -792,3 +792,72 @@ def duplicated_span_coverage(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (All-Pairs /
+    PPJoin family, Bayardo et al. 2007) — the second candidate-
+    generation strategy next to MinHash banding, with a LOSSLESS
+    guarantee the probabilistic LSH path can't give: if
+    ``J(A,B) ≥ t``, the first ``|S| - ceil(t·|S|) + 1`` shingles of
+    each side (in one global order) MUST intersect, so indexing only
+    prefixes finds every qualifying pair.  Output is therefore
+    exactly the full self-join's answer; the oracle asserts that.
+
+    Plan shape at 100 TB:
+
+    * global shingle order = (corpus document-frequency ASC, shingle
+      ASC) — rare-first.  This both minimizes candidates (rare tokens
+      collide rarely) AND self-fences skew: a boilerplate shingle in
+      10⁶ docs sorts LAST and almost never enters a prefix, so the
+      hot-key join problem the Jaccard family needs ``cap_shingle_df``
+      for mostly disappears here.
+    * prefix length is EXACT integer arithmetic — ``ceil(t·n)`` via
+      ``(a·n + b − 1) div b`` with t = a/b — because a float ceil that
+      lands one too high shrinks the prefix and silently breaks the
+      losslessness guarantee.
+    * the self-join runs on the prefix table (a small fraction of the
+      shingle table); survivors get the exact Jaccard via
+      :func:`jaccard_for_pairs` on the FULL shingle table.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    a, b = fr.numerator, fr.denominator
+    from pyspark import StorageLevel
+
+    sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    nw = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(nw).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.expr(f"n - (({a} * n + {b - 1}) div {b}) + 1")
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)

@@ -3249,3 +3249,25 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Per-source adaptive quality gate via bounded histogram
     (operators/curation.py:adaptive_quality_gate)."""
     return curation.adaptive_quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Prefix-filter (All-Pairs/PPJoin) exact Jaccard: the oracle is
+# the FULL self-join's answer at the same threshold, uncapped —
+# asserting the prefix index is lossless, not merely similar.
+@register(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+    {_JACCARD_TAIL}
+    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lossless prefix-filter near-dup join
+    (operators/dedup.py:prefix_filter_jaccard_pairs)."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.6
+    )

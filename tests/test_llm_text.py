@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "curation_bloom_decontam",
     "text_chunks",
     "curation_quality_gate",
+    "dedup_prefix_jaccard",
 ]
 
 
@@ -605,3 +606,65 @@ def test_adaptive_quality_gate_tie_and_quantile_semantics(spark):
     assert (1, "a") not in kept
     assert {(2, "a"), (3, "a"), (4, "a")} <= kept
     assert {(10, "b"), (11, "b"), (12, "b"), (13, "b")} <= kept
+
+
+def test_prefix_filter_is_lossless_and_prunes_candidates(spark):
+    """The prefix index must find EXACTLY the pairs the full
+    shared-shingle self-join finds at the same threshold (the
+    All-Pairs losslessness guarantee), while generating materially
+    fewer candidate pairs than the full join."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, 0.6, max_doc_freq=None, persist=False
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(docs, 0.6).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == full and full
+    # Candidate-pruning: prefix self-join pairs << full self-join pairs.
+    sh = D.shingles(docs)
+    full_cand = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    nw = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr("n - ((3 * n + 4) div 5) + 1")
+    )
+    pref_cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    assert pref_cand < full_cand * 0.5, (pref_cand, full_cand)
