@@ -257,3 +257,45 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (event_type → next event_type) pair, the
+    transition count and conditional probability — the path-analysis
+    primitive behind funnel discovery and anomaly baselining
+    (which step usually follows which).
+
+    Plan shape at 100 TB: ONE shuffle on user_id for the lead()
+    window (the per-user timeline sort sessionization already pays —
+    at scale the two share the exchange), then an aggregation whose
+    key domain is |event_types|² — bounded, so the final shuffle is a
+    few rows per task regardless of event volume.  The conditional
+    probability normalizes over a window keyed on the from-state:
+    |event_types| partitions of |event_types| rows each, nowhere near
+    the fact table.  Ordering ties break on event_id (unique), so the
+    timeline — and therefore every count — is deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot_w = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(tot_w), 4
+        ).alias("p_next"),
+    )

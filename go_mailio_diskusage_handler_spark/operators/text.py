@@ -461,3 +461,68 @@ def chunk_documents(
             F.sha2(F.col("col.chunk"), 256).alias("chunk_sha"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Weighted lexical near-dup: cosine over L2-normalized TF-IDF
+    vectors, computed with a SPARSE inverted-index join — no dense
+    vectors, no all-pairs scan.  Complements the set-based tiers
+    (Jaccard ignores term weights; two docs sharing rare vocabulary
+    score higher here than two sharing stopwords).
+
+    The classic sparse-similarity plan: per-doc term weights
+    ``tf · ln(N/df)`` normalized by the doc's L2 norm; then
+    ``cos(A,B) = Σ_t w_At·w_Bt`` falls out of ONE self-join on term
+    with a pair-keyed sum.  Join volume is Σ_t df_t², so terms above
+    ``max_doc_freq`` are dropped up front (same hot-key fence as the
+    shingle DF cap — their idf weight is near zero anyway, the join
+    cost is the real reason).  At 100 TB this is the plan vector-DB
+    "sparse retrieval" backends run; the DF cap plus rare-term
+    skew makes every join group small.
+
+    Floats: ln/sqrt are correctly-rounded-enough to agree across
+    engines; pair sums differ at the last ulp between engines, so the
+    cosine rounds to 4 digits BEFORE the threshold filter in both.
+    """
+    n_docs = documents.count()
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+    )
+    w = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    # nrm = 0 (every term zero-idf) would make wn NaN, and the two
+    # engines disagree on NaN-vs-threshold comparisons — drop such
+    # docs explicitly (they carry no signal anyway).
+    wn = (
+        w.join(nrm.filter(F.col("nrm") > 0), "doc_id")
+        .select("doc_id", "term", (F.col("wgt") / F.col("nrm")).alias("wn"))
+    )
+    return (
+        wn.alias("a")
+        .join(
+            wn.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 4).alias("cos_tfidf"))
+        .filter(F.col("cos_tfidf") >= threshold)
+    )

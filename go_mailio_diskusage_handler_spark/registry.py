@@ -3271,3 +3271,61 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), 0.6
     )
+
+
+# [EXT] First-order Markov transitions over per-user event timelines
+# (lead() with event_id tie-break; probabilities normalized per
+# from-state over the bounded |event_types|² domain).
+EVENTS_TRANSITIONS_SQL = """
+    WITH pairs AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events),
+    trans AS (SELECT event_type, next_type, COUNT(*) AS n_trans
+              FROM pairs WHERE next_type IS NOT NULL
+              GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n_trans,
+           ROUND(n_trans * 1.0 / SUM(n_trans) OVER (PARTITION BY event_type),
+                 4) AS p_next
+    FROM trans
+"""
+
+
+@register("events_transitions", EVENTS_TRANSITIONS_SQL)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Markov next-event transition matrix
+    (operators/sessions.py:event_transitions)."""
+    return sessions.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Sparse TF-IDF cosine pairs: inverted-index self-join, df-capped
+# vocabulary, zero-idf terms excluded by the cap; cosine rounds to 4
+# digits before the threshold in BOTH engines.
+TEXT_TFIDF_COS_SQL = """
+    WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+           HAVING COUNT(*) <= 1000),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df)
+                     AS wgt
+          FROM tf JOIN df USING (term)),
+    nrm AS (SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nrm FROM w GROUP BY doc_id),
+    wn AS (SELECT w.doc_id, w.term, w.wgt / nrm.nrm AS wn
+           FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(SUM(a.wn * b.wn), 4) AS cos_tfidf
+    FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING ROUND(SUM(a.wn * b.wn), 4) >= 0.9
+"""
+
+
+@register("text_tfidf_cosine_pairs", TEXT_TFIDF_COS_SQL)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sparse TF-IDF cosine near-dup pairs
+    (operators/text.py:tfidf_cosine_pairs)."""
+    return text.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))

@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "text_chunks",
     "curation_quality_gate",
     "dedup_prefix_jaccard",
+    "text_tfidf_cosine_pairs",
 ]
 
 
@@ -668,3 +669,57 @@ def test_prefix_filter_is_lossless_and_prunes_candidates(spark):
         .count()
     )
     assert pref_cand < full_cand * 0.5, (pref_cand, full_cand)
+
+
+def test_tfidf_cosine_weights_rare_terms(spark):
+    """The weighting property that distinguishes this tier from
+    Jaccard: a pair sharing a RARE term outscores a pair sharing only
+    corpus-common vocabulary; identical docs score 1.0; docs whose
+    every term is zero-idf (present in all docs) are dropped, not
+    emitted as NaN."""
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    rows = [
+        (1, "rareword filler alpha"),
+        (2, "rareword filler beta"),
+        (3, "filler gamma delta"),
+        (4, "filler gamma epsilon"),
+        (5, "filler filler filler"),  # every term in all docs → dropped
+    ]
+    # 'filler' appears in all 5 docs → idf 0; 'gamma' in 2; 'rareword'
+    # in 2.  Pair (1,2) and (3,4) both share one df=2 term plus
+    # zero-weight filler → equal cosine by symmetry; doc 5 must not
+    # pair with anything (zero norm).
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cos_tfidf
+        for r in T.tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert all(5 not in pair for pair in got)
+    assert got[(1, 2)] == got[(3, 4)] > 0
+    # Identical docs → cosine exactly 1.
+    docs2 = spark.createDataFrame(
+        [(1, "x y z unique"), (2, "x y z unique"), (3, "other words here now")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r.doc_a, r.doc_b): r.cos_tfidf
+        for r in T.tfidf_cosine_pairs(docs2, threshold=0.0).collect()
+    }
+    assert got2[(1, 2)] == 1.0
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    """Each from-state's outgoing probabilities sum to ~1, counts are
+    positive, and the matrix covers every observed from-state."""
+    from go_mailio_diskusage_handler_spark.operators import sessions as S
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    rows = S.event_transitions(ev).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r.n_trans > 0
+        by_from[r.event_type] = by_from.get(r.event_type, 0.0) + r.p_next
+    for src, tot in by_from.items():
+        assert abs(tot - 1.0) < 0.01, (src, tot)

@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "events_sessionize",
     "events_sliding_window",
     "events_funnel",
+    "events_transitions",
     "events_first_touch",
     "events_retention_cohorts",
 ]
