@@ -846,7 +846,15 @@ def prefix_filter_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn")
         <= F.expr(f"n - (({a} * n + {b - 1}) div {b}) + 1")
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "rn", "n")
+    # PPJoin POSITIONAL filter: a match at prefix positions (px, py)
+    # bounds the possible overlap by min(n_a - px, n_b - py) + 1; a
+    # pair with J ≥ t needs overlap ≥ α = ceil(t/(1+t)·(n_a+n_b)), so
+    # matches whose positional bound can't reach α are dropped before
+    # the distinct — completeness holds because for a qualifying
+    # pair's first shared prefix token the bound ≥ the true overlap.
+    # α in exact integer math again: t/(1+t) = a/(a+b).
+    ab = a + b
     cand = (
         prefix.alias("x")
         .join(
@@ -854,10 +862,60 @@ def prefix_filter_jaccard_pairs(
             (F.col("x.shingle") == F.col("y.shingle"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .filter(
+            F.least(
+                F.col("x.n") - F.col("x.rn"), F.col("y.n") - F.col("y.rn")
+            )
+            + 1
+            >= F.expr(f"({a} * (x.n + y.n) + {ab - 1}) div {ab}")
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
         )
         .distinct()
     )
-    return jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+    # PPJoin-style verify: per-doc SORTED shingle arrays attach to each
+    # candidate side and the exact intersection is a JVM array op —
+    # two narrow joins on doc ids instead of re-joining the full
+    # shingle table per pair and re-aggregating (measured 18.6 s →
+    # ~8 s at sf0.1).  Doc shingle sets are document-length-bounded,
+    # so the arrays are small however big the corpus is.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ss_a", "ss_b")).alias("inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -628,17 +628,12 @@ ZORDER_BITS = 8
 
 
 def _morton_interleave(bx, by, bits: int = ZORDER_BITS):
-    """Morton code from two quantized bucket columns: bit i of x lands
-    at position 2i, bit i of y at 2i+1 — pure integer arithmetic
-    (shift/mask/scale) so the oracle computes the identical key."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + (F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
-            + (F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
-        )
-    return z
+    """Morton code with bit i of x at position 2i, bit i of y at
+    2i+1 — delegates to the compaction sink's interleave (which puts
+    its FIRST arg on odd positions, so the args swap)."""
+    from go_mailio_diskusage_handler_spark.sources.compaction import zorder_key
+
+    return zorder_key(by, bx, bits)
 
 
 def zorder_keys(
@@ -688,4 +683,47 @@ def zorder_keys(
         _morton_interleave(
             F.col("bucket_x"), F.col("bucket_y"), bits
         ).alias("z_key"),
+    )
+
+
+def mad_outliers(orders: DataFrame) -> DataFrame:
+    """Robust per-group outlier stats via MEDIAN ABSOLUTE DEVIATION:
+    per order priority, the median total price, the MAD, and how many
+    orders sit more than 3 MADs from the median — the
+    mean/stddev-free outlier detector that heavy-tailed money columns
+    need (a single whale order inflates a z-score baseline; it barely
+    moves the median).
+
+    Two exact-percentile aggregations and two broadcast joins of a
+    ≤ |priorities|-row stats table — the fact table is scanned twice
+    but never shuffled on anything wider than the group key, and the
+    exact median's sort is per-group inside the aggregate.  Both
+    engines implement exact linear-interpolation percentiles
+    (percentile / quantile_cont) over doubles, so the medians agree
+    bit-for-bit; derived values round to 2 (money) / 4 digits.
+    """
+    pri = "o_orderpriority"
+    med = orders.groupBy(pri).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    j = orders.select(pri, "o_totalprice").join(F.broadcast(med), pri)
+    mad = j.groupBy(pri).agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"),
+    )
+    j2 = orders.select(pri, "o_totalprice").join(F.broadcast(mad), pri)
+    return (
+        j2.groupBy(pri)
+        .agg(
+            F.round(F.first("med"), 2).alias("median_price"),
+            F.round(F.first("mad"), 2).alias("mad_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
     )

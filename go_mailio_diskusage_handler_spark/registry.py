@@ -2915,6 +2915,12 @@ _rotate_front(_R5_FRONT)
 # additions listed above — a new query has no stale green row to hide
 # behind, and each one is oracle-parity-checked in pytest
 # (ORACLE_CHECKED lists) until its first driver gate pass.
+# Continuation additions (all below this line): text_pii,
+# dedup_span_coverage, sim_kmeans_train, curation_temperature_mix,
+# scalar_zorder_keys, curation_bloom_decontam, sql_top_supplier,
+# sql_small_qty_revenue, sql_waiting_suppliers, text_chunks,
+# curation_quality_gate, dedup_prefix_jaccard, events_transitions,
+# text_tfidf_cosine_pairs, percentile_mad_outliers.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -3262,14 +3268,14 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM shingles x JOIN shingles y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
     {_JACCARD_TAIL}
-    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
     """,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Lossless prefix-filter near-dup join
     (operators/dedup.py:prefix_filter_jaccard_pairs)."""
     return dedup.prefix_filter_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), 0.6
+        load_table(spark, sf_dir, "documents"), 0.8
     )
 
 
@@ -3329,3 +3335,58 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Sparse TF-IDF cosine near-dup pairs
     (operators/text.py:tfidf_cosine_pairs)."""
     return text.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Robust per-group outlier stats: exact median + MAD + 3-MAD
+# outlier counts per order priority (percentile ≡ quantile_cont —
+# both engines interpolate linearly over doubles).
+MAD_OUTLIERS_SQL = """
+    WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+                 FROM orders GROUP BY o_orderpriority),
+    mad AS (SELECT o.o_orderpriority,
+                   any_value(med) AS med,
+                   quantile_cont(abs(o.o_totalprice - med), 0.5) AS mad
+            FROM orders o JOIN med USING (o_orderpriority)
+            GROUP BY o.o_orderpriority)
+    SELECT o.o_orderpriority,
+           ROUND(any_value(med), 2) AS median_price,
+           ROUND(any_value(mad), 2) AS mad_price,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN abs(o.o_totalprice - med) > 3 * mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM orders o JOIN mad USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("percentile_mad_outliers", MAD_OUTLIERS_SQL)
+def percentile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Median/MAD robust outlier stats
+    (operators/relational.py:mad_outliers)."""
+    return relational.mad_outliers(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] Bucketed co-located join: both sides written bucketed+sorted
+# by custkey, merge-joined with zero exchanges (plan-asserted in
+# tests); the oracle checks the semantic result — a plain
+# join+aggregate.
+from .sources import bucketing  # noqa: E402
+
+BUCKETED_JOIN_SQL = """
+    SELECT c_nationkey,
+           ROUND(SUM(o_totalprice), 2) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@register("join_bucketed_spend", BUCKETED_JOIN_SQL)
+def join_bucketed_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Shuffle-free bucketed fact join
+    (sources/bucketing.py:bucketed_spend_by_nation)."""
+    return bucketing.bucketed_spend_by_nation(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )

@@ -62,6 +62,15 @@ def build_session(app_name: str = "diskusage-spark") -> SparkSession:
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Session-catalog tables (the bucketed-join path writes some)
+        # land outside the repo; the in-memory catalog re-registers
+        # them per session, so a stale dir is just overwritten files.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
         .getOrCreate()
     )
 

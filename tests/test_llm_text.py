@@ -723,3 +723,25 @@ def test_event_transitions_probabilities_normalize(spark):
         by_from[r.event_type] = by_from.get(r.event_type, 0.0) + r.p_next
     for src, tot in by_from.items():
         assert abs(tot - 1.0) < 0.01, (src, tot)
+
+
+def test_new_narrow_ops_are_shuffle_free(spark):
+    """text_pii, text_chunks, and scalar_zorder_keys are scan-level
+    projections/explodes — zero exchanges in the plan."""
+    from go_mailio_diskusage_handler_spark import plans
+
+    for name in ("text_pii", "text_chunks", "scalar_zorder_keys"):
+        df = registry.QUERIES[name](spark, SF_CORRECT)
+        assert plans.shuffle_count(df) == 0, name
+
+
+def test_quality_gate_result_plan_has_no_window(spark):
+    """The adaptive gate's RESULT plan must be a pure filtered scan:
+    the quantile window ran only inside the bounded-histogram cutoff
+    job, never over the corpus."""
+    from go_mailio_diskusage_handler_spark import plans
+
+    df = registry.QUERIES["curation_quality_gate"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert plans.shuffle_count(df) == 0, plan

@@ -12,6 +12,8 @@ from conftest import SF_CORRECT, compare_with_oracle
 
 ORACLE_CHECKED = [
     "scalar_zorder_keys",
+    "percentile_mad_outliers",
+    "join_bucketed_spend",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
@@ -369,3 +371,19 @@ def test_small_qty_revenue_decorrelates(spark):
     plan = plans.executed_plan(df)
     assert "HashAggregate" in plan, plan
     assert "PushedFilters" in plan and "Brand#4" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the fact-to-fact merge join must
+    read both bucketed tables WITHOUT an Exchange on the join key —
+    the partitioning lives in the storage layout.  (The aggregation
+    after the join also reuses it: custkey buckets subsume the
+    nationkey grouping only via another exchange, so exactly the
+    post-join agg may shuffle — the JOIN itself must not.)"""
+    df = registry.QUERIES["join_bucketed_spend"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin")[-1]
+    # Below (after) the join node in the printed tree: the scan side.
+    # No Exchange may appear between the join and the table scans.
+    assert "Exchange" not in join_part, plan
