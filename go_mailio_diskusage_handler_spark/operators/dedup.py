@@ -919,3 +919,70 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_triangles(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Triangles in the near-duplicate graph — the cluster-density
+    signal dedup QA uses: a pair-heavy but triangle-free graph means
+    chained borderline matches (A~B~C with A̸~C, the transitive-
+    closure trap), while triangle-rich components are genuine
+    duplicate groups.  Output: one row per triangle, canonically
+    ordered (doc_a < doc_b < doc_c).
+
+    Distributed shape (node-iterator++ / degree orientation): edges
+    re-orient from the LOWER-degree endpoint to the higher (ties on
+    id), which provably bounds per-node out-degree by O(sqrt(|E|)) on
+    any graph — the wedge join (e1.dst = e2.src) then never explodes
+    on a hub node, the classic fix that makes distributed triangle
+    enumeration survive power-law duplicate clusters at corpus scale.
+    Three joins total: wedge build + existence check against the
+    (re-oriented) edge set, all shuffle-keyed on node ids.
+    """
+    edges = ngram_jaccard_pairs(documents, threshold).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    # Wedges at a common source (two out-edges): the (deg, id)
+    # orientation is an acyclic total order, so every triangle has
+    # EXACTLY one node with out-edges to the other two — each triangle
+    # enumerates once, no distinct pass.  The closing edge joins in
+    # canonical undirected form — one equi-join, never a nested loop.
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.s") == F.col("e2.s"))
+        .filter(F.col("e1.t") < F.col("e2.t"))
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    closing = e.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    tri = wedge.join(closing, ["b", "c"])
+    arr = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        arr[0].alias("doc_a"), arr[1].alias("doc_b"), arr[2].alias("doc_c")
+    )

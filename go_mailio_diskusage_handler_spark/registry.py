@@ -3390,3 +3390,30 @@ def join_bucketed_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+# [EXT] Triangles in the near-dup graph (canonical a<b<c rows); the
+# oracle enumerates them directly from the exact-Jaccard edge set.
+@register(
+    "dedup_triangles",
+    f"""
+    WITH {_CAPPED_SHINGLE_CTES},
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              FROM shingles x JOIN shingles y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    edges AS (SELECT doc_a AS u, doc_b AS v
+              FROM inter
+              JOIN sizes za ON doc_a = za.doc_id
+              JOIN sizes zb ON doc_b = zb.doc_id
+              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8)
+    SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
+    FROM edges e1
+    JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Near-dup graph triangles, degree-oriented enumeration
+    (operators/dedup.py:near_dup_triangles)."""
+    return dedup.near_dup_triangles(load_table(spark, sf_dir, "documents"), 0.8)

@@ -45,6 +45,7 @@ ORACLE_CHECKED = [
     "curation_quality_gate",
     "dedup_prefix_jaccard",
     "text_tfidf_cosine_pairs",
+    "dedup_triangles",
 ]
 
 
@@ -745,3 +746,26 @@ def test_quality_gate_result_plan_has_no_window(spark):
     plan = plans.executed_plan(df)
     assert "Window" not in plan, plan
     assert plans.shuffle_count(df) == 0, plan
+
+
+def test_triangles_find_cliques_not_pairs(spark):
+    """A 3-clique of identical docs yields exactly one canonical
+    triangle; an isolated duplicate PAIR yields none; a 4-clique
+    yields C(4,3)=4 — and each triangle appears exactly once (the
+    acyclic degree orientation, not a distinct pass, dedups)."""
+    from go_mailio_diskusage_handler_spark.operators import dedup as D
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight"
+    t3 = "red orange yellow green blue indigo violet ultra"
+    rows = [(1, t1), (2, t1), (3, t1), (10, t2), (11, t2)]
+    rows += [(20 + i, t3) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tri = sorted(
+        (r.doc_a, r.doc_b, r.doc_c)
+        for r in D.near_dup_triangles(docs, 0.8).collect()
+    )
+    assert tri == [
+        (1, 2, 3),
+        (20, 21, 22), (20, 21, 23), (20, 22, 23), (21, 22, 23),
+    ]
