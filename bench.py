@@ -24,6 +24,14 @@ closing runs (spread = co-located load; the faster runs follow the
 LSH driver-probe rewrite, sim_lsh_ann_topk 3.65 -> ~1.5-2.1 s at 3x
 round 2's recall).  The one real added common-subset cost is
 curation_mixture's documented skew-guard aggregation (0.3 -> 1.0 s).
+
+Round-5-continuation reference (idle machine): 134 queries, 154.3 s
+total at sf0.1/local[32]; no query above ~6.2 s after the
+dedup_triangles edge-persist fix (its unpersisted edge plan had been
+re-running the whole Jaccard pipeline once per self-join branch,
+14.1 s -> ~5 s cold / ~3 s warm).  A concurrent pytest run inflates
+the same bench to ~674 s — co-located load dominates every cross-run
+comparison, reconfirming the round-4 drift diagnosis.
 """
 
 from __future__ import annotations

