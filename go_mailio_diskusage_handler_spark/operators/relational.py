@@ -727,3 +727,47 @@ def mad_outliers(orders: DataFrame) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+def first_last_order_gap(orders: DataFrame) -> DataFrame:
+    """Per customer: first, second, and latest order price plus the
+    first-to-latest delta — the first_value / nth_value / last_value
+    window family over a full partition frame (ROWS UNBOUNDED
+    PRECEDING → UNBOUNDED FOLLOWING; the default running frame would
+    make last_value mean "current row", the classic window trap).
+
+    One shuffle on the partition key, per-customer frames bounded by
+    that customer's orders, deterministic via the orderkey tie-break;
+    the distinct collapses the per-row window output to one row per
+    customer (Catalyst reuses the window exchange for it).
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            # coalesce: single-order customers have no 2nd order; a
+            # NULL double round-trips as None/NaN inconsistently
+            # across engine client layers, so default it to the first
+            # price instead of emitting a nullable money column.
+            F.coalesce(
+                F.nth_value("o_totalprice", 2).over(w),
+                F.first_value("o_totalprice").over(w),
+            ).alias("second_price"),
+            F.last_value("o_totalprice").over(w).alias("latest_price"),
+        )
+        .distinct()
+        .select(
+            "o_custkey",
+            F.round("first_price", 2).alias("first_price"),
+            F.round("second_price", 2).alias("second_price"),
+            F.round("latest_price", 2).alias("latest_price"),
+            F.round(
+                F.col("latest_price") - F.col("first_price"), 2
+            ).alias("price_drift"),
+        )
+    )

@@ -3417,3 +3417,41 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Near-dup graph triangles, degree-oriented enumeration
     (operators/dedup.py:near_dup_triangles)."""
     return dedup.near_dup_triangles(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@register("sql_nation_volume", sql_surface.NATION_VOLUME_SQL)
+def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-role nation dimension, bilateral volume
+    (sql.nation_volume)."""
+    return sql_surface.nation_volume(spark, sf_dir)
+
+
+@register("sql_market_share", sql_surface.MARKET_SHARE_SQL)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregation market share over a
+    7-table star (sql.market_share)."""
+    return sql_surface.market_share(spark, sf_dir)
+
+
+# [EXT] first_value / nth_value / last_value over a full-partition
+# frame (explicit UNBOUNDED FOLLOWING — the default frame trap).
+WINDOW_FIRST_LAST_SQL = """
+    SELECT DISTINCT o_custkey,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(coalesce(nth_value(o_totalprice, 2) OVER w,
+                          first_value(o_totalprice) OVER w), 2) AS second_price,
+           ROUND(last_value(o_totalprice) OVER w, 2) AS latest_price,
+           ROUND(last_value(o_totalprice) OVER w
+                 - first_value(o_totalprice) OVER w, 2) AS price_drift
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last", WINDOW_FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] first/nth/last_value window family
+    (operators/relational.py:first_last_order_gap)."""
+    return relational.first_last_order_gap(load_table(spark, sf_dir, "orders"))

@@ -432,3 +432,72 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, both engines."""
     register_views(spark, sf_dir)
     return spark.sql(WAITING_SUPPLIERS_SQL)
+
+
+NATION_VOLUME_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by year — the two-role dimension pattern (nation joins TWICE,
+    once through supplier, once through customer; Catalyst plans two
+    independent broadcasts of the 25-row table).  The symmetric
+    nation-pair predicate sits above both joins, and the date range
+    pushes into the lineitem scan.  Exact-decimal volume per the
+    tier's float rule.  One ANSI string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(NATION_VOLUME_SQL)
+
+
+MARKET_SHARE_SQL = """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND p_type = 'PROMO') all_nations
+    GROUP BY o_year
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    volume per year — conditional aggregation over a 7-table star
+    (nation again in two roles).  Decimal sums keep numerator and
+    denominator exact; the DIVISION happens after casting both to
+    double (decimal/decimal result scale rules differ between
+    engines, double division does not).  One ANSI string, both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(MARKET_SHARE_SQL)

@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "scalar_zorder_keys",
     "percentile_mad_outliers",
     "join_bucketed_spend",
+    "window_first_last",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
@@ -136,6 +137,8 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_top_supplier",
         "sql_small_qty_revenue",
         "sql_waiting_suppliers",
+        "sql_nation_volume",
+        "sql_market_share",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
