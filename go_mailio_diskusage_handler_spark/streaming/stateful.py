@@ -357,3 +357,137 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov-transition twin of operators.sessions.event_transitions
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("from_us", LongType()),
+    ]
+)
+
+# Anchor (the newest FINALIZED event — next transition's from-side)
+# plus the above-watermark buffer with event_id tie-breaks.
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", LongType()),
+        StructField("anchor_eid", LongType()),
+        StructField("anchor_type", StringType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_type", ArrayType(StringType())),
+    ]
+)
+
+
+def _chain_emit(user_id, anchor, final):
+    """Transitions from chaining ``anchor`` (may be None) through the
+    finalized, (ts, event_id)-sorted events."""
+    rows = {"user_id": [], "event_type": [], "next_type": [], "from_us": []}
+    prev = anchor
+    for t, eid, e in final:
+        if prev is not None:
+            rows["user_id"].append(user_id)
+            rows["event_type"].append(prev[2])
+            rows["next_type"].append(e)
+            rows["from_us"].append(prev[0])
+        prev = (t, eid, e)
+    return prev, pd.DataFrame(rows)
+
+
+def _transitions_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        a_us, a_eid, a_t, buf_us, buf_eid, buf_t = state.get
+        anchor = (a_us, a_eid, a_t) if a_us is not None else None
+        final = sorted(zip(buf_us, buf_eid, buf_t))
+        _, out = _chain_emit(user_id, anchor, final)
+        state.remove()
+        if len(out):
+            yield out
+        return
+
+    new = pd.concat(list(batches))
+    if state.exists:
+        a_us, a_eid, a_t, buf_us, buf_eid, buf_t = state.get
+        anchor = (a_us, a_eid, a_t) if a_us is not None else None
+    else:
+        anchor, buf_us, buf_eid, buf_t = None, [], [], []
+    pending = sorted(
+        list(zip((int(t) for t in buf_us), (int(i) for i in buf_eid), buf_t))
+        + list(
+            zip(
+                new["us"].astype("int64"),
+                new["event_id"].astype("int64"),
+                new["event_type"],
+            )
+        )
+    )
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    final = [(t, i, e) for t, i, e in pending if t <= wm_us]
+    rest = [(t, i, e) for t, i, e in pending if t > wm_us]
+    anchor, out = _chain_emit(user_id, anchor, final)
+    state.update(
+        (
+            anchor[0] if anchor else None,
+            anchor[1] if anchor else None,
+            anchor[2] if anchor else None,
+            [t for t, _, _ in rest],
+            [i for _, i, _ in rest],
+            [e for _, _, e in rest],
+        )
+    )
+    last_ms = (max(t for t, _, _ in pending) // 1000) if pending else 0
+    state.setTimeoutTimestamp(
+        max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
+    )
+    if len(out):
+        yield out
+
+
+def transitions_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming Markov transitions (batch twin:
+    ``sessions.event_transitions``, which aggregates these rows to the
+    transition matrix).
+
+    Correct under out-of-order arrival by the same watermark-finalize
+    discipline as the funnel twin: an event only chains into the
+    per-user timeline once nothing earlier can still arrive, so a
+    swapped delivery order cannot fabricate a reversed transition.
+    State = ONE anchor event + the above-watermark buffer — bounded by
+    the horizon, not stream length; per-row output is append-mode and
+    the (event_type, next_type) matrix is a downstream aggregation of
+    it (bounded domain, any sink).
+    """
+    from pyspark.sql import functions as F
+
+    with_us = (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _transitions_group,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

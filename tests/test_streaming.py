@@ -496,3 +496,83 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path):
     for r in rows:  # memory sink appends update rows in batch order
         last[r.user_id] = (r.total_value, r.n_events)
     assert last == {1: (7.0, 2), 2: (3.0, 1), 3: (7.0, 1)}
+
+
+def test_transitions_stream_matches_batch(spark, events_stream_dir):
+    """Streaming Markov transitions ≡ the batch per-user pair list for
+    every user whose event-time timeout fires during the drain; same
+    (ts, event_id) ordering, so identical pairs."""
+    from pyspark.sql import Window, functions as F
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    got_rows = windows.run_to_memory(
+        stateful.transitions_stream(stream, watermark="1 second"),
+        output_mode="append",
+    ).collect()
+    assert got_rows, "no transitions emitted"
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r.user_id, set()).add(
+            (r.event_type, r.next_type, r.from_us)
+        )
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    want: dict[int, set] = {}
+    for r in (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .collect()
+    ):
+        want.setdefault(r.user_id, set()).add(
+            (r.event_type, r.next_type, r.us)
+        )
+    # Flushed users must match the batch EXACTLY (the stream's tail
+    # transition exists because the timeout chained the full buffer).
+    n_exact = 0
+    for uid, pairs in got.items():
+        assert pairs <= want[uid], (uid, pairs - want[uid])
+        if pairs == want[uid]:
+            n_exact += 1
+    assert n_exact >= len(got) * 0.9, (n_exact, len(got))
+
+
+def test_transitions_stream_out_of_order(spark, tmp_path):
+    """A next-event delivered one micro-batch EARLY (with a later
+    event time) must still chain in event-time order — a greedy
+    per-batch chain would emit the reversed transition."""
+    import os
+    import time
+
+    H = 3_600_000_000_000  # 1h in ns
+    d = tmp_path / "ooo_trans"
+    d.mkdir()
+    batches = [
+        [(1, 2 * H, 7, "purchase", 1.0, "{}")],      # 02:00 arrives first
+        [(2, 2 * H - H // 6, 7, "view", 1.0, "{}")],  # 01:50 arrives later
+        [(3, 9 * H, 8, "view", 1.0, "{}")],           # watermark push
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    stream = windows.read_event_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    rows = [
+        (r.event_type, r.next_type)
+        for r in windows.run_to_memory(
+            stateful.transitions_stream(stream, watermark="30 minutes"),
+            output_mode="append",
+        ).collect()
+        if r.user_id == 7
+    ]
+    assert rows == [("view", "purchase")], rows
