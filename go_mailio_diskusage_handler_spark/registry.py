@@ -2920,7 +2920,9 @@ _rotate_front(_R5_FRONT)
 # scalar_zorder_keys, curation_bloom_decontam, sql_top_supplier,
 # sql_small_qty_revenue, sql_waiting_suppliers, text_chunks,
 # curation_quality_gate, dedup_prefix_jaccard, events_transitions,
-# text_tfidf_cosine_pairs, percentile_mad_outliers.
+# text_tfidf_cosine_pairs, percentile_mad_outliers, dedup_triangles,
+# join_bucketed_spend, sql_nation_volume, sql_market_share,
+# window_first_last.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
