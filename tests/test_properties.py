@@ -255,3 +255,98 @@ def test_containment_matches_python_reference(spark, doc_words, threshold):
         ).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab1.5-@ x",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pii_redaction_is_idempotent(spark, texts):
+    """Redacting already-redacted text is the identity: placeholders
+    contain no digits or @, so no rule can re-fire — the property that
+    makes the redaction pass safe to re-run over a partially-processed
+    corpus.  Checked over adversarial soups of digits, dots, dashes,
+    and @ signs."""
+    from go_mailio_diskusage_handler_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = T.pii_signals(docs).select("doc_id", "redacted_sha")
+    # Re-run the op over the redacted TEXT (rebuild, since the op
+    # hashes): apply redaction expression twice via the rule chain.
+    from pyspark.sql import functions as F
+
+    red = F.col("text")
+    for _, pat, repl in T._PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    red2 = red
+    for _, pat, repl in T._PII_RULES:
+        red2 = F.regexp_replace(red2, pat, repl)
+    both = docs.select(
+        F.sha2(red, 256).alias("r1"), F.sha2(red2, 256).alias("r2")
+    ).collect()
+    assert all(r.r1 == r.r2 for r in both)
+    assert once.count() == len(texts)
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_morton_key_round_trips(spark, pairs):
+    """De-interleaving the Morton key recovers exactly the input
+    buckets for arbitrary 8-bit pairs (no bit lost, none aliased)."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators.relational import (
+        _morton_interleave,
+    )
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    rows = df.select(
+        "x", "y", _morton_interleave(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    num=st.integers(min_value=1, max_value=9),
+    den=st.integers(min_value=2, max_value=10),
+)
+def test_prefix_length_integer_ceil_is_exact(spark, n, num, den):
+    """The integer prefix-length formula equals the mathematical
+    ceil(t·n) for every rational t = num/den < 1 — the float path it
+    replaces rounds the wrong way on exact multiples (e.g.
+    ceil(0.6·5) via doubles gives 4, not 3), which would silently
+    shrink prefixes and break the losslessness guarantee."""
+    import math
+    from fractions import Fraction
+
+    if num >= den:
+        return
+    t = Fraction(num, den)
+    exact_ceil = -((-num * n) // den)
+    assert exact_ceil == math.ceil(t * n)
+    p_len = n - exact_ceil + 1
+    assert 1 <= p_len <= n
