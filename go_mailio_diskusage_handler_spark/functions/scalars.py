@@ -278,3 +278,40 @@ def variant_prop_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def windowed_top_event_types(
+    events: DataFrame, minutes: int = 60, k: int = 3
+) -> DataFrame:
+    """Per-window heavy hitters: each event-time window's top-k event
+    types by count (count desc, type asc tie-break) — the dashboard
+    primitive behind "what dominated the last hour".
+
+    Shape at 100 TB: ONE aggregation keyed on (window, type) — a
+    bounded domain after map-side combine — then rank inside each
+    window partition, whose input is ≤ |event_types| rows: the window
+    function runs on the AGGREGATE, never the fact table (same fence
+    as the quality-gate histogram).  The streaming twin is the
+    windowed-counts stream + the same rank over its sink.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.select(
+            "*", F.row_number().over(w).alias("type_rank")
+        ).filter(F.col("type_rank") <= k)
+    )

@@ -3457,3 +3457,28 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] first/nth/last_value window family
     (operators/relational.py:first_last_order_gap)."""
     return relational.first_last_order_gap(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] Per-window heavy hitters (top-3 event types per hour; the
+# rank runs on the bounded aggregate, never the fact table).
+EVENTS_WINDOW_TOPK_SQL = """
+    WITH counts AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '60 minutes', ts)) AS BIGINT)
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n, type_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type ASC) AS INTEGER) AS type_rank
+        FROM counts)
+    WHERE type_rank <= 3
+"""
+
+
+@register("events_window_topk", EVENTS_WINDOW_TOPK_SQL)
+def events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Windowed heavy hitters
+    (functions/scalars.py:windowed_top_event_types)."""
+    return scalars.windowed_top_event_types(load_table(spark, sf_dir, "events"))

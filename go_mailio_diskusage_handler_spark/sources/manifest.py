@@ -116,3 +116,77 @@ def fetch_manifest(
     except ManifestNotFoundError:
         payload = download(bucket, manifest_key(prefix, dt - timedelta(days=1)))
     return parse_manifest(payload)
+
+
+# ---------------------------------------------------------------------------
+# fileSchema enforcement — the contract the reference DECLARES but
+# never checks (types.go:17 carries the parquet message schema;
+# handler.go never reads Inventory.FileSchema).  At 100 TB a silently
+# drifted inventory schema (a renamed `size`, a re-typed `key`)
+# corrupts every downstream aggregate; enforcing the declared schema
+# at ingest turns drift into a loud, per-refresh error.
+# ---------------------------------------------------------------------------
+
+# parquet-message → Spark type names for the subset S3 Inventory uses.
+_PARQUET_TO_SPARK = {
+    "binary": "string",  # all inventory binaries are (STRING)-annotated
+    "boolean": "boolean",
+    "int64": "bigint",
+}
+
+
+class SchemaDriftError(ValueError):
+    """Declared fileSchema and observed DataFrame schema disagree."""
+
+
+def parse_file_schema(file_schema: str) -> dict[str, str]:
+    """Parse the manifest's parquet ``message`` text into
+    {column: spark_type}.  Tolerates annotations like ``(STRING)`` and
+    ``(TIMESTAMP_MILLIS)`` — the latter maps int64 → timestamp_ntz to
+    match how the engine reads inventory timestamps."""
+    import re
+
+    cols: dict[str, str] = {}
+    for m in re.finditer(
+        r"(?:required|optional)\s+(\w+)\s+(\w+)\s*(\(([\w_]+)\))?",
+        file_schema,
+    ):
+        ptype, name, _, ann = m.groups()
+        if ann == "TIMESTAMP_MILLIS":
+            cols[name] = "timestamp_ntz"
+        else:
+            cols[name] = _PARQUET_TO_SPARK.get(ptype.lower(), ptype.lower())
+    return cols
+
+
+def enforce_file_schema(
+    df, file_schema: str, *, required: tuple[str, ...] = ("key", "size")
+) -> None:
+    """Validate an inventory DataFrame against the manifest's declared
+    fileSchema.  Raises :class:`SchemaDriftError` listing every
+    missing / extra / re-typed column among the DECLARED ones that the
+    engine consumes (``required`` must exist with matching types;
+    other declared columns are checked when present — S3 Inventory
+    configs legitimately project subsets).  Pure driver-side metadata
+    work: no job runs."""
+    declared = parse_file_schema(file_schema)
+    if not declared:
+        raise SchemaDriftError("manifest declares no parsable fileSchema")
+    observed = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems: list[str] = []
+    for col in required:
+        if col not in declared:
+            problems.append(f"required column {col!r} absent from fileSchema")
+        elif col not in observed:
+            problems.append(f"required column {col!r} missing from data")
+    for name, typ in declared.items():
+        if name in observed and observed[name] != typ:
+            # The engine normalizes inventory timestamps to NTZ; both
+            # spellings are acceptable for timestamp columns.
+            if {observed[name], typ} <= {"timestamp", "timestamp_ntz"}:
+                continue
+            problems.append(
+                f"column {name!r}: declared {typ}, observed {observed[name]}"
+            )
+    if problems:
+        raise SchemaDriftError("; ".join(problems))

@@ -244,3 +244,59 @@ def test_python_datasource_reads_manifest_inventory(spark, tmp_path):
         for r in core.disk_usage(df).collect()
     }
     assert agg == {"alice": (15.0, 2), "bob": (20.0, 1)}
+
+
+REF_FILE_SCHEMA = (
+    "message s3.inventory { required binary bucket (STRING); "
+    "required binary key (STRING); optional binary version_id (STRING); "
+    "optional boolean is_latest; optional boolean is_delete_marker; "
+    "optional int64 size; optional int64 last_modified_date "
+    "(TIMESTAMP_MILLIS); optional binary e_tag (STRING); "
+    "optional binary storage_class (STRING); }"
+)
+
+
+def test_file_schema_parses_reference_message():
+    """The declared-schema parser handles the reference's actual
+    message text (types.go:17 shape): STRING binaries, plain bools and
+    int64s, TIMESTAMP_MILLIS-annotated int64 → timestamp_ntz."""
+    from go_mailio_diskusage_handler_spark.sources.manifest import (
+        parse_file_schema,
+    )
+
+    cols = parse_file_schema(REF_FILE_SCHEMA)
+    assert cols["bucket"] == "string"
+    assert cols["key"] == "string"
+    assert cols["size"] == "bigint"
+    assert cols["is_latest"] == "boolean"
+    assert cols["last_modified_date"] == "timestamp_ntz"
+
+
+def test_enforce_file_schema_detects_drift(spark):
+    """Good data passes; a re-typed size and a missing key both raise
+    with the offending column named — the check the reference
+    declares (carries fileSchema) but never performs."""
+    import pytest
+
+    from go_mailio_diskusage_handler_spark.sources.manifest import (
+        SchemaDriftError,
+        enforce_file_schema,
+    )
+
+    good = spark.createDataFrame(
+        [("b", "u/a", 3)], "bucket string, key string, size bigint"
+    )
+    enforce_file_schema(good, REF_FILE_SCHEMA)  # no raise
+
+    retyped = spark.createDataFrame(
+        [("b", "u/a", "3")], "bucket string, key string, size string"
+    )
+    with pytest.raises(SchemaDriftError, match="'size'"):
+        enforce_file_schema(retyped, REF_FILE_SCHEMA)
+
+    missing = spark.createDataFrame([("b", 3)], "bucket string, size bigint")
+    with pytest.raises(SchemaDriftError, match="'key'"):
+        enforce_file_schema(missing, REF_FILE_SCHEMA)
+
+    with pytest.raises(SchemaDriftError, match="fileSchema"):
+        enforce_file_schema(good, "")

@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "events_sliding_window",
     "events_funnel",
     "events_transitions",
+    "events_window_topk",
     "events_first_touch",
     "events_retention_cohorts",
 ]
