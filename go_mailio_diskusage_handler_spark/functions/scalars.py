@@ -315,3 +315,32 @@ def windowed_top_event_types(
             "*", F.row_number().over(w).alias("type_rank")
         ).filter(F.col("type_rank") <= k)
     )
+
+
+def event_value_deciles(events: DataFrame) -> DataFrame:
+    """Equi-depth distribution summary: per event type, the nine
+    internal deciles of ``value`` — the calibration/SLO primitive
+    ("what does p90 look like per class").  EXACT percentiles as ONE
+    aggregate per type returning the whole decile array (no window
+    over the fact table, no per-decile re-scan), then a bounded
+    explode to (type, decile, value) rows.  Both engines interpolate
+    linearly over doubles, so values match bit-for-bit before the
+    4-digit display rounding.
+    """
+    qs = [i / 10 for i in range(1, 10)]
+    arr = F.expr(
+        "percentile(value, array(" + ", ".join(str(q) for q in qs) + "))"
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(arr.alias("dec"))
+        .select(
+            "event_type",
+            F.posexplode("dec").alias("idx", "v"),
+        )
+        .select(
+            "event_type",
+            ((F.col("idx") + 1) * 10).alias("decile_pct"),
+            F.round("v", 4).alias("decile_value"),
+        )
+    )

@@ -605,3 +605,38 @@ def adaptive_quality_gate(documents: DataFrame, pct: float = 0.25) -> DataFrame:
         ]
     )
     return base.filter(F.col("q") >= cut_map[F.col("source")])
+
+
+def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Integrity manifest for deterministic training shards: per
+    shard (md5-bucket % n_shards), the document count, total
+    token count, and an ORDER-INSENSITIVE content checksum (sum of
+    each doc's 24-bit md5 prefix — commutative, so any partitioning
+    or retry order produces the identical digest).  A backfill that
+    silently drops or duplicates one document changes the triple;
+    comparing manifests is how a 100 TB pipeline proves two runs
+    shipped the same corpus without re-reading either.
+
+    One map-side-combined aggregation over the scan; the checksum
+    arithmetic is the same md5-nibble machinery as the split hash, so
+    the oracle reproduces it bit-for-bit.
+    """
+    h = F.expr(_BUCKET_SQL).cast("long")
+    doc_sum = " + ".join(
+        f"(instr('{_HEX}', substring(md5(text), {k + 1}, 1)) - 1)"
+        f" * {16 ** (5 - k)}"
+        for k in range(6)
+    )
+    return (
+        documents.select(
+            (h % n_shards).alias("shard_id"),
+            F.expr(doc_sum).cast("long").alias("doc_digest"),
+            F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("doc_digest").alias("content_checksum"),
+        )
+    )

@@ -3482,3 +3482,47 @@ def events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Windowed heavy hitters
     (functions/scalars.py:windowed_top_event_types)."""
     return scalars.windowed_top_event_types(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Exact per-type value deciles (single percentile-array agg).
+EVENTS_DECILES_SQL = """
+    SELECT event_type,
+           CAST((i + 1) * 10 AS INTEGER) AS decile_pct,
+           ROUND(dec[i + 1], 4) AS decile_value
+    FROM (SELECT event_type,
+                 quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS dec
+          FROM events GROUP BY event_type),
+         UNNEST(range(0, 9)) AS u(i)
+"""
+
+
+@register("events_value_deciles", EVENTS_DECILES_SQL)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact equi-depth decile summary per event type
+    (functions/scalars.py:event_value_deciles)."""
+    return scalars.event_value_deciles(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Shard integrity manifest: commutative md5-prefix checksums.
+_DOC_DIGEST_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(text), {k + 1}, 1)) - 1)"
+    f" * {16 ** (5 - k)}"
+    for k in range(6)
+)
+
+CURATION_SHARDS_SQL = f"""
+    SELECT CAST(({_DDB_BUCKET}) % 16 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM({_DOC_DIGEST_SQL}) AS content_checksum
+    FROM documents
+    GROUP BY shard_id
+"""
+
+
+@register("curation_shard_manifest", CURATION_SHARDS_SQL)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Order-insensitive shard integrity manifest
+    (operators/curation.py:shard_manifest)."""
+    return curation.shard_manifest(load_table(spark, sf_dir, "documents"))

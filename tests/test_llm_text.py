@@ -46,6 +46,7 @@ ORACLE_CHECKED = [
     "dedup_prefix_jaccard",
     "text_tfidf_cosine_pairs",
     "dedup_triangles",
+    "curation_shard_manifest",
 ]
 
 
@@ -769,3 +770,23 @@ def test_triangles_find_cliques_not_pairs(spark):
         (1, 2, 3),
         (20, 21, 22), (20, 21, 23), (20, 22, 23), (21, 22, 23),
     ]
+
+
+def test_shard_manifest_is_partition_invariant_and_drift_sensitive(spark):
+    """The checksum triple must be identical under any repartitioning
+    (commutative sum) and must CHANGE when one document is dropped —
+    the property that makes manifest comparison a corpus-equality
+    proof."""
+    from go_mailio_diskusage_handler_spark.operators import curation as C
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    a = {r.shard_id: (r.n_docs, r.total_tokens, r.content_checksum)
+         for r in C.shard_manifest(docs).collect()}
+    b = {r.shard_id: (r.n_docs, r.total_tokens, r.content_checksum)
+         for r in C.shard_manifest(docs.repartition(13)).collect()}
+    assert a == b
+    dropped = {r.shard_id: (r.n_docs, r.total_tokens, r.content_checksum)
+               for r in C.shard_manifest(docs.filter("doc_id != 7")).collect()}
+    assert dropped != a
+    diff = [s for s in a if a[s] != dropped.get(s)]
+    assert len(diff) == 1  # exactly doc 7's shard changed

@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "events_funnel",
     "events_transitions",
     "events_window_topk",
+    "events_value_deciles",
     "events_first_touch",
     "events_retention_cohorts",
 ]
