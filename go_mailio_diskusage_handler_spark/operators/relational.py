@@ -771,3 +771,79 @@ def first_last_order_gap(orders: DataFrame) -> DataFrame:
             ).alias("price_drift"),
         )
     )
+
+
+def daily_revenue_dense(orders: DataFrame) -> DataFrame:
+    """Gap-filled daily revenue: a DENSE calendar spine (every day
+    from the first to the last order date, zero-filled) with each
+    day's total — the resampling primitive time-series work needs
+    before moving averages or anomaly baselines can be trusted (a
+    missing day must read as 0, not silently collapse the window).
+
+    The spine is ``sequence(min_date, max_date)`` exploded from a
+    1-row aggregate — calendar-bounded (36 500 rows per century), so
+    generating it driver-free and left-joining the daily aggregate is
+    O(days) regardless of fact volume; the fact side aggregates
+    BEFORE the join (day-keyed, map-side combined).
+    """
+    days = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+        )
+    )
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            # ISO string, not DATE: date values round-trip as
+            # date-vs-midnight-timestamp inconsistently across engine
+            # client layers (same hazard as nullable doubles).
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+def profile_table(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Single-pass column profiler: for every column, the null count
+    and exact distinct count — the first query run against any new
+    table, generated from the schema so it works on all of them.
+
+    ONE aggregation job computes every column's stats together
+    (2·|columns| aggregate expressions over one scan), then a bounded
+    array-explode unpivots to (column, n_nulls, n_distinct) rows —
+    never |columns| separate scans, which is how naive profilers turn
+    a 100 TB audit into |columns| × 100 TB of I/O.
+    """
+    cols = key_cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select(
+        "p.column", "p.n_nulls", "p.n_distinct"
+    )

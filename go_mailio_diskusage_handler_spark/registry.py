@@ -3526,3 +3526,52 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Order-insensitive shard integrity manifest
     (operators/curation.py:shard_manifest)."""
     return curation.shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Dense-calendar resample of daily revenue (gap days = 0).
+DAILY_DENSE_SQL = """
+    WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                         CAST(max(o_orderdate) AS DATE) AS hi
+                  FROM orders),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                INTERVAL 1 DAY)) AS DATE) AS day
+             FROM span),
+    daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                     ROUND(SUM(o_totalprice), 2) AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY day)
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.revenue, 0.0) AS revenue,
+           CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN daily USING (day)
+"""
+
+
+@register("trend_daily_dense", DAILY_DENSE_SQL)
+def trend_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gap-filled daily revenue resample
+    (operators/relational.py:daily_revenue_dense)."""
+    return relational.daily_revenue_dense(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] One-pass schema-driven profiler over orders.
+PROFILE_ORDERS_SQL = """
+    SELECT 'o_orderkey' AS column, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderpriority) FROM orders
+"""
+
+
+@register("profile_orders", PROFILE_ORDERS_SQL)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Single-pass column profiler
+    (operators/relational.py:profile_table)."""
+    return relational.profile_table(load_table(spark, sf_dir, "orders"))

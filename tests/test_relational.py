@@ -15,6 +15,8 @@ ORACLE_CHECKED = [
     "percentile_mad_outliers",
     "join_bucketed_spend",
     "window_first_last",
+    "trend_daily_dense",
+    "profile_orders",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
@@ -390,3 +392,25 @@ def test_bucketed_join_has_no_exchange(spark):
     # Below (after) the join node in the printed tree: the scan side.
     # No Exchange may appear between the join and the table scans.
     assert "Exchange" not in join_part, plan
+
+
+def test_profiler_is_single_pass(spark):
+    """The profiler must compute ALL columns' stats in one aggregation
+    over one scan — exactly one FileScan in the plan."""
+    df = registry.QUERIES["profile_orders"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dense_resample_fills_gaps_with_zero(spark):
+    """Every calendar day between min and max appears exactly once;
+    days without orders carry (0.0, 0)."""
+    from datetime import date
+
+    rows = registry.QUERIES["trend_daily_dense"](spark, SF_CORRECT).collect()
+    days = [date.fromisoformat(r.day) for r in rows]
+    assert len(days) == len(set(days))
+    span = (max(days) - min(days)).days + 1
+    assert len(days) == span
+    zero_days = [r for r in rows if r.n_orders == 0]
+    assert all(r.revenue == 0.0 for r in zero_days)
