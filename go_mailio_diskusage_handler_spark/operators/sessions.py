@@ -299,3 +299,72 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.col("n_trans") / F.sum("n_trans").over(tot_w), 4
         ).alias("p_next"),
     )
+
+
+def bounce_rate_daily(events: DataFrame) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event,
+    per session-start day — the engagement KPI sessionization exists
+    to feed.  Pure composition: :func:`sessionize` output (already
+    one row per session) aggregates by day; no new shuffle shape
+    beyond the sessionizer's own.
+    """
+    s = sessionize(events)
+    day = F.date_format(
+        F.to_date(F.timestamp_micros(F.col("session_start_us"))), "yyyy-MM-dd"
+    )
+    return (
+        s.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.round(F.col("n_bounces") / F.col("n_sessions"), 4).alias(
+                "bounce_rate"
+            ),
+        )
+    )
+
+
+def inter_event_gap_stats(events: DataFrame) -> DataFrame:
+    """Per event type: exact median and p95 of the inter-arrival time
+    between a user's consecutive events of that type — the cadence
+    baseline behind rate-limit tuning and bot detection.
+
+    One lag() window per (user, type) timeline (the user-keyed
+    exchange sessionization already pays; event_id breaks ts ties),
+    then a single percentile-array aggregate per type — the window
+    runs on the fact table but partitioned by user, and the
+    percentile output is |event_types|-bounded.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_us, array(0.5, 0.95))").alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("p")[0] / 1e6, 2).alias("median_gap_sec"),
+            F.round(F.col("p")[1] / 1e6, 2).alias("p95_gap_sec"),
+        )
+    )

@@ -3575,3 +3575,57 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Single-pass column profiler
     (operators/relational.py:profile_table)."""
     return relational.profile_table(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] Daily bounce rate over sessionized events.
+EVENTS_BOUNCE_SQL = f"""
+    WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > {sessions.DEFAULT_GAP_MINUTES * 60 * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM m),
+    sess AS (SELECT user_id, session_seq, MIN(us) AS start_us,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, session_seq)
+    SELECT strftime(CAST(to_timestamp(start_us // 1000000) AS DATE),
+                    '%Y-%m-%d') AS day,
+           COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS bounce_rate
+    FROM sess GROUP BY day
+"""
+
+
+@register("events_bounce_rate", EVENTS_BOUNCE_SQL)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Daily bounce rate (operators/sessions.py:bounce_rate_daily)."""
+    return sessions.bounce_rate_daily(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Per-type inter-arrival cadence (exact median / p95).
+EVENTS_GAPS_SQL = """
+    WITH g AS (SELECT event_type,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts ASC, event_id ASC) AS gap_us
+               FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 2) AS median_gap_sec,
+           ROUND(quantile_cont(gap_us, 0.95) / 1e6, 2) AS p95_gap_sec
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("events_gap_stats", EVENTS_GAPS_SQL)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Inter-arrival gap stats
+    (operators/sessions.py:inter_event_gap_stats)."""
+    return sessions.inter_event_gap_stats(load_table(spark, sf_dir, "events"))

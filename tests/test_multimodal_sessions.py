@@ -23,6 +23,8 @@ ORACLE_CHECKED = [
     "events_transitions",
     "events_window_topk",
     "events_value_deciles",
+    "events_bounce_rate",
+    "events_gap_stats",
     "events_first_touch",
     "events_retention_cohorts",
 ]
