@@ -847,3 +847,31 @@ def profile_table(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame
     return one.select(F.explode(pairs).alias("p")).select(
         "p.column", "p.n_nulls", "p.n_distinct"
     )
+
+
+def weekly_revenue_wow(orders: DataFrame) -> DataFrame:
+    """Week-over-week revenue: weekly totals plus the percent change
+    vs the previous OBSERVED week — the period-over-period reporting
+    primitive.  The lag window runs on the weekly AGGREGATE (bounded
+    by the calendar, ~52 rows/year), unpartitioned by design — the
+    same bounded-domain argument as every post-aggregate window here;
+    the fact table sees only the one day-truncate + sum pass.
+    """
+    weekly = (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("week_start")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        "revenue",
+        F.round(
+            F.when(prev.isNotNull(), (F.col("revenue") - prev) / prev * 100.0),
+            2,
+        ).alias("wow_pct"),
+    ).filter(F.col("wow_pct").isNotNull())

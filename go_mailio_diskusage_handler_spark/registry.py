@@ -3629,3 +3629,26 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Inter-arrival gap stats
     (operators/sessions.py:inter_event_gap_stats)."""
     return sessions.inter_event_gap_stats(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Week-over-week revenue change (lag on the calendar-bounded
+# weekly aggregate; first week dropped — NULL pct would round-trip
+# None-vs-NaN inconsistently).
+TREND_WOW_SQL = """
+    WITH weekly AS (SELECT strftime(date_trunc('week', o_orderdate),
+                                    '%Y-%m-%d') AS week_start,
+                           ROUND(SUM(o_totalprice), 2) AS revenue
+                    FROM orders GROUP BY week_start)
+    SELECT week_start, revenue,
+           ROUND((revenue - prev) / prev * 100.0, 2) AS wow_pct
+    FROM (SELECT *, lag(revenue) OVER (ORDER BY week_start) AS prev
+          FROM weekly)
+    WHERE prev IS NOT NULL
+"""
+
+
+@register("trend_weekly_wow", TREND_WOW_SQL)
+def trend_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Week-over-week revenue deltas
+    (operators/relational.py:weekly_revenue_wow)."""
+    return relational.weekly_revenue_wow(load_table(spark, sf_dir, "orders"))

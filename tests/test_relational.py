@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "window_first_last",
     "trend_daily_dense",
     "profile_orders",
+    "trend_weekly_wow",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
