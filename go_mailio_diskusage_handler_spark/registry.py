@@ -3652,3 +3652,22 @@ def trend_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Week-over-week revenue deltas
     (operators/relational.py:weekly_revenue_wow)."""
     return relational.weekly_revenue_wow(load_table(spark, sf_dir, "orders"))
+
+
+# [EXT] Exact binary-asset dedup off the checksum catalog.
+MEDIA_DEDUP_SQL = """
+    SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS media_type,
+           md5(text) AS checksum,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY media_type, checksum
+"""
+
+
+@register("media_payload_dedup", MEDIA_DEDUP_SQL)
+def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Binary-asset exact dedup
+    (operators/multimodal.py:payload_dedup)."""
+    return multimodal.payload_dedup(load_table(spark, sf_dir, "documents"))

@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "events_value_deciles",
     "events_bounce_rate",
     "events_gap_stats",
+    "media_payload_dedup",
     "events_first_touch",
     "events_retention_cohorts",
 ]
