@@ -344,3 +344,41 @@ def event_value_deciles(events: DataFrame) -> DataFrame:
             F.round("v", 4).alias("decile_value"),
         )
     )
+
+
+def safe_json_parse_stats(events: DataFrame) -> DataFrame:
+    """ANSI-safe parsing over dirty JSON: per event type, how many
+    props blobs are invalid JSON, how many parse but carry a
+    non-numeric payload, and the sum of the values that survive —
+    ``try_cast`` + validity guards instead of job-killing exceptions,
+    which is the difference between one bad row and a dead 100 TB
+    ingest.  The fixture's props are uniformly clean, so the query
+    derives deterministic dirt (doc-residue-keyed invalid-JSON and
+    wrong-type variants) and both engines parse the same mess.
+    """
+    did = F.col("event_id")
+    dirty = (
+        F.when(did % 5 == 0, F.lit("oops not json"))
+        .when(did % 7 == 0, F.lit('{"k": "abc"}'))
+        .otherwise(F.col("props"))
+    )
+    k = F.expr("try_cast(get_json_object(p, '$.k') AS BIGINT)")
+    return (
+        events.select("event_type", dirty.alias("p"))
+        .select(
+            "event_type",
+            F.expr("get_json_object(p, '$.k') IS NULL").alias("bad_json"),
+            k.alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("bad_json"), 1).otherwise(0)).alias(
+                "n_invalid_json"
+            ),
+            F.sum(
+                F.when(~F.col("bad_json") & F.col("k").isNull(), 1).otherwise(0)
+            ).alias("n_nonnumeric"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

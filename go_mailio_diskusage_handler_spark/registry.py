@@ -2922,7 +2922,10 @@ _rotate_front(_R5_FRONT)
 # curation_quality_gate, dedup_prefix_jaccard, events_transitions,
 # text_tfidf_cosine_pairs, percentile_mad_outliers, dedup_triangles,
 # join_bucketed_spend, sql_nation_volume, sql_market_share,
-# window_first_last.
+# window_first_last, events_window_topk, events_value_deciles,
+# curation_shard_manifest, trend_daily_dense, profile_orders,
+# events_bounce_rate, events_gap_stats, trend_weekly_wow,
+# media_payload_dedup, scalar_try_parse.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -3671,3 +3674,33 @@ def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Binary-asset exact dedup
     (operators/multimodal.py:payload_dedup)."""
     return multimodal.payload_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] ANSI-safe dirty-JSON parsing (try_cast + validity guards) over
+# deterministically dirtied props.
+SCALAR_TRY_PARSE_SQL = """
+    WITH d AS (SELECT event_type,
+                      CASE WHEN event_id % 5 = 0 THEN 'oops not json'
+                           WHEN event_id % 7 = 0 THEN '{"k": "abc"}'
+                           ELSE props END AS p
+               FROM events),
+    parsed AS (SELECT event_type,
+                      CASE WHEN json_valid(p)
+                           THEN json_extract_string(p, '$.k') END AS ks
+               FROM d)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN ks IS NULL THEN 1 ELSE 0 END) AS n_invalid_json,
+           SUM(CASE WHEN ks IS NOT NULL
+                         AND TRY_CAST(ks AS BIGINT) IS NULL
+                    THEN 1 ELSE 0 END) AS n_nonnumeric,
+           SUM(TRY_CAST(ks AS BIGINT)) AS sum_k
+    FROM parsed GROUP BY event_type
+"""
+
+
+@register("scalar_try_parse", SCALAR_TRY_PARSE_SQL)
+def scalar_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Safe parsing of dirty JSON
+    (functions/scalars.py:safe_json_parse_stats)."""
+    return scalars.safe_json_parse_stats(load_table(spark, sf_dir, "events"))

@@ -18,6 +18,7 @@ ORACLE_CHECKED = [
     "trend_daily_dense",
     "profile_orders",
     "trend_weekly_wow",
+    "scalar_try_parse",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
