@@ -1214,6 +1214,15 @@ def kmeans_train(
     the collect size: 65 536 × 64 doubles is still ~34 MB — driver-
     and broadcast-friendly.
     """
+    e, cents = _km_fit(embeddings, k, iters)
+    return _km_assign(e, cents)
+
+
+def _km_fit(
+    embeddings: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Run the Lloyd loop; return the (persisted) doubled-vector frame
+    and the trained centroids."""
     e = widen_for_compute(embeddings).select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
@@ -1246,4 +1255,70 @@ def kmeans_train(
         cents = sorted(
             (int(r["cluster_id"]), [float(x) for x in r["v"]]) for r in rows
         )
-    return _km_assign(e, cents)
+    return e, cents
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    topk: int = 5,
+    *,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    n_probe: int = 2,
+) -> DataFrame:
+    """End-to-end TRAINED IVF: Lloyd-fit the codebook
+    (:func:`kmeans_train`'s loop), assign the corpus, then answer ANN
+    queries by probing the ``n_probe`` nearest trained cells and
+    exact-L2² re-ranking inside them — the trainer→index integration
+    a production vector pipeline runs, where :func:`ivf_ann_topk`'s
+    deterministic stand-in codebook is replaced by a fitted one.
+
+    Same scale anatomy as the rest of the IVF stack: centroids are a
+    broadcast literal at any corpus size, the corpus is touched once
+    (its cell assignment is the partition key the index would be
+    written by), probes are a tiny broadcast, and only candidates in
+    probed cells get exact distances.  L2 metric end-to-end so the
+    ranking is consistent with the trainer's objective.
+    """
+    e, cents = _km_fit(embeddings, k, iters)
+    assign = _km_assign(e, cents).select("vec_id", "cluster_id")
+    cid_lit = F.lit([c for c, _ in cents])
+    vec_lit = F.lit([v for _, v in cents])
+    scored_cells = F.transform(
+        vec_lit,
+        lambda c, i: F.struct(
+            F.round(_l2sq(F.col("v"), c), 6).alias("d"),
+            F.element_at(cid_lit, i + 1).alias("cid"),
+        ),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.array_sort(scored_cells), 1, n_probe)
+            ).alias("cell"),
+        )
+        .select("query_id", "qv", F.col("cell.cid").alias("cluster_id"))
+    )
+    cand = assign.join(F.broadcast(probes), "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ranked = (
+        cand.join(e, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_l2sq(F.col("qv"), F.col("v")), 6).alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ranked.select(
+            "*", F.row_number().over(w).cast("int").alias("rank")
+        ).filter(F.col("rank") <= topk)
+    )

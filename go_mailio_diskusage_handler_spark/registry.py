@@ -3704,3 +3704,48 @@ def scalar_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Safe parsing of dirty JSON
     (functions/scalars.py:safe_json_parse_stats)."""
     return scalars.safe_json_parse_stats(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Trained IVF: Lloyd-fit codebook → corpus assignment → probe
+# the 2 nearest trained cells per query → exact-L2² rerank.
+_KM_D = _km_dist("q.v", "c.v")
+_KM_RANKD = _km_dist("qe.v", "ne.v")
+
+SIM_KMEANS_IVF_SQL = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {similarity.KM_K}),
+    {_km_assign_cte('e', 'c0', 'a1')},
+    {_km_update_cte('a1', 'c1')},
+    {_km_assign_cte('e', 'c1', 'a2')},
+    {_km_update_cte('a2', 'c2')},
+    {_km_assign_cte('e', 'c2', 'a3')},
+    probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_KM_D} ASC, c.cid ASC) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q, c2 c)
+        WHERE rn <= 2),
+    cand AS (SELECT p.query_id, a.vec_id
+             FROM probes p JOIN a3 a ON a.cid = p.cid
+             WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, dist_sq, rank FROM (
+        SELECT cand.query_id,
+               cand.vec_id AS neighbor_id,
+               {_KM_RANKD} AS dist_sq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                    ORDER BY {_KM_RANKD} ASC, cand.vec_id ASC) AS INTEGER)
+                   AS rank
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.vec_id)
+    WHERE rank <= 5
+"""
+
+
+@register("sim_kmeans_ivf_topk", SIM_KMEANS_IVF_SQL)
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trained-codebook IVF ANN
+    (operators/similarity.py:kmeans_ivf_topk)."""
+    return similarity.kmeans_ivf_topk(load_table(spark, sf_dir, "embeddings"))

@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "sim_mmr_topk",
     "sim_rrf_hybrid_topk",
     "sim_kmeans_train",
+    "sim_kmeans_ivf_topk",
 ]
 
 
@@ -303,3 +304,37 @@ def test_kmeans_iterations_do_not_increase_inertia(spark):
         inertia.append(sum(r.dist_sq for r in df.collect()))
         spark.catalog.clearCache()
     assert inertia[1] <= inertia[0] + 1e-6
+
+
+def test_trained_ivf_recall_floor(spark):
+    """Trained-codebook IVF recall@5 vs exact L2 ground truth: cells
+    fitted to the data must localize true neighbors at least as well
+    as a coarse random partition — floor set below measurement so
+    probe/assignment regressions fail loudly."""
+    from conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = similarity.kmeans_ivf_topk(emb, 8, 5)
+    rows = got.collect()
+    spark.catalog.clearCache()
+    # Exact L2 top-5 ground truth, computed in-test.
+    import itertools
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    truth: dict[int, set[int]] = {}
+    for q in range(8):
+        qv = vecs[q]
+        d = sorted(
+            (
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qv, vecs[n])),
+                n,
+            )
+            for n in vecs
+            if n != q
+        )
+        truth[q] = {n for _, n in itertools.islice(iter(d), 5)}
+    hits = sum(
+        1 for r in rows if r.neighbor_id in truth[r.query_id]
+    )
+    recall = hits / (8 * 5)
+    assert recall >= 0.5, recall
