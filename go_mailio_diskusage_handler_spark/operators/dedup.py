@@ -994,3 +994,47 @@ def near_dup_triangles(
     return tri.select(
         arr[0].alias("doc_a"), arr[1].alias("doc_b"), arr[2].alias("doc_c")
     )
+
+
+def minhash_estimate_quality(documents: DataFrame) -> DataFrame:
+    """Estimator diagnostics for the MinHash tier: for every LSH
+    candidate pair, the SIGNATURE-estimated Jaccard (fraction of
+    agreeing minhash positions — the unbiased estimator banding is
+    built on) next to the exact shingle Jaccard and the absolute
+    error.  This is the calibration report that justifies N_HASHES:
+    the estimator's stderr is sqrt(j(1-j)/K), so K=12 puts typical
+    error ~0.14 at j=0.5 and ~0.09 at j=0.9 — and the measured errors
+    should sit inside that envelope.
+
+    Same plan as the dedup path (signatures + band self-join + exact
+    verify) plus one signature re-join for the agreement count; the
+    whole report is candidate-bounded, never all-pairs.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(sigs)
+    agree = None
+    for j in range(N_HASHES):
+        t = (F.col(f"sa.h{j}") == F.col(f"sb.h{j}")).cast("int")
+        agree = t if agree is None else agree + t
+    est = (
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(N_HASHES), 4).alias("est_jaccard"),
+        )
+    )
+    exact = jaccard_for_pairs(cand, sh)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias(
+            "abs_err"
+        ),
+    )

@@ -1322,3 +1322,41 @@ def kmeans_ivf_topk(
             "*", F.row_number().over(w).cast("int").alias("rank")
         ).filter(F.col("rank") <= topk)
     )
+
+
+def range_search(
+    embeddings: DataFrame, n_queries: int = 8, min_cos: float = 0.3
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within cosine ≥
+    ``min_cos`` of each query — the fixed-threshold retrieval API
+    (dedup sweeps, compliance "find everything similar" queries) that
+    top-k cannot express when the true neighbor count varies per
+    query.  Same broadcast-query scan shape as
+    :func:`brute_force_topk`; at corpus scale the LSH/IVF candidate
+    tiers slot in front exactly as they do for top-k, with the
+    threshold as the verify predicate.
+    """
+    embeddings = widen_for_compute(embeddings)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        l2_norm(F.col("embedding")).alias("n_nrm"),
+    )
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+    )

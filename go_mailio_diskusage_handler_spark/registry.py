@@ -3749,3 +3749,60 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Trained-codebook IVF ANN
     (operators/similarity.py:kmeans_ivf_topk)."""
     return similarity.kmeans_ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] MinHash estimator calibration: signature-agreement Jaccard
+# estimate vs exact, per LSH candidate pair.
+DEDUP_MINHASH_EST_SQL = f"""
+    WITH {_SHINGLE_CTES},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shingles GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    est AS (SELECT cand.doc_a, cand.doc_b,
+                   ROUND(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END)) * 1.0 / 12, 4) AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.doc_a
+            JOIN sig sb ON sb.doc_id = cand.doc_b),
+    inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS i
+              FROM cand
+              JOIN shingles xa ON cand.doc_a = xa.doc_id
+              JOIN shingles xb ON cand.doc_b = xb.doc_id
+                 AND xa.shingle = xb.shingle
+              GROUP BY cand.doc_a, cand.doc_b),
+    exact AS (SELECT doc_a, doc_b,
+                     ROUND(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+              FROM inter
+              JOIN sizes za ON doc_a = za.doc_id
+              JOIN sizes zb ON doc_b = zb.doc_id)
+    SELECT est.doc_a, est.doc_b, est.est_jaccard, exact.jaccard,
+           ROUND(abs(est.est_jaccard - exact.jaccard), 4) AS abs_err
+    FROM est JOIN exact USING (doc_a, doc_b)
+"""
+
+
+@register("dedup_minhash_estimate", DEDUP_MINHASH_EST_SQL)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MinHash estimator calibration report
+    (operators/dedup.py:minhash_estimate_quality)."""
+    return dedup.minhash_estimate_quality(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Radius (range) vector search: all neighbors with cos >= 0.3.
+SIM_RANGE_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8)
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) AS cos_sim
+    FROM embeddings e, q WHERE e.vec_id != query_id
+      AND ROUND({_ddb_cosine('q_emb', 'e.embedding')}, 6) >= 0.3
+"""
+
+
+@register("sim_range_search", SIM_RANGE_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fixed-threshold radius retrieval
+    (operators/similarity.py:range_search)."""
+    return similarity.range_search(load_table(spark, sf_dir, "embeddings"))

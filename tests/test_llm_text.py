@@ -47,6 +47,7 @@ ORACLE_CHECKED = [
     "text_tfidf_cosine_pairs",
     "dedup_triangles",
     "curation_shard_manifest",
+    "dedup_minhash_estimate",
 ]
 
 
@@ -790,3 +791,20 @@ def test_shard_manifest_is_partition_invariant_and_drift_sensitive(spark):
     assert dropped != a
     diff = [s for s in a if a[s] != dropped.get(s)]
     assert len(diff) == 1  # exactly doc 7's shard changed
+
+
+def test_minhash_estimator_error_envelope(spark):
+    """Measured |est - exact| must sit inside the binomial stderr
+    envelope for K=12 signatures (≤ ~3σ ≈ 0.45 worst-case at j=0.5,
+    and mean error well under 1σ ≈ 0.14): the calibration claim the
+    operator's docstring makes."""
+    from go_mailio_diskusage_handler_spark.operators import dedup as D
+
+    rows = D.minhash_estimate_quality(
+        load_table(spark, SF_CORRECT, "documents")
+    ).collect()
+    spark.catalog.clearCache()
+    assert rows
+    errs = [r.abs_err for r in rows]
+    assert max(errs) <= 0.45, max(errs)
+    assert sum(errs) / len(errs) <= 0.14, sum(errs) / len(errs)

@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "sim_rrf_hybrid_topk",
     "sim_kmeans_train",
     "sim_kmeans_ivf_topk",
+    "sim_range_search",
 ]
 
 
@@ -338,3 +339,21 @@ def test_trained_ivf_recall_floor(spark):
     )
     recall = hits / (8 * 5)
     assert recall >= 0.5, recall
+
+
+def test_range_search_is_exactly_thresholded_brute_force(spark):
+    """Range search == brute force restricted to cos >= threshold:
+    same pairs, same cosines, no rank truncation."""
+    from conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.range_search(emb, 8, 0.3).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(emb, 8, 500).collect()
+        if r.cos_sim >= 0.3
+    }
+    assert got == brute and got
