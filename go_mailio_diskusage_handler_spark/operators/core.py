@@ -222,3 +222,45 @@ def heavy_users(disk_usage_df: DataFrame, multiple: float = 3.0) -> DataFrame:
             ),
         )
     )
+
+
+def usage_growth(
+    inv_old: DataFrame, inv_new: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k disk-usage GROWTH between two inventory snapshots: the
+    capacity-planning leaderboard ("who grew most since yesterday")
+    the reference's consumers ask next after point lookups.
+
+    Both snapshots aggregate independently (unrounded sums — rounding
+    happens once, on the delta), FULL-OUTER join on address so new and
+    vanished users both report (their other side coalesces to 0), and
+    the top-k is TakeOrderedAndProject with an address tie-break.  At
+    scale both aggregates shuffle on the same key, so AQE plans the
+    join exchange-free off the aggregation layouts.
+    """
+    old = disk_usage(inv_old, round_to=None).select(
+        "address",
+        F.col("size_bytes").alias("old_bytes"),
+        F.col("number_files").alias("old_files"),
+    )
+    new = disk_usage(inv_new, round_to=None).select(
+        "address",
+        F.col("size_bytes").alias("new_bytes"),
+        F.col("number_files").alias("new_files"),
+    )
+    joined = old.join(new, "address", "full_outer").select(
+        "address",
+        F.coalesce("old_bytes", F.lit(0.0)).alias("ob"),
+        F.coalesce("new_bytes", F.lit(0.0)).alias("nb"),
+        F.coalesce("old_files", F.lit(0)).alias("of"),
+        F.coalesce("new_files", F.lit(0)).alias("nf"),
+    )
+    return (
+        joined.select(
+            "address",
+            F.round(F.col("nb") - F.col("ob"), 2).alias("growth_bytes"),
+            (F.col("nf") - F.col("of")).alias("growth_files"),
+        )
+        .orderBy(F.desc("growth_bytes"), F.asc("address"))
+        .limit(k)
+    )

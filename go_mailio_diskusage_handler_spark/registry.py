@@ -3806,3 +3806,37 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Fixed-threshold radius retrieval
     (operators/similarity.py:range_search)."""
     return similarity.range_search(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Top-k usage growth between snapshot slices (capacity
+# leaderboard; full-outer so appearing/vanishing users both count).
+DU_GROWTH_SQL = f"""
+    WITH old_inv AS ({_INV_SLICE_SQL.format(pred='l_linenumber <= 5')}),
+    new_inv AS ({_INV_SLICE_SQL.format(pred='l_linenumber >= 2')}),
+    old_agg AS (SELECT split_part(key, '/', 1) AS address,
+                       SUM(size) AS ob, COUNT(*) AS of
+                FROM old_inv WHERE len(string_split(key, '/')) >= 2
+                GROUP BY address),
+    new_agg AS (SELECT split_part(key, '/', 1) AS address,
+                       SUM(size) AS nb, COUNT(*) AS nf
+                FROM new_inv WHERE len(string_split(key, '/')) >= 2
+                GROUP BY address)
+    SELECT COALESCE(o.address, n.address) AS address,
+           ROUND(COALESCE(n.nb, 0) - COALESCE(o.ob, 0), 2) AS growth_bytes,
+           COALESCE(n.nf, 0) - COALESCE(o.of, 0) AS growth_files
+    FROM old_agg o FULL OUTER JOIN new_agg n ON o.address = n.address
+    ORDER BY growth_bytes DESC, address ASC
+    LIMIT 10
+"""
+
+
+@register("du_top_growth", DU_GROWTH_SQL)
+def du_top_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Snapshot-over-snapshot growth leaderboard
+    (operators/core.py:usage_growth)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") <= 5))
+    new = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") >= 2))
+    return core.usage_growth(old, new)

@@ -16,6 +16,7 @@ CORE_QUERIES = [
     "du_multifile",
     "du_incremental",
     "du_heavy_users",
+    "du_top_growth",
 ]
 
 
