@@ -2925,7 +2925,8 @@ _rotate_front(_R5_FRONT)
 # window_first_last, events_window_topk, events_value_deciles,
 # curation_shard_manifest, trend_daily_dense, profile_orders,
 # events_bounce_rate, events_gap_stats, trend_weekly_wow,
-# media_payload_dedup, scalar_try_parse.
+# media_payload_dedup, scalar_try_parse, sim_kmeans_ivf_topk,
+# dedup_minhash_estimate, sim_range_search, du_top_growth.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
