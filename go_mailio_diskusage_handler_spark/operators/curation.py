@@ -640,3 +640,42 @@ def shard_manifest(documents: DataFrame, n_shards: int = 16) -> DataFrame:
             F.sum("doc_digest").alias("content_checksum"),
         )
     )
+
+
+def corpus_dedup_report(documents: DataFrame) -> DataFrame:
+    """One-row corpus health summary — the numbers a dedup run is
+    judged by before anyone looks at pairs: total docs, docs that are
+    exact duplicates of an earlier doc, members of near-dup pairs
+    (exact Jaccard ≥ 0.8 over the df-capped shingle family), and the
+    resulting unique-document rate.  Composes the existing tiers into
+    a dashboard row; each input is itself oracle-checked, so this is
+    aggregation, not new semantics.
+    """
+    from go_mailio_diskusage_handler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from go_mailio_diskusage_handler_spark.operators.text import exact_dedup
+
+    n_docs = documents.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    exact = exact_dedup(documents)
+    n_exact_dupes = n_docs - exact.count()
+    pairs = ngram_jaccard_pairs(documents, 0.8)
+    near_members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_exact_dupes,
+                near_members,
+                round((n_docs - n_exact_dupes) / n_docs, 4),
+            )
+        ],
+        "n_docs long, n_exact_dupes long, n_near_dup_members long, "
+        "unique_rate double",
+    )

@@ -1360,3 +1360,21 @@ def range_search(
         )
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def kmeans_cluster_stats(
+    embeddings: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Per-cluster training diagnostics over the fitted assignment:
+    member count, mean and max squared distance to the centroid
+    (inertia contribution and radius) — the report that says whether
+    k is too small (huge radii), too big (starved cells), or the init
+    degenerate (empty cells dropped).  Pure aggregation over
+    :func:`kmeans_train`'s output; |k|-bounded result.
+    """
+    a = kmeans_train(embeddings, k, iters)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("dist_sq"), 4).alias("mean_dist_sq"),
+        F.round(F.max("dist_sq"), 4).alias("max_dist_sq"),
+    )

@@ -2926,7 +2926,8 @@ _rotate_front(_R5_FRONT)
 # curation_shard_manifest, trend_daily_dense, profile_orders,
 # events_bounce_rate, events_gap_stats, trend_weekly_wow,
 # media_payload_dedup, scalar_try_parse, sim_kmeans_ivf_topk,
-# dedup_minhash_estimate, sim_range_search, du_top_growth.
+# dedup_minhash_estimate, sim_range_search, du_top_growth,
+# sim_kmeans_stats, curation_dedup_report.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -3841,3 +3842,64 @@ def du_top_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") <= 5))
     new = core.inventory_from_lineitem(li.filter(F.col("l_linenumber") >= 2))
     return core.usage_growth(old, new)
+
+
+# [EXT] k-means cluster diagnostics (size / inertia / radius per cell).
+SIM_KM_STATS_SQL = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {similarity.KM_K}),
+    {_km_assign_cte('e', 'c0', 'a1')},
+    {_km_update_cte('a1', 'c1')},
+    {_km_assign_cte('e', 'c1', 'a2')},
+    {_km_update_cte('a2', 'c2')},
+    {_km_assign_cte('e', 'c2', 'a3')}
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_members,
+           ROUND(AVG(d), 4) AS mean_dist_sq,
+           ROUND(MAX(d), 4) AS max_dist_sq
+    FROM a3 GROUP BY cid
+"""
+
+
+@register("sim_kmeans_stats", SIM_KM_STATS_SQL)
+def sim_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trained-cluster diagnostics
+    (operators/similarity.py:kmeans_cluster_stats)."""
+    return similarity.kmeans_cluster_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] One-row corpus dedup health report.
+CURATION_REPORT_SQL = f"""
+    WITH {_CAPPED_SHINGLE_CTES},
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+    inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+              FROM cand
+              JOIN shingles sa ON doc_a = sa.doc_id
+              JOIN shingles sb ON doc_b = sb.doc_id
+                 AND sa.shingle = sb.shingle
+              GROUP BY doc_a, doc_b),
+    near AS (SELECT doc_a, doc_b FROM inter
+             JOIN sizes za ON doc_a = za.doc_id
+             JOIN sizes zb ON doc_b = zb.doc_id
+             WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8),
+    members AS (SELECT doc_a AS d FROM near
+                UNION SELECT doc_b FROM near)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(DISTINCT md5(text)) FROM documents)
+               AS n_exact_dupes,
+           (SELECT COUNT(*) FROM members) AS n_near_dup_members,
+           ROUND(((SELECT COUNT(DISTINCT md5(text)) FROM documents) * 1.0)
+                 / (SELECT COUNT(*) FROM documents), 4) AS unique_rate
+"""
+
+
+@register("curation_dedup_report", CURATION_REPORT_SQL)
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus dedup health summary
+    (operators/curation.py:corpus_dedup_report)."""
+    return curation.corpus_dedup_report(load_table(spark, sf_dir, "documents"))

@@ -48,6 +48,7 @@ ORACLE_CHECKED = [
     "dedup_triangles",
     "curation_shard_manifest",
     "dedup_minhash_estimate",
+    "curation_dedup_report",
 ]
 
 

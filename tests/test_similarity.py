@@ -28,6 +28,7 @@ ORACLE_CHECKED = [
     "sim_kmeans_train",
     "sim_kmeans_ivf_topk",
     "sim_range_search",
+    "sim_kmeans_stats",
 ]
 
 
