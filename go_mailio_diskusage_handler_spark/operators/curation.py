@@ -426,6 +426,12 @@ def temperature_sample(documents: DataFrame, scale: int = 1 << 16) -> DataFrame:
     counts = (
         documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if not counts:
+        # Empty corpus: keep the output contract (schema-stable empty
+        # frame) instead of crashing on min() of nothing.
+        return documents.select(
+            "doc_id", "source", F.lit(1.0).alias("keep_rate")
+        ).limit(0)
     n_min = min(r["n"] for r in counts)
     cutoffs = {
         r["source"]: math.floor(math.sqrt(n_min / r["n"]) * scale)
@@ -597,6 +603,11 @@ def adaptive_quality_gate(documents: DataFrame, pct: float = 0.25) -> DataFrame:
         .agg(F.min("q").alias("q_cut"))
         .collect()
     )
+    if not cut_rows:
+        # Empty corpus → no cutoffs; an argless create_map() is typed
+        # map<void,void> and cannot be probed — return the
+        # schema-stable empty frame instead.
+        return base.limit(0)
     cut_map = F.create_map(
         *[
             F.lit(x)

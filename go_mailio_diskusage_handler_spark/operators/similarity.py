@@ -1230,6 +1230,11 @@ def _km_fit(
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
+    if not cents:
+        raise ValueError(
+            f"k-means init found no vectors with vec_id < {k}: "
+            "cannot seed centroids from an empty/renumbered corpus"
+        )
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)

@@ -809,3 +809,33 @@ def test_minhash_estimator_error_envelope(spark):
     errs = [r.abs_err for r in rows]
     assert max(errs) <= 0.45, max(errs)
     assert sum(errs) / len(errs) <= 0.14, sum(errs) / len(errs)
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Empty-corpus contract: temperature sampling returns a
+    schema-stable empty frame; the quality gate, span coverage, PII
+    scan, chunking, and shard manifest return empty without error;
+    k-means raises a CLEAR seeding error instead of a null cascade."""
+    import pytest
+
+    from go_mailio_diskusage_handler_spark.operators import (
+        curation as C,
+        dedup as D,
+        text as T,
+    )
+    from go_mailio_diskusage_handler_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert C.temperature_sample(empty).count() == 0
+    assert C.adaptive_quality_gate(empty).count() == 0
+    assert C.shard_manifest(empty).count() == 0
+    assert D.duplicated_span_coverage(empty).count() == 0
+    assert T.pii_signals(empty).count() == 0
+    assert T.chunk_documents(empty).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="k-means init"):
+        kmeans_train(empty_emb)
