@@ -32,6 +32,11 @@ re-running the whole Jaccard pipeline once per self-join branch,
 14.1 s -> ~5 s cold / ~3 s warm).  A concurrent pytest run inflates
 the same bench to ~674 s — co-located load dominates every cross-run
 comparison, reconfirming the round-4 drift diagnosis.
+
+End-of-continuation reference (idle): 153 queries, 150.8 s — 19 more
+queries than the prior reference at a LOWER total (run-to-run noise
+plus the triangle fix), heaviest query 8.3 s (curation_keep_best),
+zero errors.
 """
 
 from __future__ import annotations
