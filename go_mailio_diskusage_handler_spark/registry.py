@@ -2927,7 +2927,8 @@ _rotate_front(_R5_FRONT)
 # events_bounce_rate, events_gap_stats, trend_weekly_wow,
 # media_payload_dedup, scalar_try_parse, sim_kmeans_ivf_topk,
 # dedup_minhash_estimate, sim_range_search, du_top_growth,
-# sim_kmeans_stats, curation_dedup_report.
+# sim_kmeans_stats, curation_dedup_report, sql_forecast_revenue,
+# sql_bracket_revenue, sql_important_nations.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -3903,3 +3904,24 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Corpus dedup health summary
     (operators/curation.py:corpus_dedup_report)."""
     return curation.corpus_dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+@register("sql_forecast_revenue", sql_surface.FORECAST_REVENUE_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down scan-filter-aggregate
+    (sql.forecast_revenue)."""
+    return sql_surface.forecast_revenue(spark, sf_dir)
+
+
+@register("sql_bracket_revenue", sql_surface.BRACKET_REVENUE_SQL)
+def sql_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brackets, common-conjunct
+    extraction (sql.bracket_revenue)."""
+    return sql_surface.bracket_revenue(spark, sf_dir)
+
+
+@register("sql_important_nations", sql_surface.IMPORTANT_NATIONS_SQL)
+def sql_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING vs uncorrelated scalar subquery
+    (sql.important_nations)."""
+    return sql_surface.important_nations(spark, sf_dir)

@@ -501,3 +501,77 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     register_views(spark, sf_dir)
     return spark.sql(MARKET_SHARE_SQL)
+
+
+FORECAST_REVENUE_SQL = """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2)
+                AS DOUBLE) AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose
+    entire cost is how much the scan reads.  Every predicate pushes to
+    the parquet reader (date + numeric ranges → row-group min/max
+    skipping), no join, no shuffle beyond the 1-row final aggregate;
+    exact-decimal product per the tier's float rule.  One ANSI string,
+    both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(FORECAST_REVENUE_SQL)
+
+
+BRACKET_REVENUE_SQL = """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive predicate brackets spanning both
+    join sides.  The optimizer test: Catalyst must extract the
+    common-side conjuncts from the OR (every bracket constrains
+    p_brand/p_size and l_quantity), push the part-only disjunction
+    into the part scan and the quantity bounds into lineitem, and
+    still broadcast the filtered part side — instead of evaluating
+    the whole OR post-join.  One ANSI string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(BRACKET_REVENUE_SQL)
+
+
+IMPORTANT_NATIONS_SQL = """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(12,2)))
+           > (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) * 0.05
+              FROM supplier)
+"""
+
+
+def important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (restated on supplier balances — the fixture
+    has no partsupp): groups whose share of a GLOBAL total crosses a
+    threshold, i.e. HAVING against an uncorrelated scalar subquery.
+    Catalyst evaluates the global sum once (1-row broadcast) and the
+    HAVING is a post-aggregation filter; exact decimals keep the
+    threshold comparison engine-stable.  One ANSI string, both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(IMPORTANT_NATIONS_SQL)

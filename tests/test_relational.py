@@ -143,6 +143,9 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_waiting_suppliers",
         "sql_nation_volume",
         "sql_market_share",
+        "sql_forecast_revenue",
+        "sql_bracket_revenue",
+        "sql_important_nations",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
@@ -416,3 +419,13 @@ def test_dense_resample_fills_gaps_with_zero(spark):
     assert len(days) == span
     zero_days = [r for r in rows if r.n_orders == 0]
     assert all(r.revenue == 0.0 for r in zero_days)
+
+
+def test_bracket_revenue_pushes_disjunction_into_part_scan(spark):
+    """Q19 shape: the part-only disjunction must reach the part scan
+    (PushedFilters mentions the brands) and the filtered part side
+    must broadcast — the OR is not evaluated post-join."""
+    df = registry.QUERIES["sql_bracket_revenue"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "Brand#1" in plan and "Brand#3" in plan, plan
+    assert plans.has_broadcast_join(df), plan
