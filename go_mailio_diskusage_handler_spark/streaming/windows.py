@@ -309,3 +309,29 @@ def deduplicated_stream(
     trades that for bounded state, like every watermark operator."""
     keys = [key] if isinstance(key, str) else list(key)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def topk_over_counts_sink(sink_df: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window heavy hitters OVER THE STREAMED COUNTS SINK — the
+    streaming twin of the batch windowed top-k: ranking is not an
+    incremental-safe aggregate (a rank can demote on any late row),
+    so the production pattern keeps the STREAM as additive counts
+    (watermark-bounded state) and ranks in the serving layer over the
+    sink — a |windows|×|event_types|-bounded table, trivially cheap.
+    Output matches functions.scalars.windowed_top_event_types when
+    the stream has drained (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        sink_df.select(
+            "window_start",
+            "event_type",
+            F.col("event_count").alias("n"),
+        )
+        .select("*", F.row_number().over(w).alias("type_rank"))
+        .filter(F.col("type_rank") <= k)
+    )

@@ -576,3 +576,26 @@ def test_transitions_stream_out_of_order(spark, tmp_path):
         if r.user_id == 7
     ]
     assert rows == [("view", "purchase")], rows
+
+
+def test_streaming_windowed_topk_equals_batch(spark, events_stream_dir):
+    """Heavy hitters via stream-counts + serving-layer rank must equal
+    the batch windowed top-k exactly once the stream drains — the
+    rank-in-sink pattern for non-incremental aggregates."""
+    from go_mailio_diskusage_handler_spark.functions import scalars as S
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.windowed_counts(stream, 60), output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type, r.n, r.type_rank)
+        for r in windows.topk_over_counts_sink(sink, 3).collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n, r.type_rank)
+        for r in S.windowed_top_event_types(
+            load_table(spark, SF_SMOKE, "events"), 60, 3
+        ).collect()
+    }
+    assert got == want and got
