@@ -3925,3 +3925,18 @@ def sql_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING vs uncorrelated scalar subquery
     (sql.important_nations)."""
     return sql_surface.important_nations(spark, sf_dir)
+
+# ---------------------------------------------------------------------------
+# ROUND-6 WINDOW PLAN (for the next session's _R6_FRONT): the driver
+# gate covers the first ~50 registrations.  Rule (round-4 advisory):
+# every query whose engine code changed in round 6 must be inside the
+# window, THEN the longest-deferred additions.  As of end-of-round-5
+# the deferral pool = the 20 round-5 additions listed in the _R5_FRONT
+# comment above + every continuation addition below the rotation
+# (enumerated in the continuation-comment block) — 43 queries with no
+# driver row yet, all oracle-green in pytest and in the in-repo
+# contract sweeps (153/153 at sf0.01).  43 < 50, so _R6_FRONT can hold
+# the ENTIRE pool plus ~7 slots for round-6-touched queries; after
+# that rotation every registered query will have a driver row ≤ 1
+# round old.
+# ---------------------------------------------------------------------------
