@@ -3928,15 +3928,15 @@ def sql_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ROUND-6 WINDOW PLAN (for the next session's _R6_FRONT): the driver
-# gate covers the first ~50 registrations.  Rule (round-4 advisory):
-# every query whose engine code changed in round 6 must be inside the
-# window, THEN the longest-deferred additions.  As of end-of-round-5
-# the deferral pool = the 20 round-5 additions listed in the _R5_FRONT
-# comment above + every continuation addition below the rotation
-# (enumerated in the continuation-comment block) — 43 queries with no
-# driver row yet, all oracle-green in pytest and in the in-repo
-# contract sweeps (153/153 at sf0.01).  43 < 50, so _R6_FRONT can hold
-# the ENTIRE pool plus ~7 slots for round-6-touched queries; after
-# that rotation every registered query will have a driver row ≤ 1
-# round old.
+# gate covers the first ~50 registrations.  Priority rule (round-4
+# advisory): (1) every query whose engine code changes in round 6,
+# (2) queries with NO driver row yet — the 20 round-5 additions
+# listed above plus the ~39 continuation additions below the
+# rotation, (3) oldest rows first.  The no-row pool alone (~59)
+# overflows one 50-slot window, so the r6 front takes the 50
+# highest-priority and round 7 sweeps the remainder — registry-order
+# rotation is builder-controlled, and every deferred query is
+# meanwhile oracle-green in pytest and in the in-repo full-contract
+# sweeps (verify_contract: 153/153 green at sf0.01 this round, rerun
+# per session).
 # ---------------------------------------------------------------------------
