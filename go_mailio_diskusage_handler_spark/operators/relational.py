@@ -875,3 +875,38 @@ def weekly_revenue_wow(orders: DataFrame) -> DataFrame:
             2,
         ).alias("wow_pct"),
     ).filter(F.col("wow_pct").isNotNull())
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (latest order
+    date), Frequency (order count), and Monetary (total spend) per
+    customer — the classic BI segmentation.  The corpus-sized work is
+    ONE customer-keyed aggregation; the ntile windows run on the
+    customer-bounded aggregate (unpartitioned by design — same
+    bounded-domain argument as every post-aggregate window here).
+    Ties break on the explicit (metric, custkey) order so quartile
+    membership is deterministic across engines.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    rw = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("last_day").desc(), F.col("o_custkey").asc()
+    )
+    fw = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("frequency").desc(), F.col("o_custkey").asc()
+    )
+    mw = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("monetary").desc(), F.col("o_custkey").asc()
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(rw).alias("r_score"),
+        F.ntile(4).over(fw).alias("f_score"),
+        F.ntile(4).over(mw).alias("m_score"),
+    )

@@ -368,3 +368,40 @@ def inter_event_gap_stats(events: DataFrame) -> DataFrame:
             F.round(F.col("p")[1] / 1e6, 2).alias("p95_gap_sec"),
         )
     )
+
+
+def dau_wau(events: DataFrame) -> DataFrame:
+    """Exact DAU and trailing-7-day WAU per day, plus the stickiness
+    ratio (DAU/WAU) — the engagement report, computed EXACTLY (no
+    sketch) at a cost that survives scale: the only corpus-sized
+    shuffle is the distinct (day, user) projection; the 7-day window
+    then joins that bounded table against a calendar spine (≤ 7
+    copies of per-day actives — calendar-bounded, not event-bounded).
+    """
+    du = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spine = dau.select("day")
+    win = spine.alias("s").join(
+        du.alias("d"),
+        (F.col("d.day") <= F.col("s.day"))
+        & (F.col("d.day") >= F.date_sub(F.col("s.day"), 6)),
+    )
+    wau = (
+        win.select(F.col("s.day").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

@@ -526,3 +526,24 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 4).alias("cos_tfidf"))
         .filter(F.col("cos_tfidf") >= threshold)
     )
+
+
+def language_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix for the stopword-profile language ID against
+    the fixture's labels: (labeled, predicted, n, share-of-labeled) —
+    the evaluation artifact that turns a classifier op into a
+    monitored one.  Pure aggregation over :func:`language_id`'s
+    output; |languages|²-bounded result, share normalized per labeled
+    class (row-stochastic).
+    """
+    scored = language_id(documents)
+    counts = scored.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("share"),
+    )

@@ -2928,7 +2928,8 @@ _rotate_front(_R5_FRONT)
 # media_payload_dedup, scalar_try_parse, sim_kmeans_ivf_topk,
 # dedup_minhash_estimate, sim_range_search, du_top_growth,
 # sim_kmeans_stats, curation_dedup_report, sql_forecast_revenue,
-# sql_bracket_revenue, sql_important_nations.
+# sql_bracket_revenue, sql_important_nations, text_lang_confusion,
+# events_dau_wau, segment_rfm.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -3940,3 +3941,78 @@ def sql_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweeps (verify_contract: 153/153 green at sf0.01 this round, rerun
 # per session).
 # ---------------------------------------------------------------------------
+
+
+# [EXT] Language-ID confusion matrix (row-normalized per label).
+TEXT_LANG_CONFUSION_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_lang_scores_sql()}
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+    ),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE {' '.join(f"WHEN score_{l} = greatest({', '.join('score_' + x for x in _LANGS)}) THEN '{l}'" for l in _LANGS)}
+               END AS predicted_lang
+        FROM scored),
+    counts AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+               FROM pred GROUP BY labeled_lang, predicted_lang)
+    SELECT labeled_lang, predicted_lang, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY labeled_lang), 4)
+               AS share
+    FROM counts
+"""
+
+
+@register("text_lang_confusion", TEXT_LANG_CONFUSION_SQL)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Language-ID confusion matrix
+    (operators/text.py:language_confusion)."""
+    return text.language_confusion(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Exact DAU / trailing-7-day WAU / stickiness.
+EVENTS_DAU_WAU_SQL = """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (SELECT s.day, COUNT(DISTINCT d.user_id) AS wau
+            FROM (SELECT day FROM dau) s
+            JOIN du d ON d.day <= s.day AND d.day >= s.day - 6
+            GROUP BY s.day)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register("events_dau_wau", EVENTS_DAU_WAU_SQL)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact DAU/WAU engagement report
+    (operators/sessions.py:dau_wau)."""
+    return sessions.dau_wau(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] RFM quartile segmentation over the customer aggregate.
+ORDERS_RFM_SQL = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(max(o_orderdate) AS DATE) AS last_day,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           strftime(last_day, '%Y-%m-%d') AS last_day,
+           frequency, monetary,
+           ntile(4) OVER (ORDER BY last_day DESC, o_custkey ASC) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+    FROM per_cust
+"""
+
+
+@register("segment_rfm", ORDERS_RFM_SQL)
+def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] RFM quartile segmentation
+    (operators/relational.py:rfm_segments)."""
+    return relational.rfm_segments(load_table(spark, sf_dir, "orders"))

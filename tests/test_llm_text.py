@@ -49,6 +49,7 @@ ORACLE_CHECKED = [
     "curation_shard_manifest",
     "dedup_minhash_estimate",
     "curation_dedup_report",
+    "text_lang_confusion",
 ]
 
 

@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "events_bounce_rate",
     "events_gap_stats",
     "media_payload_dedup",
+    "events_dau_wau",
     "events_first_touch",
     "events_retention_cohorts",
 ]
@@ -150,3 +151,22 @@ def test_cohort_retention_counts_are_exact_distinct(spark):
         if r.active_users > sizes[r.cohort_day]
     ]
     assert not bad, bad[:3]
+
+
+def test_dau_wau_invariants(spark):
+    """WAU dominates DAU (a day's actives are a subset of the trailing
+    week's), stickiness ≤ 1, confusion-free day accounting (every day
+    with events reports), and the stream's FIRST day has wau == dau
+    (no earlier days in its window)."""
+    from conftest import SF_CORRECT
+    from go_mailio_diskusage_handler_spark.operators import sessions as S
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    rows = sorted(
+        S.dau_wau(load_table(spark, SF_CORRECT, "events")).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau and 0 < r.stickiness <= 1.0, r
+    assert rows[0].wau == rows[0].dau

@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "profile_orders",
     "trend_weekly_wow",
     "scalar_try_parse",
+    "segment_rfm",
     "topk_addresses",
     "window_top_orders",
     "window_running_total",
