@@ -2929,7 +2929,8 @@ _rotate_front(_R5_FRONT)
 # dedup_minhash_estimate, sim_range_search, du_top_growth,
 # sim_kmeans_stats, curation_dedup_report, sql_forecast_revenue,
 # sql_bracket_revenue, sql_important_nations, text_lang_confusion,
-# events_dau_wau, segment_rfm.
+# events_dau_wau, segment_rfm, sql_best_supplier,
+# sql_part_supplier_counts.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -4016,3 +4017,17 @@ def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] RFM quartile segmentation
     (operators/relational.py:rfm_segments)."""
     return relational.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@register("sql_best_supplier", sql_surface.BEST_SUPPLIER_SQL)
+def sql_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-MAX supplier per part
+    (sql.best_supplier)."""
+    return sql_surface.best_supplier(spark, sf_dir)
+
+
+@register("sql_part_supplier_counts", sql_surface.PART_SUPPLIER_COUNTS_SQL)
+def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct counts with a NOT IN blacklist
+    (sql.part_supplier_counts)."""
+    return sql_surface.part_supplier_counts(spark, sf_dir)

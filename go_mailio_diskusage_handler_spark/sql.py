@@ -575,3 +575,58 @@ def important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     register_views(spark, sf_dir)
     return spark.sql(IMPORTANT_NATIONS_SQL)
+
+
+BEST_SUPPLIER_SQL = """
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+      AND s_acctbal = (SELECT MAX(s2.s_acctbal)
+                       FROM supplier s2
+                       JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+                       WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+"""
+
+
+def best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (restated without partsupp): for each small
+    part, the supplier(s) with the maximum account balance among
+    suppliers that have actually shipped it — the correlated-MAX
+    subquery whose decorrelation is Q2's whole point.  Catalyst
+    rewrites the subquery into a per-part aggregate joined back on
+    (partkey, balance); ties keep every maximal supplier, exactly as
+    Q2 keeps tied minimum-cost suppliers, so no arbitrary pick.
+    Balances compare EXACTLY (same double on both sides of the
+    rewrite — no arithmetic touches them).  One ANSI string, both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(BEST_SUPPLIER_SQL)
+
+
+PART_SUPPLIER_COUNTS_SQL = """
+    SELECT p_brand, p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 1 AND 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+    LIMIT 20
+"""
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (restated through lineitem): distinct supplier
+    counts per part class, EXCLUDING a supplier blacklist via NOT IN —
+    the null-aware anti-join (a single NULL in the subquery would
+    empty a naive NOT IN; s_suppkey is non-null here, and Spark plans
+    NullAwareAntiJoin to honor the semantics regardless).  One ANSI
+    string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(PART_SUPPLIER_COUNTS_SQL)

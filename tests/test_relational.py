@@ -147,6 +147,8 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_forecast_revenue",
         "sql_bracket_revenue",
         "sql_important_nations",
+        "sql_best_supplier",
+        "sql_part_supplier_counts",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
