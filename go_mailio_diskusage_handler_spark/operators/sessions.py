@@ -405,3 +405,78 @@ def dau_wau(events: DataFrame) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+def funnel_within(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    within_hours: int = 24,
+) -> DataFrame:
+    """Time-bound ordered funnel: like :func:`funnel`, but each step
+    must land within ``within_hours`` of the PREVIOUS step's
+    completion — the conversion-window semantics real funnels use (a
+    purchase a month after the click is not attributable).  Anchor
+    semantics match the unbounded fold exactly: step 1 is the user's
+    first step-1 event, no re-anchoring, each later step the first
+    qualifying (in-order AND in-window) event — so this equals the
+    unbounded funnel whenever every gap fits the window.  Same
+    single-shuffle O(|steps|)-state fold.
+
+    Unreached steps emit a -1 SENTINEL, not NULL: a nullable BIGINT
+    round-trips as None-vs-NaN inconsistently across engine client
+    layers, and unlike the unbounded funnel this variant routinely
+    has unreached steps.
+    """
+    bound = within_hours * 3600 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    packed = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type").isin(*steps),
+                        F.struct(us.alias("t"), F.col("event_type").alias("e")),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    n = len(steps)
+    acc0 = F.struct(
+        *[F.lit(None).cast("bigint").alias(f"s{i}") for i in range(n)]
+    )
+
+    def fold(acc, s):
+        fields = []
+        for i, step in enumerate(steps):
+            if i == 0:
+                cond = s["e"] == step
+            else:
+                prev = acc[f"s{i-1}"]
+                cond = (
+                    (s["e"] == step)
+                    & prev.isNotNull()
+                    & (s["t"] > prev)
+                    & (s["t"] <= prev + F.lit(bound))
+                )
+            fields.append(
+                F.coalesce(acc[f"s{i}"], F.when(cond, s["t"])).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    folded = packed.select(
+        "user_id", F.aggregate(F.col("evs"), acc0, fold).alias("f")
+    )
+    step_cols = [
+        F.coalesce(F.col("f")[f"s{i}"], F.lit(-1)).alias(f"step_{i + 1}_us")
+        for i in range(n)
+    ]
+    completed = sum(
+        (F.col("f")[f"s{i}"].isNotNull().cast("int") for i in range(n)),
+        F.lit(0),
+    )
+    return folded.select(
+        "user_id", *step_cols, completed.alias("steps_completed")
+    )

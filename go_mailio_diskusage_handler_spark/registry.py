@@ -2930,7 +2930,7 @@ _rotate_front(_R5_FRONT)
 # sim_kmeans_stats, curation_dedup_report, sql_forecast_revenue,
 # sql_bracket_revenue, sql_important_nations, text_lang_confusion,
 # events_dau_wau, segment_rfm, sql_best_supplier,
-# sql_part_supplier_counts.
+# sql_part_supplier_counts, events_funnel_window.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
@@ -4031,3 +4031,42 @@ def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct counts with a NOT IN blacklist
     (sql.part_supplier_counts)."""
     return sql_surface.part_supplier_counts(spark, sf_dir)
+
+
+# [EXT] Conversion-window funnel (each step within 24h of the last).
+_FW_BOUND = 24 * 3600 * 1_000_000
+
+EVENTS_FUNNEL_WINDOW_SQL = f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+            AND epoch_us(e.ts) <= v.t1 + {_FW_BOUND}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+            AND epoch_us(e.ts) <= c.t2 + {_FW_BOUND}
+          GROUP BY e.user_id)
+    SELECT u.user_id,
+           COALESCE(v.t1, -1) AS step_1_us,
+           COALESCE(c.t2, -1) AS step_2_us,
+           COALESCE(p.t3, -1) AS step_3_us,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@register("events_funnel_window", EVENTS_FUNNEL_WINDOW_SQL)
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] 24h-conversion-window funnel
+    (operators/sessions.py:funnel_within)."""
+    return sessions.funnel_within(load_table(spark, sf_dir, "events"))

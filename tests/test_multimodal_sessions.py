@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "events_gap_stats",
     "media_payload_dedup",
     "events_dau_wau",
+    "events_funnel_window",
     "events_first_touch",
     "events_retention_cohorts",
 ]
@@ -170,3 +171,42 @@ def test_dau_wau_invariants(spark):
     for r in rows:
         assert r.wau >= r.dau and 0 < r.stickiness <= 1.0, r
     assert rows[0].wau == rows[0].dau
+
+
+def test_funnel_window_bounds_conversions(spark):
+    """Hand fixture: a click 25h after the view must NOT count under a
+    24h window (and neither may the purchase that follows it), while
+    the same sequence inside the window completes; with a huge window
+    the bounded funnel equals the unbounded one on the fixture."""
+    from go_mailio_diskusage_handler_spark.operators import sessions as S
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from conftest import SF_CORRECT
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1: view → click(+2h) → purchase(+3h): completes.
+        (1, 1, 10 * H, "view"), (2, 1, 12 * H, "click"),
+        (3, 1, 15 * H, "purchase"),
+        # user 2: click lands 25h after view → funnel stalls at 1.
+        (4, 2, 10 * H, "view"), (5, 2, 35 * H, "click"),
+        (6, 2, 36 * H, "purchase"),
+        # user 3: click in-window, purchase 30h after click → 2.
+        (7, 3, 10 * H, "view"), (8, 3, 11 * H, "click"),
+        (9, 3, 41 * H, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, e) for i, u, t, e in rows],
+        "event_id long, user_id long, us long, event_type string",
+    ).selectExpr("event_id", "user_id",
+                 "timestamp_micros(us) AS ts", "event_type")
+    got = {r.user_id: r.steps_completed
+           for r in S.funnel_within(ev, within_hours=24).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}
+    # Huge window ≡ unbounded funnel on the real fixture (the bounded
+    # variant uses -1 sentinels where the unbounded one uses NULL —
+    # normalize before comparing).
+    events = load_table(spark, SF_CORRECT, "events")
+    wide = {tuple(None if v == -1 else v for v in r) for r in
+            S.funnel_within(events, within_hours=10**6).collect()}
+    plain = {tuple(r) for r in S.funnel(events).collect()}
+    assert wide == plain
