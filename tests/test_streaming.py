@@ -599,3 +599,63 @@ def test_streaming_windowed_topk_equals_batch(spark, events_stream_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_transitions_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart: the per-user anchor/buffer state must survive
+    a checkpointed restart — transitions spanning the outage (the
+    click buffered before the stop, the purchase arriving after) are
+    emitted by the SECOND query with nothing lost or duplicated."""
+    import os
+    import time
+
+    H = 3_600_000_000_000  # 1h in ns
+    d = tmp_path / "resume_events"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        p = d / name
+        spark.createDataFrame(rows, windows.EVENTS_RAW_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(p))
+        now = time.time()
+        for f in p.iterdir():
+            os.utime(f, (now, now))
+
+    out = str(tmp_path / "transitions_out")
+
+    def drain(qname):
+        # Parquet (not memory) sink: the memory sink cannot recover
+        # from a checkpoint, and surviving recovery is the point here.
+        stream = windows.read_event_stream(
+            spark, str(d) + "/*/", max_files_per_trigger=1
+        )
+        q = (
+            stateful.transitions_stream(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream failed to drain"
+        return spark.read.parquet(out)
+
+    # Run 1: view@1h then click@2h — watermark (max-30min) finalizes
+    # only the view; the click stays buffered in state.  No pair can
+    # be emitted yet.
+    write_batch("f0", [(1, 1 * H, 7, "view", 1.0, "{}"),
+                       (2, 2 * H, 7, "click", 1.0, "{}")])
+    assert drain("resume_q1").count() == 0
+
+    # Run 2 (same checkpoint): purchase@3h plus a watermark pusher.
+    write_batch("f1", [(3, 3 * H, 7, "purchase", 1.0, "{}"),
+                       (4, 9 * H, 8, "view", 1.0, "{}")])
+    rows = [
+        (r.event_type, r.next_type)
+        for r in drain("resume_q2").collect()
+        if r.user_id == 7
+    ]
+    assert rows == [("view", "click"), ("click", "purchase")], rows
