@@ -480,3 +480,62 @@ def funnel_within(
     return folded.select(
         "user_id", *step_cols, completed.alias("steps_completed")
     )
+
+
+def daily_anomaly_zscore(
+    events: DataFrame,
+    trailing: int = 7,
+    min_prior: int = 3,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Daily event-volume anomaly detection: per (day, event_type)
+    counts scored against a trailing-``trailing``-row baseline
+    (mean + sample stddev of the PRIOR rows only — the current day
+    never contaminates its own baseline), flagging |z| >= ``z_thresh``.
+
+    Scale shape: the corpus-sized work is ONE hash aggregation down
+    to (days x types) rows; the window then runs over that
+    calendar-bounded table (thousands of rows at 100 TB, not
+    billions), partitioned by event_type so there is no
+    SinglePartition window.  Rows-based frame assumes a dense daily
+    series per type (true for any type that fires daily; gaps would
+    stretch the baseline horizon, cf. relational.daily_revenue_dense
+    for explicit densification).
+
+    Warm-up semantics: days with fewer than ``min_prior`` prior rows
+    or zero variance are not scoreable — ``scoreable = false``,
+    ``is_anomaly = false``, and the double columns carry SENTINELS
+    (mean -1, z 0) rather than NULL: a nullable DOUBLE round-trips as
+    None-vs-NaN inconsistently across engine client layers (same
+    rationale as :func:`funnel_within`'s -1 step sentinel).
+    """
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("n_events").over(w).alias("mean_prior"),
+        F.stddev_samp("n_events").over(w).alias("sd_prior"),
+    )
+    ok = (F.col("n_prior") >= min_prior) & (F.col("sd_prior") > 0)
+    z = F.when(
+        ok, (F.col("n_events") - F.col("mean_prior")) / F.col("sd_prior")
+    )
+    return scored.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "n_prior",
+        F.coalesce(F.round("mean_prior", 4), F.lit(-1.0)).alias("mean_prior"),
+        F.coalesce(ok, F.lit(False)).alias("scoreable"),
+        F.coalesce(F.round(z, 4), F.lit(0.0)).alias("zscore"),
+        F.coalesce(F.abs(z) >= z_thresh, F.lit(False)).alias("is_anomaly"),
+    )

@@ -547,3 +547,38 @@ def language_confusion(documents: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 4).alias("share"),
     )
+
+
+def zipf_fit(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution:
+    least-squares regression of ln(frequency) on ln(rank) for the top
+    ``k`` words — slope ≈ -1 is the healthy-natural-text signature;
+    a flat slope flags templated/boilerplate corpora and a cliff
+    flags token-collapse, so this is the single-number corpus-health
+    probe next to the per-document quality scores.
+
+    Scale shape: the corpus-sized work is ONE vocabulary-bounded
+    word-count aggregation (map-side combined); the ordered top-k is
+    TakeOrderedAndProject (no global sort) and the regression runs
+    over exactly ``k`` rows, so the SinglePartition rank window and
+    the final 1-row aggregate are k-bounded, not corpus-bounded.
+    """
+    words = documents.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(k)
+    ranked = top.select(
+        F.log(
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("w"))
+            ).cast("double")
+        ).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

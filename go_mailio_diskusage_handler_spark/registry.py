@@ -4070,3 +4070,69 @@ def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] 24h-conversion-window funnel
     (operators/sessions.py:funnel_within)."""
     return sessions.funnel_within(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Daily event-volume anomalies: trailing-window z-score over the
+# (day x type) count table; current day excluded from its baseline.
+EVENTS_ANOMALY_SQL = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    scored AS (
+        SELECT day, event_type, n_events,
+               COUNT(*) OVER w AS n_prior,
+               AVG(n_events) OVER w AS mean_prior,
+               STDDEV_SAMP(n_events) OVER w AS sd_prior
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n_events, n_prior,
+           COALESCE(ROUND(mean_prior, 4), -1.0) AS mean_prior,
+           (n_prior >= 3 AND sd_prior > 0) AS scoreable,
+           COALESCE(ROUND(CASE WHEN n_prior >= 3 AND sd_prior > 0
+                      THEN (n_events - mean_prior) / sd_prior END, 4), 0.0)
+               AS zscore,
+           COALESCE(CASE WHEN n_prior >= 3 AND sd_prior > 0
+                         THEN abs((n_events - mean_prior) / sd_prior) >= 2.0
+                    END, FALSE) AS is_anomaly
+    FROM scored
+"""
+
+
+@register("events_anomaly_zscore", EVENTS_ANOMALY_SQL)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trailing z-score anomaly flags on daily event volumes
+    (operators/sessions.py:daily_anomaly_zscore)."""
+    return sessions.daily_anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Zipf's-law corpus-health fit: ln(freq) ~ ln(rank) regression
+# over the top-100 words.
+TEXT_ZIPF_SQL = r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM words WHERE w <> '' GROUP BY w),
+    top AS (SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank
+            FROM freq ORDER BY cnt DESC, w ASC LIMIT 100)
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+           ROUND(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+           ROUND(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+    FROM top
+"""
+
+
+@register("text_zipf_slope", TEXT_ZIPF_SQL)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Zipf rank-frequency regression (operators/text.py:zipf_fit)."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register("sql_excess_capacity", sql_surface.EXCESS_CAPACITY_SQL)
+def sql_excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: dominant widget-part shippers via nested
+    aggregation + semi join (sql.excess_capacity)."""
+    return sql_surface.excess_capacity(spark, sf_dir)

@@ -630,3 +630,46 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, both engines."""
     register_views(spark, sf_dir)
     return spark.sql(PART_SUPPLIER_COUNTS_SQL)
+
+
+EXCESS_CAPACITY_SQL = """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty
+            FROM shipped GROUP BY l_partkey)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT shipped.l_suppkey
+        FROM shipped JOIN tot ON shipped.l_partkey = tot.l_partkey
+        WHERE 2 * shipped.qty > tot.total_qty)
+    ORDER BY s_name
+"""
+
+
+def excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (restated without partsupp): suppliers who are
+    the DOMINANT shipper (>50% of the year's volume) of some widget
+    part — the availability-vs-demand comparison Q20 does against
+    partsupp stock, re-anchored to shipped share since the fixture
+    has no stock table.
+
+    Structure preserved from Q20: a LIKE-filtered part scan, a
+    date-windowed nested aggregation over lineitem, a second-level
+    aggregate compared against the first (here: per-(supplier, part)
+    vs per-part totals), and the qualifying supplier set applied via
+    IN → left-semi join to the supplier⋈nation dimension pair (both
+    broadcast).  The two aggregation levels share the l_partkey
+    exchange.  ``2*qty > total`` keeps the comparison in exact
+    integer-valued double arithmetic (quantities are integral; 2x is
+    exact) so the >50% boundary cannot split across engines.  One
+    ANSI string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(EXCESS_CAPACITY_SQL)

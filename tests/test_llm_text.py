@@ -12,6 +12,7 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 from conftest import SF_CORRECT, compare_with_oracle
 
 ORACLE_CHECKED = [
+    "text_zipf_slope",
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",

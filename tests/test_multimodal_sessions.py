@@ -30,6 +30,7 @@ ORACLE_CHECKED = [
     "events_funnel_window",
     "events_first_touch",
     "events_retention_cohorts",
+    "events_anomaly_zscore",
 ]
 
 
@@ -210,3 +211,22 @@ def test_funnel_window_bounds_conversions(spark):
             S.funnel_within(events, within_hours=10**6).collect()}
     plain = {tuple(r) for r in S.funnel(events).collect()}
     assert wide == plain
+
+
+def test_anomaly_zscore_warmup_unscored(spark):
+    """Warm-up days (fewer than min_prior prior rows) must never read
+    as anomalous, and every scoreable row's flag must agree with its
+    exported z-score."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    rows = registry.QUERIES["events_anomaly_zscore"](
+        spark, SF_CORRECT
+    ).collect()
+    assert any(r.is_anomaly for r in rows)
+    for r in rows:
+        if not r.scoreable:
+            assert not r.is_anomaly and r.zscore == 0.0
+        elif abs(abs(r.zscore) - 2.0) > 1e-3:
+            # away from the threshold boundary, where the exported
+            # 4-dp rounding cannot flip the comparison
+            assert r.is_anomaly == (abs(r.zscore) >= 2.0)

@@ -149,6 +149,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_important_nations",
         "sql_best_supplier",
         "sql_part_supplier_counts",
+        "sql_excess_capacity",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
