@@ -1383,3 +1383,176 @@ def kmeans_cluster_stats(
         F.round(F.avg("dist_sq"), 4).alias("mean_dist_sq"),
         F.round(F.max("dist_sq"), 4).alias("max_dist_sq"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    window: int = 8,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster the corpus with the Lloyd trainer, then look for
+    near-duplicate pairs ONLY between cluster-mates that sit within
+    ``window`` positions of each other in the cell's
+    centroid-distance order — near-identical vectors have
+    near-identical centroid distances, so true duplicates land on
+    adjacent ranks while the candidate count stays O(N·window)
+    however large a cell grows (the all-pairs form is O(cell²), which
+    no k keeps bounded against a skewed cell).  A vector is dropped
+    (``kept = false``) when some in-window cluster-mate with a
+    SMALLER rank is cosine-``threshold``-close — greedy
+    keep-first-by-rank, deterministic on (dist_sq, vec_id).
+
+    Scale anatomy: Lloyd's passes are the trainer's (broadcast
+    centroid literal, k·dim-bounded update shuffle); the rank window
+    shuffles once on cluster_id; the candidate self-join is rank-
+    banded so it is corpus-LINEAR.  At 100 TB you raise k so cells
+    stay cache-sized (SemDeDup used ~100k clusters) and widen
+    ``window`` for recall — both knobs are independent of corpus
+    size.
+    """
+    e, cents = _km_fit(embeddings, k, iters)
+    assign = _km_assign(e, cents, keep_vec=True)
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist_sq").asc(), F.col("vec_id").asc()
+    )
+    ranked = assign.select(
+        "vec_id", "cluster_id", "v", F.row_number().over(rk).alias("rk")
+    )
+    x, y = ranked.alias("x"), ranked.alias("y")
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.rk") > F.col("y.rk"))
+            & (F.col("x.rk") - F.col("y.rk") <= window),
+        )
+        .filter(
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy(F.col("x.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        ranked.select("vec_id", "cluster_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            F.col("n_dups").isNull().alias("kept"),
+        )
+    )
+
+
+PCA_COMPONENTS = 8
+
+
+def pca_fit_project(
+    embeddings: DataFrame, q: int = PCA_COMPONENTS, tol: float = 1e-6
+) -> DataFrame:
+    """Distributed PCA for the dimensionality-reduction tier of the
+    ANN stack (OPQ-style pre-rotation, cheap coarse search spaces):
+    fit on exact second moments, project every vector, and emit
+    per-vector INVARIANT flags the SQL oracle can arbitrate (the
+    eigendecomposition itself is not SQL-expressible, so the
+    correctness contract is flags-always-true rather than raw
+    projections).
+
+    Scale anatomy — the textbook moment-sketch layout:
+
+    * each partition folds its Arrow batches into ONE partial
+      (count, Σx, ΣxxT) via ``mapInPandas`` — O(d²) floats per
+      partition regardless of row count, so the driver collect is
+      partitions × ~33 KB at d = 64;
+    * the driver combines partials, forms the covariance, runs a
+      d × d ``eigh`` (microseconds at any corpus size — d is the
+      model width, not the data size), and fixes each component's
+      sign by making its largest-|coordinate| entry positive;
+    * components + mean broadcast back as nested literals and the
+      projection is a pure JVM map over the corpus — no shuffle, no
+      Python on the hot path.
+
+    Emitted flags (each must hold for EVERY vector / the fit):
+    ``proj_norm_ok`` — ‖P(x-μ)‖² ≤ ‖x-μ‖² + tol (an orthonormal
+    projection never grows a norm; catches broken components on every
+    single row); ``variance_ok`` — top-q eigenvalue mass ≥ q/d of the
+    trace (PCA beats-or-ties any axis-aligned q-subset); and
+    ``orthonormal_ok`` — max |GᵀG - I| < 1e-6 over the fitted basis.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = widen_for_compute(embeddings).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    d = EMB_DIM
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = e.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:q]
+    comps = evecs[:, order].T  # q x d
+    for i in range(q):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    top_mass = float(np.sum(np.clip(evals[order], 0, None)))
+    trace = float(np.trace(cov))
+    variance_ok = bool(top_mass >= (q / d) * trace - tol)
+    gram = comps @ comps.T
+    orthonormal_ok = bool(
+        float(np.max(np.abs(gram - np.eye(q)))) < 1e-6
+    )
+
+    mu_lit = F.lit([float(x) for x in mu])
+    comps_lit = F.lit([[float(x) for x in row] for row in comps])
+    centered = F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m)
+    proj = F.transform(comps_lit, lambda c: dot_pre(centered, c))
+    sq = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return e.select(
+        "vec_id",
+        F.lit(q).cast("int").alias("n_components"),
+        (sq(proj) <= sq(centered) + F.lit(tol)).alias("proj_norm_ok"),
+        F.lit(variance_ok).alias("variance_ok"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+    )
+
+
+def dot_pre(a: Column, b: Column) -> Column:
+    """Dot product where both sides are already double arrays (no
+    element casts — keeps nested-literal folds cheap)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

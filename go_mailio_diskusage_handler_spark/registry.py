@@ -4136,3 +4136,62 @@ def sql_excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: dominant widget-part shippers via nested
     aggregation + semi join (sql.excess_capacity)."""
     return sql_surface.excess_capacity(spark, sf_dir)
+
+
+# [EXT] SemDeDup-style semantic dedup: Lloyd cells + rank-banded
+# within-cell cosine (operators/similarity.py:semantic_dedup).  The
+# oracle replays the same deterministic Lloyd CTEs as sim_kmeans_*
+# and the same rank-band candidate rule.
+SEMANTIC_DEDUP_SQL = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {similarity.KM_K}),
+    {_km_assign_cte('e', 'c0', 'a1')},
+    {_km_update_cte('a1', 'c1')},
+    {_km_assign_cte('e', 'c1', 'a2')},
+    {_km_update_cte('a2', 'c2')},
+    {_km_assign_cte('e', 'c2', 'a3')},
+    ranked AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY cid
+                                         ORDER BY d ASC, vec_id ASC) AS rk
+               FROM a3),
+    dups AS (SELECT x.vec_id AS vec_id, COUNT(*) AS n_dups
+             FROM ranked x JOIN ranked y
+               ON x.cid = y.cid AND x.rk > y.rk AND x.rk - y.rk <= 8
+             JOIN e ex ON ex.vec_id = x.vec_id
+             JOIN e ey ON ey.vec_id = y.vec_id
+             WHERE ROUND({_ddb_cosine('ex.v', 'ey.v')}, 6) >= 0.4
+             GROUP BY x.vec_id)
+    SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           d.n_dups IS NULL AS kept
+    FROM ranked r LEFT JOIN dups d ON r.vec_id = d.vec_id
+"""
+
+
+@register("dedup_semantic", SEMANTIC_DEDUP_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup: cluster-scoped embedding dedup with rank-banded
+    candidates (operators/similarity.py:semantic_dedup)."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Distributed PCA (moment partials -> driver eigh -> broadcast
+# projection).  The eigendecomposition is not SQL-expressible, so the
+# oracle checks the flags-always-true invariant contract per vector.
+SIM_PCA_SQL = f"""
+    SELECT vec_id,
+           CAST({similarity.PCA_COMPONENTS} AS INTEGER) AS n_components,
+           TRUE AS proj_norm_ok,
+           TRUE AS variance_ok,
+           TRUE AS orthonormal_ok
+    FROM embeddings
+"""
+
+
+@register("sim_pca_project", SIM_PCA_SQL)
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed PCA fit + projection invariants
+    (operators/similarity.py:pca_fit_project)."""
+    return similarity.pca_fit_project(load_table(spark, sf_dir, "embeddings"))

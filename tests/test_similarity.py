@@ -11,6 +11,8 @@ from go_mailio_diskusage_handler_spark.sources.tables import load_table
 from conftest import SF_CORRECT, compare_with_oracle
 
 ORACLE_CHECKED = [
+    "dedup_semantic",
+    "sim_pca_project",
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
@@ -358,3 +360,16 @@ def test_range_search_is_exactly_thresholded_brute_force(spark):
         if r.cos_sim >= 0.3
     }
     assert got == brute and got
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """Every dropped vector must have at least one in-cluster
+    duplicate; kept rows report zero; and the drop set is non-empty on
+    the fixture (the corpus contains genuine near-dup pairs)."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    rows = registry.QUERIES["dedup_semantic"](spark, SF_CORRECT).collect()
+    dropped = [r for r in rows if not r.kept]
+    assert dropped, "fixture should contain semantic duplicates"
+    assert all(r.n_dups > 0 for r in dropped)
+    assert all(r.n_dups == 0 for r in rows if r.kept)
