@@ -1556,3 +1556,73 @@ def dot_pre(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+MRL_PREFIX_DIM = 16
+MRL_SHORTLIST = 30
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    shortlist: int = MRL_SHORTLIST,
+) -> DataFrame:
+    """Matryoshka-tier ANN (Kusupati et al. 2022, public): score the
+    corpus with cosine over only the FIRST ``prefix_dim`` coordinates
+    (MRL-trained embeddings front-load information, so the prefix is
+    a usable coarse space at 1/4 the arithmetic and 1/4 the scan
+    bytes), keep a per-query ``shortlist``, then exact full-dimension
+    re-rank — the two-tier cost shape of the IVF-PQ + rerank stack,
+    but with NO index artifact to build or store: the coarse tier is
+    a prefix slice of the same column.
+
+    Scale shape: corpus touched once with quarter-width arithmetic
+    (at 100 TB the prefix tier reads a physically separate narrow
+    column/file), the shortlist join back to full vectors is
+    (n_queries × shortlist)-bounded, queries broadcast.  Both tiers
+    round scores to 6 before ranking; ties break on id.
+    """
+    e = widen_for_compute(embeddings)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    coarse = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            "q_emb",
+            F.round(
+                cosine(
+                    F.slice(F.col("embedding"), 1, prefix_dim),
+                    F.slice(F.col("q_emb"), 1, prefix_dim),
+                ),
+                6,
+            ).alias("coarse_sim"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_sim"), F.asc("neighbor_id")
+    )
+    short = coarse.select(
+        "*", F.row_number().over(w_c).alias("crk")
+    ).filter(F.col("crk") <= shortlist)
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .select("*", F.row_number().over(w_r).cast("int").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -582,3 +582,87 @@ def zipf_fit(documents: DataFrame, k: int = 100) -> DataFrame:
         F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
         F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    documents: DataFrame,
+    n_queries: int = 4,
+    k: int = 10,
+    query_terms: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 lexical retrieval: the first ``n_queries`` documents play
+    queries (represented by their ``query_terms`` most-frequent
+    terms), every other document is scored with the Lucene-form BM25
+    (idf = ln(1 + (N - df + .5)/(df + .5)) — always positive) and the
+    top ``k`` are ranked per query.  This is the classical-IR rung
+    under the TF-IDF-cosine and RRF-hybrid queries: term-at-a-time
+    scoring over a postings table.
+
+    Scale shape: the corpus-sized artifacts are the postings
+    aggregation (term, doc, tf) and two tiny side aggregates (per-doc
+    length, per-term df) — all one shuffle each; the query side is
+    n_queries × query_terms rows, broadcast into the postings join,
+    so candidate volume is bounded by the probed terms' posting
+    lists.  At 100 TB the posting lists of stopword-grade terms
+    dominate; production adds WAND/max-score pruning on top of the
+    same postings layout (the df-capped shingle index next door is
+    the same fence in spirit).  Scores are 6-rounded before ranking
+    in both engines; ties break on doc_id.
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    postings = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    from pyspark import StorageLevel
+
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_corpus = documents.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    df_t = postings.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    qw = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("w"))
+    qterms = (
+        postings.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "w",
+            F.row_number().over(qw).alias("qrk"),
+        )
+        .filter(F.col("qrk") <= query_terms)
+        .drop("qrk")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_corpus)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return scored.select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= k)

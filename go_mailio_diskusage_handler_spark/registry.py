@@ -4195,3 +4195,94 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Distributed PCA fit + projection invariants
     (operators/similarity.py:pca_fit_project)."""
     return similarity.pca_fit_project(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] BM25 lexical retrieval over a postings table (Lucene idf form).
+TEXT_BM25_SQL = r"""
+    WITH words AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+')) AS w
+                   FROM documents),
+    postings AS (SELECT doc_id, w, COUNT(*) AS tf
+                 FROM words WHERE w <> '' GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    df_t AS (SELECT w, COUNT(*) AS df FROM postings GROUP BY w),
+    qterms AS (SELECT query_id, w FROM (
+        SELECT doc_id AS query_id, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, w ASC) AS qrk
+        FROM postings WHERE doc_id < 4) WHERE qrk <= 8),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               ROUND(SUM(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                         * (p.tf * (1.2 + 1))
+                         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))),
+                     6) AS score
+        FROM postings p
+        JOIN qterms q ON p.w = q.w AND p.doc_id <> q.query_id
+        JOIN df_t f ON f.w = p.w
+        JOIN dl d ON d.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id)
+    SELECT query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@register("text_bm25_topk", TEXT_BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BM25 term-at-a-time retrieval (operators/text.py:bm25_topk)."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _ddb_dot_dim(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _ddb_cosine_dim(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_ddb_dot_dim(a, b, dim)} / (sqrt({_ddb_dot_dim(a, a, dim)})"
+        f" * sqrt({_ddb_dot_dim(b, b, dim)})))"
+    )
+
+
+# [EXT] Matryoshka prefix-dimension coarse tier + exact re-rank.
+SIM_MRL_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    coarse AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      e.embedding, q.q_emb,
+                      ROUND({_ddb_cosine_dim('e.embedding', 'q.q_emb',
+                                             similarity.MRL_PREFIX_DIM)}, 6)
+                          AS coarse_sim
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.query_id),
+    short AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY coarse_sim DESC,
+                                              neighbor_id ASC) AS crk
+        FROM coarse) WHERE crk <= {similarity.MRL_SHORTLIST})
+    SELECT query_id, neighbor_id,
+           ROUND({_ddb_cosine('embedding', 'q_emb')}, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND({_ddb_cosine('embedding', 'q_emb')}, 6) DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+    FROM short
+    QUALIFY rank <= 5
+"""
+
+
+@register("sim_matryoshka_topk", SIM_MRL_SQL)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Prefix-dimension (Matryoshka) coarse tier + exact rerank
+    (operators/similarity.py:matryoshka_topk)."""
+    return similarity.matryoshka_topk(load_table(spark, sf_dir, "embeddings"))

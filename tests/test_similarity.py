@@ -13,6 +13,7 @@ from conftest import SF_CORRECT, compare_with_oracle
 ORACLE_CHECKED = [
     "dedup_semantic",
     "sim_pca_project",
+    "sim_matryoshka_topk",
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
@@ -373,3 +374,26 @@ def test_semantic_dedup_drops_near_duplicates(spark):
     assert dropped, "fixture should contain semantic duplicates"
     assert all(r.n_dups > 0 for r in dropped)
     assert all(r.n_dups == 0 for r in rows if r.kept)
+
+
+def test_matryoshka_recall_floor(spark):
+    """Prefix-tier recall vs the exact top-5.  The fixture embeddings
+    are random (NOT Matryoshka-trained), so the 16/64 prefix carries
+    only ~1/4 of the information — the measured 0.5 here is the
+    information bound of the data, not a bug; MRL-trained embeddings
+    front-load variance and push this toward 1.0."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_brute_topk"](spark, SF_CORRECT)
+        .filter("rank <= 5")
+        .collect()
+    }
+    mrl = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_matryoshka_topk"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert len(bf & mrl) / len(bf) >= 0.4
