@@ -539,3 +539,59 @@ def daily_anomaly_zscore(
         F.coalesce(F.round(z, 4), F.lit(0.0)).alias("zscore"),
         F.coalesce(F.abs(z) >= z_thresh, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def user_growth(events: DataFrame) -> DataFrame:
+    """Cumulative user acquisition: each day's NEW users (first-ever
+    activity) and the running total of distinct users to date —
+    the growth curve, computed without any day-over-day distinct
+    re-count: one user-keyed min-day aggregation (the only
+    corpus-sized shuffle), then a running sum over the
+    calendar-bounded per-day table.  The unpartitioned window is
+    |days|-rows small by construction, never corpus-sized.
+    """
+    first = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def event_concentration(events: DataFrame, deciles: int = 10) -> DataFrame:
+    """Activity concentration (Pareto) report: bucket users into
+    activity deciles and report each decile's share of total events —
+    the whale-detection / abuse-skew health metric.  One user-keyed
+    count (corpus-sized shuffle #1), an NTILE over the user-bounded
+    table, then a deciles-bounded aggregate; total via a 1-row
+    broadcast scalar, not a second pass.
+    """
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    bucketed = per_user.select(
+        "n_events", F.ntile(deciles).over(w).alias("decile")
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    total = agg.agg(F.sum("n_events").alias("t")).select("t")
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") / F.col("t"), 4).alias("event_share"),
+        )
+    )

@@ -4286,3 +4286,46 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Prefix-dimension (Matryoshka) coarse tier + exact rerank
     (operators/similarity.py:matryoshka_topk)."""
     return similarity.matryoshka_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Cumulative user-acquisition curve.
+EVENTS_USER_GROWTH_SQL = """
+    WITH first AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+                   FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumulative_users
+    FROM daily
+"""
+
+
+@register("events_user_growth", EVENTS_USER_GROWTH_SQL)
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] New + cumulative distinct users per day
+    (operators/sessions.py:user_growth)."""
+    return sessions.user_growth(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Pareto activity-concentration report by user decile.
+EVENTS_CONCENTRATION_SQL = """
+    WITH per_user AS (SELECT user_id, COUNT(*) AS n_events
+                      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    bucketed AS (SELECT n_events,
+                        NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC)
+                            AS decile
+                 FROM per_user),
+    agg AS (SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS n_events
+            FROM bucketed GROUP BY decile)
+    SELECT decile, n_users, n_events,
+           ROUND(n_events / (SELECT SUM(n_events) FROM agg), 4) AS event_share
+    FROM agg
+"""
+
+
+@register("events_concentration", EVENTS_CONCENTRATION_SQL)
+def events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Activity-decile Pareto shares
+    (operators/sessions.py:event_concentration)."""
+    return sessions.event_concentration(load_table(spark, sf_dir, "events"))

@@ -31,6 +31,8 @@ ORACLE_CHECKED = [
     "events_first_touch",
     "events_retention_cohorts",
     "events_anomaly_zscore",
+    "events_user_growth",
+    "events_concentration",
 ]
 
 
