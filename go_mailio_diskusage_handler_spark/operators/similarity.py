@@ -1626,3 +1626,45 @@ def matryoshka_topk(
         .select("*", F.row_number().over(w_r).cast("int").alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_decontam(
+    embeddings: DataFrame,
+    eval_max_vec_id: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-space decontamination: training vectors
+    cosine-``threshold``-close to ANY eval-set vector (vec_id <
+    ``eval_max_vec_id`` stands in for the benchmark corpus) — the
+    semantic sibling of the n-gram overlap check
+    (operators/curation.py:contaminated_docs), catching paraphrased
+    leakage that shares no shingles.
+
+    Scale shape mirrors the n-gram form exactly: the eval side is
+    benchmark-sized (thousands), broadcast once; the corpus is
+    scanned once with |eval| dot products per row inside codegen —
+    O(N·|eval|) with NO corpus self-join, and the flagged output is
+    contamination-sized.  At higher |eval| the ANN tiers slot in
+    front as the candidate generator, same as dedup.
+    """
+    e = widen_for_compute(embeddings)
+    ev = e.filter(F.col("vec_id") < eval_max_vec_id).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("ev_emb"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= eval_max_vec_id)
+        .join(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_vec_id",
+            F.round(cosine(F.col("embedding"), F.col("ev_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return scored.groupBy("vec_id").agg(
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+        F.count(F.lit(1)).alias("n_eval_hits"),
+    )

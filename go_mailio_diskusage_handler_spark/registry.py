@@ -4329,3 +4329,26 @@ def events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Activity-decile Pareto shares
     (operators/sessions.py:event_concentration)."""
     return sessions.event_concentration(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Embedding-space eval-set decontamination (semantic sibling of
+# curation_contaminated).
+CURATION_SEMANTIC_DECONTAM_SQL = f"""
+    WITH ev AS (SELECT vec_id AS eval_vec_id, embedding AS ev_emb
+                FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT e.vec_id, ev.eval_vec_id,
+                      ROUND({_ddb_cosine('e.embedding', 'ev.ev_emb')}, 6)
+                          AS cos_sim
+               FROM embeddings e CROSS JOIN ev
+               WHERE e.vec_id >= 8)
+    SELECT vec_id, ROUND(MAX(cos_sim), 6) AS max_cos,
+           COUNT(*) AS n_eval_hits
+    FROM scored WHERE cos_sim >= 0.4 GROUP BY vec_id
+"""
+
+
+@register("curation_semantic_decontam", CURATION_SEMANTIC_DECONTAM_SQL)
+def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cosine decontamination against a broadcast eval set
+    (operators/similarity.py:semantic_decontam)."""
+    return similarity.semantic_decontam(load_table(spark, sf_dir, "embeddings"))

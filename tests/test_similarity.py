@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "dedup_semantic",
     "sim_pca_project",
     "sim_matryoshka_topk",
+    "curation_semantic_decontam",
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
