@@ -512,6 +512,24 @@ def daily_anomaly_zscore(
     daily = events.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return score_daily_counts(
+        daily, trailing=trailing, min_prior=min_prior, z_thresh=z_thresh
+    )
+
+
+def score_daily_counts(
+    daily: DataFrame,
+    trailing: int = 7,
+    min_prior: int = 3,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Scoring half of :func:`daily_anomaly_zscore`, shared with the
+    streaming twin (``streaming.windows.anomaly_over_counts_sink``):
+    expects a (day DATE, event_type, n_events) table — which in
+    streaming is the SINK of an additive windowed count, the
+    incremental-safe part, while this non-incremental trailing window
+    runs in the serving layer over the days×types-bounded table (the
+    rank-in-sink pattern)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -335,3 +335,32 @@ def topk_over_counts_sink(sink_df: DataFrame, k: int = 3) -> DataFrame:
         .select("*", F.row_number().over(w).alias("type_rank"))
         .filter(F.col("type_rank") <= k)
     )
+
+
+def anomaly_over_counts_sink(
+    sink_df: DataFrame,
+    trailing: int = 7,
+    min_prior: int = 3,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Streaming anomaly detection via the rank-in-sink split: the
+    STREAM maintains additive 1-day windowed counts (watermark-bounded
+    state, incremental-safe); this serving-layer pass scores the
+    days×types-bounded sink with the trailing z-score — which is NOT
+    incremental-safe (any late row shifts every later day's baseline),
+    exactly like ranking in :func:`topk_over_counts_sink`.  Equals the
+    batch ``events_anomaly_zscore`` once the stream drains (asserted
+    in tests).  Feed with ``windowed_counts(stream, minutes=1440)``.
+    """
+    from go_mailio_diskusage_handler_spark.operators.sessions import (
+        score_daily_counts,
+    )
+
+    daily = sink_df.select(
+        F.to_date(F.timestamp_seconds("window_start")).alias("day"),
+        "event_type",
+        F.col("event_count").alias("n_events"),
+    )
+    return score_daily_counts(
+        daily, trailing=trailing, min_prior=min_prior, z_thresh=z_thresh
+    )

@@ -659,3 +659,24 @@ def test_transitions_stream_resumes_from_checkpoint(spark, tmp_path):
         if r.user_id == 7
     ]
     assert rows == [("view", "click"), ("click", "purchase")], rows
+
+
+def test_streaming_anomaly_zscore_equals_batch(spark, events_stream_dir):
+    """Daily-count anomaly scoring over the streamed counts sink must
+    equal the batch events_anomaly_zscore once the stream drains —
+    the non-incremental trailing window stays in the serving layer,
+    the stream holds only additive day×type counts."""
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.windowed_counts(stream, 1440), output_mode="complete"
+    )
+    got = {tuple(r) for r in windows.anomaly_over_counts_sink(sink).collect()}
+    want = {
+        tuple(r)
+        for r in sessions.daily_anomaly_zscore(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert got == want
