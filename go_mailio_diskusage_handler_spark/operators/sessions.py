@@ -613,3 +613,44 @@ def event_concentration(events: DataFrame, deciles: int = 10) -> DataFrame:
             F.round(F.col("n_events") / F.col("t"), 4).alias("event_share"),
         )
     )
+
+
+def markov_stationary(events: DataFrame, iters: int = 3) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain: ``iters`` power-iteration steps (π ← πP) from the uniform
+    start over :func:`event_transitions`' matrix — "where does a user
+    journey settle", the chain-level summary next to the edge-level
+    transition matrix.
+
+    Iterative linear algebra as DataFrame ops, safely: the matrix and
+    the π vector are |event_types|-bounded, so each step is a
+    broadcast-sized join + aggregate — the corpus is touched exactly
+    once (the lead() window inside the transition counts); every
+    subsequent stage is on bounded frames, and the fixed iteration
+    count keeps the plan static (no driver-side convergence loop to
+    re-plan).  π is rounded to 6 digits per step in both engines so
+    cross-engine fp drift cannot compound across iterations.
+    """
+    trans = event_transitions(events)
+    tot_w = Window.partitionBy("event_type")
+    p = trans.select(
+        "event_type",
+        "next_type",
+        (F.col("n_trans") / F.sum("n_trans").over(tot_w)).alias("p"),
+    )
+    types = (
+        p.select(F.col("event_type").alias("t"))
+        .union(p.select(F.col("next_type").alias("t")))
+        .distinct()
+    )
+    n_types = types.count()
+    pi = types.select(
+        "t", (F.lit(1.0) / F.lit(float(n_types))).alias("pv")
+    )
+    for _ in range(iters):
+        pi = (
+            pi.join(p, pi["t"] == p["event_type"])
+            .groupBy(F.col("next_type").alias("t"))
+            .agg(F.round(F.sum(F.col("pv") * F.col("p")), 6).alias("pv"))
+        )
+    return pi.select(F.col("t").alias("event_type"), F.col("pv").alias("pi"))

@@ -4352,3 +4352,40 @@ def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Cosine decontamination against a broadcast eval set
     (operators/similarity.py:semantic_decontam)."""
     return similarity.semantic_decontam(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Markov stationary distribution: 3 power-iteration steps over
+# the transition matrix, uniform start, per-step 6-digit rounding.
+_MK_STEP = """
+    {out} AS (SELECT p.next_type AS t, ROUND(SUM({prev}.pv * p.p), 6) AS pv
+              FROM {prev} JOIN p ON {prev}.t = p.event_type
+              GROUP BY p.next_type)"""
+
+EVENTS_MARKOV_SQL = f"""
+    WITH pairs AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events),
+    trans AS (SELECT event_type, next_type, COUNT(*) AS n_trans
+              FROM pairs WHERE next_type IS NOT NULL
+              GROUP BY event_type, next_type),
+    p AS (SELECT event_type, next_type,
+                 n_trans * 1.0 / SUM(n_trans) OVER (PARTITION BY event_type)
+                     AS p
+          FROM trans),
+    types AS (SELECT DISTINCT event_type AS t FROM trans
+              UNION SELECT DISTINCT next_type FROM trans),
+    pi0 AS (SELECT t, 1.0 / (SELECT COUNT(*) FROM types) AS pv FROM types),
+    {_MK_STEP.format(out='pi1', prev='pi0')},
+    {_MK_STEP.format(out='pi2', prev='pi1')},
+    {_MK_STEP.format(out='pi3', prev='pi2')}
+    SELECT t AS event_type, pv AS pi FROM pi3
+"""
+
+
+@register("events_markov_stationary", EVENTS_MARKOV_SQL)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Power-iteration stationary distribution
+    (operators/sessions.py:markov_stationary)."""
+    return sessions.markov_stationary(load_table(spark, sf_dir, "events"))

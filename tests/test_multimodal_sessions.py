@@ -33,6 +33,7 @@ ORACLE_CHECKED = [
     "events_anomaly_zscore",
     "events_user_growth",
     "events_concentration",
+    "events_markov_stationary",
 ]
 
 
@@ -232,3 +233,16 @@ def test_anomaly_zscore_warmup_unscored(spark):
             # away from the threshold boundary, where the exported
             # 4-dp rounding cannot flip the comparison
             assert r.is_anomaly == (abs(r.zscore) >= 2.0)
+
+
+def test_markov_stationary_is_probability_vector(spark):
+    """After 3 power steps the vector must still (approximately) sum
+    to 1 (per-step rounding bounds drift to |types|*1e-6*steps) and
+    every component must be non-negative."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    rows = registry.QUERIES["events_markov_stationary"](
+        spark, SF_CORRECT
+    ).collect()
+    assert rows and all(r.pi >= 0 for r in rows)
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
