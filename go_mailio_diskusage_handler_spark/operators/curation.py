@@ -690,3 +690,46 @@ def corpus_dedup_report(documents: DataFrame) -> DataFrame:
         "n_docs long, n_exact_dupes long, n_near_dup_members long, "
         "unique_rate double",
     )
+
+
+def epoch_repeat(documents: DataFrame, max_epochs: int = 4) -> DataFrame:
+    """UP-sampling half of data mixing (epoch weighting): each source
+    is repeated ``floor(n_max / n_s)`` times, capped at
+    ``max_epochs`` — the low-resource-language / scarce-domain
+    rebalance that down-sampling (:func:`temperature_sample`,
+    :func:`mixture_rebalance`) cannot express, with the cap encoding
+    the public finding that beyond ~4 repeats marginal value decays
+    (Muennighoff et al. 2023).  Every copy is materialized with its
+    ``copy_idx`` so downstream shuffling/packing treats epochs as
+    distinct rows while provenance stays exact.
+
+    The repeat factor is exact integer arithmetic on two counts —
+    bit-identical across engines.  Scale shape: one bounded per-source
+    count (collects ≤ |sources| rows), then the explode is a pure map
+    whose fan-out equals the aggregate epoch factor — no join, no
+    shuffle; output volume is the training-mix size by construction.
+    """
+    counts = (
+        documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:
+        return documents.select(
+            "doc_id",
+            "source",
+            F.lit(0).cast("bigint").alias("n_epochs"),
+            F.lit(0).cast("bigint").alias("copy_idx"),
+        ).limit(0)
+    n_max = max(r["n"] for r in counts)
+    epochs = {r["source"]: min(max_epochs, n_max // r["n"]) for r in counts}
+    ep_map = F.create_map(
+        *[F.lit(x) for kv in sorted(epochs.items()) for x in kv]
+    )
+    n_ep = ep_map[F.col("source")].cast("bigint")
+    return documents.select(
+        "doc_id",
+        "source",
+        n_ep.alias("n_epochs"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_ep - 1)).alias(
+            "copy_idx"
+        ),
+    )

@@ -4389,3 +4389,37 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Power-iteration stationary distribution
     (operators/sessions.py:markov_stationary)."""
     return sessions.markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Epoch-repeat upsampling over the deterministically skewed
+# source label (same 60/30/10 derivation as curation_temperature_mix).
+CURATION_EPOCH_SQL = """
+    WITH skewed AS (SELECT doc_id,
+                           CASE WHEN doc_id % 10 < 6 THEN 'big'
+                                WHEN doc_id % 10 < 9 THEN 'mid'
+                                ELSE 'small' END AS source
+                    FROM documents),
+    counts AS (SELECT source, COUNT(*) AS n FROM skewed GROUP BY source),
+    rep AS (SELECT source,
+                   LEAST(4, (SELECT MAX(n) FROM counts) // n) AS n_epochs
+            FROM counts)
+    SELECT d.doc_id, d.source, r.n_epochs,
+           unnest(range(r.n_epochs)) AS copy_idx
+    FROM skewed d JOIN rep r USING (source)
+"""
+
+
+@register("curation_epoch_repeat", CURATION_EPOCH_SQL)
+def curation_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capped epoch-repeat upsampling
+    (operators/curation.py:epoch_repeat)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("small")
+        .alias("source"),
+    )
+    return curation.epoch_repeat(docs)

@@ -42,6 +42,7 @@ ORACLE_CHECKED = [
     "text_pii",
     "dedup_span_coverage",
     "curation_temperature_mix",
+    "curation_epoch_repeat",
     "curation_bloom_decontam",
     "text_chunks",
     "curation_quality_gate",
