@@ -843,3 +843,32 @@ def test_new_ops_handle_empty_input(spark):
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="k-means init"):
         kmeans_train(empty_emb)
+
+
+def test_bm25_probe_side_broadcasts(spark):
+    """The postings⋈query-terms and postings⋈df joins must broadcast
+    the bounded side (query terms / vocabulary df) — the corpus-sized
+    postings table must never shuffle for a join; its only exchanges
+    are its own aggregations."""
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import text as T
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    df = T.bm25_topk(load_table(spark, SF_CORRECT, "documents"))
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_semantic_decontam_is_broadcast_scan(spark):
+    """Eval set broadcast, corpus scanned once: zero shuffle before
+    the final per-vector aggregate (exactly one exchange total)."""
+    from go_mailio_diskusage_handler_spark import plans
+    from go_mailio_diskusage_handler_spark.operators import similarity as S
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    df = S.semantic_decontam(load_table(spark, SF_CORRECT, "embeddings"))
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # widen_for_compute may add its round-robin rebalance; beyond that
+    # the only exchange is the groupBy(vec_id) aggregate.
+    assert plans.shuffle_count(df) <= 2, plan

@@ -350,3 +350,75 @@ def test_prefix_length_integer_ceil_is_exact(spark, n, num, den):
     assert exact_ceil == math.ceil(t * n)
     p_len = n - exact_ceil + 1
     assert 1 <= p_len <= n
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_anomaly_zscore_matches_python_reference(spark, counts):
+    """score_daily_counts vs a direct Python loop over each type's
+    daily series: same trailing mean/stddev frame (7 prior rows,
+    current excluded), same min-prior/zero-variance gating."""
+    import datetime
+    import statistics
+
+    rows = []
+    for t, series in enumerate(counts):
+        for i, n in enumerate(series):
+            rows.append((datetime.date(2024, 1, 1 + i), f"t{t}", n))
+    daily = spark.createDataFrame(
+        rows, "day date, event_type string, n_events long"
+    )
+    got = {
+        (r.day, r.event_type): r
+        for r in sessions.score_daily_counts(daily).collect()
+    }
+    for t, series in enumerate(counts):
+        for i, n in enumerate(series):
+            prior = series[max(0, i - 7):i]
+            key = (f"2024-01-{1 + i:02d}", f"t{t}")
+            r = got[key]
+            scoreable = (
+                len(prior) >= 3 and statistics.stdev(prior) > 0
+            )
+            assert r.scoreable == scoreable, (key, prior)
+            if scoreable:
+                mean = sum(prior) / len(prior)
+                sd = statistics.stdev(prior)
+                assert abs(r.zscore - round((n - mean) / sd, 4)) <= 1e-9
+                assert r.is_anomaly == (abs((n - mean) / sd) >= 2.0)
+            else:
+                assert r.zscore == 0.0 and not r.is_anomaly
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4)
+)
+def test_epoch_repeat_matches_integer_reference(spark, sizes):
+    """epoch_repeat: each source's factor is min(4, n_max // n_s),
+    every doc appears exactly n_epochs times with copy_idx 0..n-1."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    rows, did = [], 0
+    for s, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((did, f"s{s}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.epoch_repeat(docs).collect()
+    n_max = max(sizes)
+    per_doc = {}
+    for r in out:
+        s = int(r.source[1:])
+        assert r.n_epochs == min(4, n_max // sizes[s])
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for (doc_id, src) in rows:
+        s = int(src[1:])
+        want = min(4, n_max // sizes[s])
+        assert sorted(per_doc[doc_id]) == list(range(want))
