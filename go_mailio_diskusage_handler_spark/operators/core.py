@@ -264,3 +264,89 @@ def usage_growth(
         .orderBy(F.desc("growth_bytes"), F.asc("address"))
         .limit(k)
     )
+
+
+SCD2_OPEN_END = "9999-12-31"
+
+
+def scd2_history(
+    old_agg: DataFrame,
+    new_agg: DataFrame,
+    day_old: str,
+    day_new: str,
+) -> DataFrame:
+    """SCD-Type-2 merge of two disk-usage snapshots: the versioned
+    warehouse form of the reference's full-snapshot swap — instead of
+    discarding the old aggregate (handler.go:252), each address keeps
+    a validity-interval history: unchanged rows stay open from
+    ``day_old``; changed rows close the old version at ``day_new``
+    and open a new one; new addresses open at ``day_new``; deleted
+    addresses close at ``day_new``.  ``valid_to`` uses the standard
+    9999-12-31 open-end sentinel (also dodging NULL-vs-NaN client
+    drift).
+
+    Shape: ONE full-outer join on address (both sides are already
+    per-address aggregates — the reduced tables, not the fact), then
+    each address emits its 1-2 version rows via an array build +
+    explode: no union of two separately-joined branches, no second
+    shuffle.  At 100 TB this is the day-over-day snapshot⋈snapshot
+    join that bucketed storage makes exchange-free (SCALE.md §2).
+    """
+    o = old_agg.select(
+        F.col("address"),
+        F.col("size_bytes").alias("o_size"),
+        F.col("number_files").alias("o_files"),
+    )
+    n = new_agg.select(
+        F.col("address"),
+        F.col("size_bytes").alias("n_size"),
+        F.col("number_files").alias("n_files"),
+    )
+    j = o.join(n, "address", "full_outer")
+    in_old = F.col("o_files").isNotNull()
+    in_new = F.col("n_files").isNotNull()
+    changed = in_old & in_new & (
+        (F.col("o_size") != F.col("n_size"))
+        | (F.col("o_files") != F.col("n_files"))
+    )
+    unchanged = in_old & in_new & ~changed
+
+    def ver(size, files, frm, to, cur):
+        return F.struct(
+            size.alias("size_bytes"),
+            files.alias("number_files"),
+            F.lit(frm).alias("valid_from"),
+            F.lit(to).alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    versions = F.array_compact(
+        F.array(
+            # surviving old version: open if unchanged, closed if
+            # changed or deleted
+            F.when(
+                unchanged,
+                ver(F.col("o_size"), F.col("o_files"), day_old,
+                    SCD2_OPEN_END, True),
+            ).when(
+                in_old,
+                ver(F.col("o_size"), F.col("o_files"), day_old,
+                    day_new, False),
+            ),
+            # new version for changed or newly appeared addresses
+            F.when(
+                changed | (in_new & ~in_old),
+                ver(F.col("n_size"), F.col("n_files"), day_new,
+                    SCD2_OPEN_END, True),
+            ),
+        )
+    )
+    v = F.explode(versions).alias("v")
+    return j.select("address", v).select(
+        "address",
+        F.col("v.size_bytes").alias("size_bytes"),
+        F.col("v.number_files").alias("number_files"),
+        F.col("v.valid_from").alias("valid_from"),
+        F.col("v.valid_to").alias("valid_to"),
+        F.col("v.is_current").alias("is_current"),
+    )

@@ -4423,3 +4423,54 @@ def curation_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("source"),
     )
     return curation.epoch_repeat(docs)
+
+
+# [EXT] SCD2 versioned history of the per-address aggregate across two
+# snapshot days (linenumber-sliced snapshots, as inventory_diff).
+DU_SCD2_SQL = f"""
+    WITH old_inv AS (SELECT {_INV_KEY_SQL} AS key, l_extendedprice AS size
+                     FROM lineitem WHERE l_linenumber <= 5),
+    new_inv AS (SELECT {_INV_KEY_SQL} AS key, l_extendedprice AS size
+                FROM lineitem WHERE l_linenumber >= 2),
+    o AS (SELECT split_part(key, '/', 1) AS address,
+                 ROUND(SUM(size), 2) AS o_size, COUNT(*) AS o_files
+          FROM old_inv WHERE len(string_split(key, '/')) >= 2
+          GROUP BY address),
+    n AS (SELECT split_part(key, '/', 1) AS address,
+                 ROUND(SUM(size), 2) AS n_size, COUNT(*) AS n_files
+          FROM new_inv WHERE len(string_split(key, '/')) >= 2
+          GROUP BY address),
+    j AS (SELECT COALESCE(o.address, n.address) AS address,
+                 o_size, o_files, n_size, n_files,
+                 o.address IS NOT NULL AS in_old,
+                 n.address IS NOT NULL AS in_new,
+                 o.address IS NOT NULL AND n.address IS NOT NULL
+                     AND (o_size <> n_size OR o_files <> n_files) AS changed
+          FROM o FULL OUTER JOIN n ON o.address = n.address)
+    SELECT address, o_size AS size_bytes, o_files AS number_files,
+           '2024-01-01' AS valid_from, '9999-12-31' AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE in_old AND in_new AND NOT changed
+    UNION ALL
+    SELECT address, o_size, o_files, '2024-01-01', '2024-01-02', FALSE
+    FROM j WHERE in_old AND (changed OR NOT in_new)
+    UNION ALL
+    SELECT address, n_size, n_files, '2024-01-02', '9999-12-31', TRUE
+    FROM j WHERE changed OR (in_new AND NOT in_old)
+"""
+
+
+@register("du_scd2_history", DU_SCD2_SQL)
+def du_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD2 versioned snapshot history
+    (operators/core.py:scd2_history)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old_agg = core.disk_usage(
+        core.inventory_from_lineitem(li.filter(F.col("l_linenumber") <= 5))
+    )
+    new_agg = core.disk_usage(
+        core.inventory_from_lineitem(li.filter(F.col("l_linenumber") >= 2))
+    )
+    return core.scd2_history(old_agg, new_agg, "2024-01-01", "2024-01-02")

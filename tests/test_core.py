@@ -8,7 +8,7 @@ from go_mailio_diskusage_handler_spark import registry
 from go_mailio_diskusage_handler_spark.operators import core
 from go_mailio_diskusage_handler_spark.sources.tables import load_table
 
-from conftest import SF_SMOKE, compare_with_oracle
+from conftest import SF_CORRECT, SF_SMOKE, compare_with_oracle
 
 CORE_QUERIES = [
     "du_core",
@@ -17,6 +17,7 @@ CORE_QUERIES = [
     "du_incremental",
     "du_heavy_users",
     "du_top_growth",
+    "du_scd2_history",
 ]
 
 
@@ -98,3 +99,29 @@ def test_heavy_users_no_sort_no_window(spark):
     plan = plans.executed_plan(df)
     assert "Window" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_scd2_invariants(spark):
+    """Every address has EXACTLY one current version; closed versions
+    end at the new snapshot day; a changed address contributes one
+    closed + one open row."""
+    import collections
+
+    from go_mailio_diskusage_handler_spark import registry
+
+    rows = registry.QUERIES["du_scd2_history"](spark, SF_CORRECT).collect()
+    by_addr = collections.defaultdict(list)
+    for r in rows:
+        by_addr[r.address].append(r)
+        if r.is_current:
+            assert r.valid_to == "9999-12-31"
+        else:
+            assert r.valid_to == "2024-01-02"
+    deleted = 0
+    for addr, vs in by_addr.items():
+        cur = [v for v in vs if v.is_current]
+        assert len(cur) <= 1, addr
+        if not cur:
+            deleted += 1
+            assert len(vs) == 1 and not vs[0].is_current
+    assert deleted > 0  # the slice construction guarantees deletions
