@@ -4474,3 +4474,10 @@ def du_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         core.inventory_from_lineitem(li.filter(F.col("l_linenumber") >= 2))
     )
     return core.scd2_history(old_agg, new_agg, "2024-01-01", "2024-01-02")
+
+
+@register("sql_recursive_spine", sql_surface.RECURSIVE_SPINE_SQL)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WITH RECURSIVE month spine + zero-filled monthly revenue
+    (sql.recursive_spine_revenue)."""
+    return sql_surface.recursive_spine_revenue(spark, sf_dir)

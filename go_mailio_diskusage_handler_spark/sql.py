@@ -673,3 +673,34 @@ def excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI string, both engines."""
     register_views(spark, sf_dir)
     return spark.sql(EXCESS_CAPACITY_SQL)
+
+
+RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE spine(m) AS (
+        SELECT CAST('1995-01-01' AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+        WHERE m < CAST('2001-12-01' AS DATE)
+    ),
+    rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1)
+    SELECT year(m) AS y, month(m) AS mo,
+           COALESCE(revenue, 0.0) AS revenue,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN rev USING (m)
+"""
+
+
+def recursive_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE month spine (Spark 4's WITH RECURSIVE) LEFT-joined
+    to monthly revenue with zero-fill — the dense-calendar resample
+    (cf. relational.daily_revenue_dense, which builds its spine with
+    sequence()+explode) expressed purely in ANSI SQL, exercising the
+    UnionLoop recursion operator.  The recursion depth is the
+    calendar length (84 iterations of a 1-row frame) — bounded and
+    driver-cheap; the fact table is touched once by the aggregate.
+    One ANSI string, both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_SPINE_SQL)

@@ -150,6 +150,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_best_supplier",
         "sql_part_supplier_counts",
         "sql_excess_capacity",
+        "sql_recursive_spine",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
