@@ -654,3 +654,44 @@ def markov_stationary(events: DataFrame, iters: int = 3) -> DataFrame:
             .agg(F.round(F.sum(F.col("pv") * F.col("p")), 6).alias("pv"))
         )
     return pi.select(F.col("t").alias("event_type"), F.col("pv").alias("pi"))
+
+
+def hourly_seasonality(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality per event type: the 24-bucket activity
+    profile reduced to its report row — peak hour, peak share, and a
+    chi-square uniformity statistic (df = 23; the 0.05 critical value
+    35.17 drives ``is_uniform``) — the load-shaping / bot-detection
+    companion to the anomaly z-scores (which watch days; this watches
+    the clock).
+
+    Two bounded aggregations: corpus → (type × 24) counts (map-side
+    combined, the only corpus-sized pass), then an argmax-struct +
+    chi-square fold per type.  Chi-square is exact integer arithmetic
+    until the final division, rounded at 4 in both engines.
+    """
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.max(F.struct(F.col("n"), (-F.col("hr")).alias("neg_hr"))).alias(
+            "peak"
+        ),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("hours_seen"),
+    )
+    # chi2 vs uniform over 24 buckets (E = N/24, unseen hours count as
+    # observed 0): sum((n_h - E)^2)/E algebraically folds to
+    # 24*sum_sq/N - N — one division, identical fp path in the oracle.
+    chi2 = (
+        F.lit(24.0) * F.col("sum_sq") / F.col("n_events")
+        - F.col("n_events")
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        (-F.col("peak.neg_hr")).cast("int").alias("peak_hour"),
+        F.round(F.col("peak.n") / F.col("n_events"), 4).alias("peak_share"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 < F.lit(35.17)).alias("is_uniform"),
+    )

@@ -4481,3 +4481,25 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] WITH RECURSIVE month spine + zero-filled monthly revenue
     (sql.recursive_spine_revenue)."""
     return sql_surface.recursive_spine_revenue(spark, sf_dir)
+
+
+# [EXT] Hour-of-day seasonality + chi-square uniformity per type.
+EVENTS_SEASONALITY_SQL = """
+    WITH hourly AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                           COUNT(*) AS n
+                    FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           SUM(n) AS n_events,
+           CAST(arg_max(hr, n * 100 - hr) AS INT) AS peak_hour,
+           ROUND(MAX(n) * 1.0 / SUM(n), 4) AS peak_share,
+           ROUND(24.0 * SUM(n * n) / SUM(n) - SUM(n), 4) AS chi2,
+           (24.0 * SUM(n * n) / SUM(n) - SUM(n)) < 35.17 AS is_uniform
+    FROM hourly GROUP BY event_type
+"""
+
+
+@register("events_seasonality", EVENTS_SEASONALITY_SQL)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hourly seasonality profile + uniformity test
+    (operators/sessions.py:hourly_seasonality)."""
+    return sessions.hourly_seasonality(load_table(spark, sf_dir, "events"))

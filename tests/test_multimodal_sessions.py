@@ -34,6 +34,7 @@ ORACLE_CHECKED = [
     "events_user_growth",
     "events_concentration",
     "events_markov_stationary",
+    "events_seasonality",
 ]
 
 
