@@ -910,3 +910,40 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         F.ntile(4).over(fw).alias("f_score"),
         F.ntile(4).over(mw).alias("m_score"),
     )
+
+
+def corpus_index_coverage(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Referential-integrity report between the document corpus and
+    its embedding index (doc_id ↔ vec_id): matched / text-only /
+    vector-only counts and the coverage ratio — the pipeline health
+    gate run before any retrieval or semantic-dedup job trusts the
+    index.
+
+    Single-shuffle shape (same trick as ``inventory_diff``): both key
+    sets union into one tagged table and ONE groupBy computes
+    presence per key; the final 1-row report aggregates the
+    key-bounded result.  No full-outer join of two corpus-sized
+    tables, no second exchange.
+    """
+    tagged = documents.select(
+        F.col("doc_id").alias("k"), F.lit(1).alias("d"), F.lit(0).alias("e")
+    ).unionAll(
+        embeddings.select(
+            F.col("vec_id").alias("k"), F.lit(0).alias("d"), F.lit(1).alias("e")
+        )
+    )
+    pk = tagged.groupBy("k").agg(
+        F.max("d").alias("in_docs"), F.max("e").alias("in_emb")
+    )
+    return pk.agg(
+        F.sum("in_docs").alias("n_docs"),
+        F.sum("in_emb").alias("n_embeddings"),
+        F.sum(F.col("in_docs") * F.col("in_emb")).alias("n_matched"),
+        F.sum(F.col("in_docs") * (1 - F.col("in_emb"))).alias("n_doc_only"),
+        F.sum((1 - F.col("in_docs")) * F.col("in_emb")).alias("n_emb_only"),
+    ).select(
+        "*",
+        F.round(F.col("n_matched") / F.col("n_docs"), 4).alias("coverage"),
+    )

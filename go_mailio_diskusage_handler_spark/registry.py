@@ -4503,3 +4503,32 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Hourly seasonality profile + uniformity test
     (operators/sessions.py:hourly_seasonality)."""
     return sessions.hourly_seasonality(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Corpus ↔ embedding-index integrity reconcile (single-shuffle
+# tagged-union form).
+DOCS_COVERAGE_SQL = """
+    WITH tagged AS (
+        SELECT doc_id AS k, 1 AS d, 0 AS e FROM documents
+        UNION ALL
+        SELECT vec_id AS k, 0 AS d, 1 AS e FROM embeddings),
+    pk AS (SELECT k, MAX(d) AS in_docs, MAX(e) AS in_emb
+           FROM tagged GROUP BY k)
+    SELECT SUM(in_docs) AS n_docs,
+           SUM(in_emb) AS n_embeddings,
+           SUM(in_docs * in_emb) AS n_matched,
+           SUM(in_docs * (1 - in_emb)) AS n_doc_only,
+           SUM((1 - in_docs) * in_emb) AS n_emb_only,
+           ROUND(SUM(in_docs * in_emb) * 1.0 / SUM(in_docs), 4) AS coverage
+    FROM pk
+"""
+
+
+@register("docs_index_coverage", DOCS_COVERAGE_SQL)
+def docs_index_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Document/embedding referential-integrity report
+    (operators/relational.py:corpus_index_coverage)."""
+    return relational.corpus_index_coverage(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

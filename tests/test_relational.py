@@ -64,6 +64,7 @@ ORACLE_CHECKED = [
     "events_bitmap_users",
     "scalar_variant_props",
     "join_spend_reconcile",
+    "docs_index_coverage",
 ]
 
 
