@@ -733,3 +733,44 @@ def epoch_repeat(documents: DataFrame, max_epochs: int = 4) -> DataFrame:
             "copy_idx"
         ),
     )
+
+
+def stratified_split(
+    documents: DataFrame, eval_frac_bp: int = 1000
+) -> DataFrame:
+    """Stratified eval split: EXACTLY ``ceil(frac · n_s)`` documents
+    from EVERY source (``eval_frac_bp`` in basis points, 1000 = 10%) —
+    the guaranteed-proportion complement of the Bernoulli splits
+    (:func:`assign_splits` holds fractions only in expectation, and a
+    small domain can lose all its eval rows to variance; a benchmark
+    needs every domain represented).
+
+    Determinism: documents rank within their source by (md5-bucket,
+    doc_id) — the same keyed-hash order every sampler here uses — and
+    the cutoff is an exact integer ceil, so both engines pick the
+    identical set.  Scale: one window per source over the corpus;
+    the skew fence from :func:`mixture_rebalance` (bounded-histogram
+    pre-filter) applies verbatim if a source dominates, since only
+    the first ceil(frac·n_s) hash-ranked rows can qualify.
+    """
+    n_w = Window.partitionBy("source")
+    rk_w = Window.partitionBy("source").orderBy(
+        F.expr(_BUCKET_SQL).asc(), F.col("doc_id").asc()
+    )
+    ranked = documents.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(n_w).alias("n_source"),
+        F.row_number().over(rk_w).alias("rk"),
+    )
+    # exact integer ceil(frac * n): (n * bp + 9999) // 10000
+    cut = (F.col("n_source") * eval_frac_bp + 9999) / F.lit(10000)
+    cutoff = F.floor(cut).cast("long")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_source",
+        F.when(F.col("rk") <= cutoff, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )

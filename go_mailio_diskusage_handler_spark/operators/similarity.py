@@ -1668,3 +1668,44 @@ def semantic_decontam(
         F.round(F.max("cos_sim"), 6).alias("max_cos"),
         F.count(F.lit(1)).alias("n_eval_hits"),
     )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Vector-index health profile per label partition: count, L2-norm
+    mean / median / p95, zero-vector and wrong-width counts — the
+    profiling gate (cf. relational.profile_table for relational data)
+    a vector pipeline runs before trusting an index build: quantizer
+    training and cosine semantics both silently degrade on zero or
+    mis-sized vectors.
+
+    One pass: norms are a JVM fold per row, then one |labels|-bounded
+    aggregation carrying an exact percentile pair — no self-join, no
+    Python.  (At extreme cardinality swap percentile → approx.)
+    """
+    e = widen_for_compute(embeddings)
+    nrm = l2_norm(F.col("embedding"))
+    scored = e.select(
+        "label",
+        nrm.alias("nrm"),
+        (nrm == 0.0).cast("long").alias("is_zero"),
+        (F.size("embedding") != EMB_DIM).cast("long").alias("bad_dim"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("mean_norm"),
+            F.expr("percentile(nrm, array(0.5, 0.95))").alias("p"),
+            F.sum("is_zero").alias("n_zero"),
+            F.sum("bad_dim").alias("n_bad_dim"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "mean_norm",
+            F.round(F.col("p")[0], 4).alias("median_norm"),
+            F.round(F.col("p")[1], 4).alias("p95_norm"),
+            "n_zero",
+            "n_bad_dim",
+        )
+    )

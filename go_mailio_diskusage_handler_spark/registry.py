@@ -4532,3 +4532,53 @@ def docs_index_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+# [EXT] Vector-index health profile per label.
+SIM_EMB_STATS_SQL = f"""
+    WITH scored AS (
+        SELECT label,
+               sqrt({_ddb_dot('embedding', 'embedding')}) AS nrm,
+               CASE WHEN sqrt({_ddb_dot('embedding', 'embedding')}) = 0.0
+                    THEN 1 ELSE 0 END AS is_zero,
+               CASE WHEN len(embedding) <> {similarity.EMB_DIM}
+                    THEN 1 ELSE 0 END AS bad_dim
+        FROM embeddings)
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(nrm), 4) AS mean_norm,
+           ROUND(quantile_cont(nrm, 0.5), 4) AS median_norm,
+           ROUND(quantile_cont(nrm, 0.95), 4) AS p95_norm,
+           SUM(is_zero) AS n_zero,
+           SUM(bad_dim) AS n_bad_dim
+    FROM scored GROUP BY label
+"""
+
+
+@register("sim_embedding_stats", SIM_EMB_STATS_SQL)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-index health profile
+    (operators/similarity.py:embedding_stats)."""
+    return similarity.embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Stratified eval split: exact ceil(10% of n_s) per source.
+CURATION_STRATIFIED_SQL = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               COUNT(*) OVER (PARTITION BY source) AS n_source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY ({_DDB_BUCKET}) ASC, doc_id ASC)
+                   AS rk
+        FROM documents)
+    SELECT doc_id, source, n_source,
+           CASE WHEN rk <= (n_source * 1000 + 9999) // 10000
+                THEN 'eval' ELSE 'train' END AS split
+    FROM ranked
+"""
+
+
+@register("curation_stratified_split", CURATION_STRATIFIED_SQL)
+def curation_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Guaranteed-proportion stratified eval split
+    (operators/curation.py:stratified_split)."""
+    return curation.stratified_split(load_table(spark, sf_dir, "documents"))

@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "dedup_span_coverage",
     "curation_temperature_mix",
     "curation_epoch_repeat",
+    "curation_stratified_split",
     "curation_bloom_decontam",
     "text_chunks",
     "curation_quality_gate",
