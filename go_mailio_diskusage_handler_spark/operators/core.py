@@ -350,3 +350,43 @@ def scd2_history(
         F.col("v.valid_to").alias("valid_to"),
         F.col("v.is_current").alias("is_current"),
     )
+
+
+def quota_alerts(agg: DataFrame, quota_quantile: float = 0.95) -> DataFrame:
+    """Quota-breach report over the disk-usage aggregate — the
+    decision the reference's lookup API exists to serve (mailio
+    checks an address's usage against its plan before accepting
+    attachments), pushed down into the engine as a set-returning
+    query: every address above quota, with its absolute and relative
+    excess.  The demo quota is the aggregate's own ``quota_quantile``
+    usage percentile (a real deployment joins a plans dimension —
+    same broadcast shape).
+
+    The percentile is ONE 1-row aggregate over the already-reduced
+    per-address table, broadcast back via cross join — no second scan
+    of the fact table, no sort.
+    """
+    q = agg.agg(
+        F.expr(f"percentile(size_bytes, {quota_quantile})").alias("quota")
+    )
+    return (
+        agg.crossJoin(F.broadcast(q))
+        .filter(F.col("size_bytes") > F.col("quota"))
+        .select(
+            "address",
+            "size_bytes",
+            "number_files",
+            F.round("quota", 2).alias("quota"),
+            # excess as exact integer CENTS: size_bytes and quota are
+            # ~2-dp values, so their difference sits within float noise
+            # of a cent grid point — re-rounding the DIFFERENCE at 2 dp
+            # is a systematic tie that splits across engines, while
+            # nearest-integer in cent space has ~1e-5 of slack.
+            F.round((F.col("size_bytes") - F.col("quota")) * 100, 0)
+            .cast("long")
+            .alias("excess_cents"),
+            F.round(F.col("size_bytes") / F.col("quota"), 4).alias(
+                "usage_ratio"
+            ),
+        )
+    )

@@ -4582,3 +4582,31 @@ def curation_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Guaranteed-proportion stratified eval split
     (operators/curation.py:stratified_split)."""
     return curation.stratified_split(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Quota-breach report over the du aggregate (p95 stand-in quota).
+DU_QUOTA_SQL = f"""
+    WITH inventory AS ({INVENTORY_SQL}),
+    agg AS (SELECT split_part(key, '/', 1) AS address,
+                   ROUND(SUM(size), 2) AS size_bytes,
+                   COUNT(*) AS number_files
+            FROM inventory
+            WHERE len(string_split(key, '/')) >= 2
+            GROUP BY address),
+    q AS (SELECT quantile_cont(size_bytes, 0.95) AS quota FROM agg)
+    SELECT address, size_bytes, number_files,
+           ROUND(quota, 2) AS quota,
+           CAST(ROUND((size_bytes - quota) * 100, 0) AS BIGINT) AS excess_cents,
+           ROUND(size_bytes / quota, 4) AS usage_ratio
+    FROM agg CROSS JOIN q
+    WHERE size_bytes > quota
+"""
+
+
+@register("du_quota_alerts", DU_QUOTA_SQL)
+def du_quota_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Addresses above quota (operators/core.py:quota_alerts) —
+    the enforcement query behind the reference's GetDiskUsage API
+    (handler.go:255-262 serves exactly this check one key at a time)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return core.quota_alerts(core.disk_usage(core.inventory_from_lineitem(li)))

@@ -18,6 +18,7 @@ CORE_QUERIES = [
     "du_heavy_users",
     "du_top_growth",
     "du_scd2_history",
+    "du_quota_alerts",
 ]
 
 
