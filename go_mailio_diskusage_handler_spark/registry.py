@@ -2931,6 +2931,19 @@ _rotate_front(_R5_FRONT)
 # sql_bracket_revenue, sql_important_nations, text_lang_confusion,
 # events_dau_wau, segment_rfm, sql_best_supplier,
 # sql_part_supplier_counts, events_funnel_window.
+#
+# Second-continuation additions (same deferral policy; all appended
+# below the window): events_anomaly_zscore, text_zipf_slope,
+# sql_excess_capacity, dedup_semantic, sim_pca_project,
+# text_bm25_topk, sim_matryoshka_topk, events_user_growth,
+# events_concentration, curation_semantic_decontam,
+# events_markov_stationary, curation_epoch_repeat, du_scd2_history,
+# sql_recursive_spine, events_seasonality, docs_index_coverage,
+# sim_embedding_stats, curation_stratified_split, du_quota_alerts.
+# The round-6 front should therefore cover: the 20 round-5-deferred
+# additions above, then these, then the first continuation batch —
+# ~50 per round keeps every query's driver row ≤2 rounds old at the
+# current registry size.
 # ---------------------------------------------------------------------------
 
 # [EXT] PII detection + redaction.  The fixture text is synthetic word
