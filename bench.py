@@ -37,6 +37,14 @@ End-of-continuation reference (idle): 153 queries, 150.8 s — 19 more
 queries than the prior reference at a LOWER total (run-to-run noise
 plus the triangle fix), heaviest query 8.3 s (curation_keep_best),
 zero errors.
+
+Second-continuation reference: 181 queries, 233.0 s idle (back-to-back
+runs spread 233-307 s on this box; a 3x repeat probe shows the spread
+is COLD-start variance, not regression — the r4-recorded heavies
+re-measure warm at their r4 values: dedup_clusters 14.6 s cold /
+~5.1 s warm vs r4's 4.78, dedup_ngram_jaccard 2.8/2.2 vs r4's 2.70).
+The 28 new queries together add ~24 s; every one is individually
+< 3.5 s at sf0.1.  Zero errors.
 """
 
 from __future__ import annotations
