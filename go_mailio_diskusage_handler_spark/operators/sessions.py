@@ -695,3 +695,87 @@ def hourly_seasonality(events: DataFrame) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 < F.lit(35.17)).alias("is_uniform"),
     )
+
+
+_USER_BUCKET = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(cast(user_id as string)),"
+    f" {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+    for k in range(4)
+)
+
+
+def ab_conversion_test(
+    events: DataFrame, conv_type: str = "purchase"
+) -> DataFrame:
+    """Deterministic A/B experiment readout: users split 50/50 by
+    md5-bucket parity (the same keyed-hash assignment the curation
+    splits use — stable across reruns and backfills, no RNG state),
+    conversion = "is the user an above-median ``conv_type``-er"
+    (median over per-user counts — scale-free, so the rate stays
+    interior at any sf; a naive did-they-ever definition saturates at
+    1.0 on dense data and zeroes the test's variance), and the
+    two-proportion z-test on the pooled rate decides significance at
+    |z| > 1.96.  On the fixture the split is random vs behavior, so
+    the expected readout is NOT-significant — the query is the
+    experimentation-platform primitive, exercised end to end.
+
+    Scale shape: one user-keyed aggregation (the corpus-sized
+    shuffle), a 1-row broadcast median, then the arm table folds to
+    the 1-row report; the z statistic is one arithmetic expression
+    over exact counts, identical text in both engines, rounded at 3.
+    Degenerate pools (rate 0 or 1, or an empty arm) emit
+    ``testable = false`` with a 0.0 z sentinel instead of dividing
+    by zero (ANSI mode raises).
+    """
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == conv_type).cast("int")).alias(
+                "n_conv_events"
+            )
+        )
+    )
+    med = per_user.agg(
+        F.expr("percentile(n_conv_events, 0.5)").alias("med")
+    )
+    assigned = per_user.crossJoin(F.broadcast(med)).select(
+        (F.expr(_USER_BUCKET) % 2).alias("arm"),
+        (F.col("n_conv_events") > F.col("med")).cast("int").alias("converted"),
+    )
+    arms = assigned.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    testable = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (pool > 0)
+        & (pool < 1)
+    )
+    z = F.when(
+        testable,
+        (p_a - p_b)
+        / F.sqrt(
+            pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+        ),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(p_a - p_b, 4).alias("lift"),
+        F.coalesce(testable, F.lit(False)).alias("testable"),
+        F.coalesce(F.round(z, 3), F.lit(0.0)).alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )

@@ -4623,3 +4623,58 @@ def du_quota_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (handler.go:255-262 serves exactly this check one key at a time)."""
     li = load_table(spark, sf_dir, "lineitem")
     return core.quota_alerts(core.disk_usage(core.inventory_from_lineitem(li)))
+
+
+# [EXT] Two-proportion A/B readout on an md5-parity user split.
+_DDB_USER_BUCKET = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(cast(user_id as varchar)),"
+    f" {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+    for k in range(4)
+)
+
+EVENTS_AB_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS n_conv_events
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    med AS (SELECT quantile_cont(n_conv_events, 0.5) AS med FROM per_user),
+    assigned AS (SELECT ({_DDB_USER_BUCKET}) % 2 AS arm,
+                        CASE WHEN n_conv_events > med THEN 1 ELSE 0 END
+                            AS converted
+                 FROM per_user CROSS JOIN med),
+    arms AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                    SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
+                    SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
+             FROM assigned),
+    calc AS (SELECT n_a, n_b, conv_a, conv_b,
+                    conv_a * 1.0 / n_a AS p_a,
+                    conv_b * 1.0 / n_b AS p_b,
+                    (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pool,
+                    (n_a > 0 AND n_b > 0
+                     AND (conv_a + conv_b) * 1.0 / (n_a + n_b) > 0
+                     AND (conv_a + conv_b) * 1.0 / (n_a + n_b) < 1)
+                        AS testable
+             FROM arms)
+    SELECT n_a, n_b,
+           ROUND(p_a, 4) AS rate_a,
+           ROUND(p_b, 4) AS rate_b,
+           ROUND(p_a - p_b, 4) AS lift,
+           testable,
+           COALESCE(ROUND(CASE WHEN testable THEN (p_a - p_b)
+                          / sqrt(pool * (1 - pool)
+                                 * (1.0 / n_a + 1.0 / n_b)) END, 3), 0.0)
+               AS z_stat,
+           COALESCE(CASE WHEN testable THEN abs((p_a - p_b)
+                         / sqrt(pool * (1 - pool)
+                                * (1.0 / n_a + 1.0 / n_b))) > 1.96 END,
+                    FALSE) AS significant
+    FROM calc
+"""
+
+
+@register("events_ab_test", EVENTS_AB_SQL)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic-split A/B conversion readout with
+    two-proportion z-test (operators/sessions.py:ab_conversion_test)."""
+    return sessions.ab_conversion_test(load_table(spark, sf_dir, "events"))

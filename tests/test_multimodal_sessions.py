@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     "events_concentration",
     "events_markov_stationary",
     "events_seasonality",
+    "events_ab_test",
 ]
 
 
@@ -247,3 +248,22 @@ def test_markov_stationary_is_probability_vector(spark):
     ).collect()
     assert rows and all(r.pi >= 0 for r in rows)
     assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
+
+
+def test_ab_test_degenerate_pool_is_guarded(spark):
+    """An experiment where every user converts (or none does) has
+    zero variance — the z-test must come back testable=false with
+    the 0.0 sentinel instead of raising DIVIDE_BY_ZERO under ANSI."""
+    from datetime import datetime
+
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i % 60), i, "purchase")
+        for i in range(1, 9)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = sessions.ab_conversion_test(events).collect()[0]
+    assert not r.testable and r.z_stat == 0.0 and not r.significant
