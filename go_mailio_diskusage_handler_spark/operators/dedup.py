@@ -1038,3 +1038,54 @@ def minhash_estimate_quality(documents: DataFrame) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+def dedup_eval_pr(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.6,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate-quality evaluation of the SimHash tier against exact
+    n-gram Jaccard truth: precision / recall / F1 of the banded
+    SimHash pairs (≤ ``max_hamming``) vs the pairs whose true Jaccard
+    ≥ ``jaccard_threshold`` — the measurement that turns "we have a
+    cheap dedup tier" into "we know what it misses" (cf.
+    text.language_confusion for the classifier analog).
+
+    Both pair sets are the existing operators, unchanged; the
+    comparison is ONE tagged-union aggregation on the pair key (the
+    single-shuffle reconcile shape) folded to a 1-row report.  Rates
+    are exact-integer ratios rounded at 4; an empty side reports 0.0
+    with ``evaluable = false`` rather than dividing by zero.
+    """
+    truth = ngram_jaccard_pairs(documents, jaccard_threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("t"), F.lit(0).alias("p")
+    )
+    pred = simhash_dedup_pairs(documents, max_hamming).select(
+        "doc_a", "doc_b", F.lit(0).alias("t"), F.lit(1).alias("p")
+    )
+    pk = (
+        truth.unionAll(pred)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("t").alias("in_t"), F.max("p").alias("in_p"))
+    )
+    m = pk.groupBy().agg(
+        F.sum("in_t").alias("n_truth"),
+        F.sum("in_p").alias("n_pred"),
+        F.sum(F.col("in_t") * F.col("in_p")).alias("tp"),
+    )
+    evaluable = (F.col("n_truth") > 0) & (F.col("n_pred") > 0)
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth"))
+    f1 = F.when(
+        evaluable & (prec + rec > 0), 2 * prec * rec / (prec + rec)
+    )
+    return m.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.coalesce(evaluable, F.lit(False)).alias("evaluable"),
+        F.coalesce(F.round(prec, 4), F.lit(0.0)).alias("precision"),
+        F.coalesce(F.round(rec, 4), F.lit(0.0)).alias("recall"),
+        F.coalesce(F.round(f1, 4), F.lit(0.0)).alias("f1"),
+    )

@@ -4678,3 +4678,55 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Deterministic-split A/B conversion readout with
     two-proportion z-test (operators/sessions.py:ab_conversion_test)."""
     return sessions.ab_conversion_test(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] SimHash-vs-exact-Jaccard evaluation harness: compose the two
+# registered pair oracles and reconcile on the pair key.
+DEDUP_EVAL_SQL = f"""
+    WITH truth AS (
+        WITH {_CAPPED_SHINGLE_CTES},
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM shingles x JOIN shingles y
+                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+        {_JACCARD_TAIL}
+        WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+    ),
+    pred AS (
+        WITH {_SIMHASH_CTES},
+        blocks AS ({_SIM_BLOCKS}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         bit_count(xor(a.simhash, b.simhash)) AS hamming
+                  FROM blocks a JOIN blocks b
+                    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+                   AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3
+    ),
+    tagged AS (SELECT doc_a, doc_b, 1 AS t, 0 AS p FROM truth
+               UNION ALL SELECT doc_a, doc_b, 0 AS t, 1 AS p FROM pred),
+    pk AS (SELECT doc_a, doc_b, MAX(t) AS in_t, MAX(p) AS in_p
+           FROM tagged GROUP BY doc_a, doc_b),
+    m AS (SELECT SUM(in_t) AS n_truth, SUM(in_p) AS n_pred,
+                 SUM(in_t * in_p) AS tp
+          FROM pk)
+    SELECT n_truth, n_pred, tp,
+           (n_truth > 0 AND n_pred > 0) AS evaluable,
+           COALESCE(ROUND(CASE WHEN n_pred > 0
+                               THEN tp * 1.0 / n_pred END, 4), 0.0)
+               AS precision,
+           COALESCE(ROUND(CASE WHEN n_truth > 0
+                               THEN tp * 1.0 / n_truth END, 4), 0.0)
+               AS recall,
+           COALESCE(ROUND(CASE WHEN n_truth > 0 AND n_pred > 0
+                               AND tp * 1.0 / n_pred + tp * 1.0 / n_truth > 0
+                               THEN 2 * (tp * 1.0 / n_pred) * (tp * 1.0 / n_truth)
+                                    / (tp * 1.0 / n_pred + tp * 1.0 / n_truth)
+                          END, 4), 0.0) AS f1
+    FROM m
+"""
+
+
+@register("dedup_eval_pr", DEDUP_EVAL_SQL)
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Precision/recall of the SimHash tier vs exact Jaccard
+    truth (operators/dedup.py:dedup_eval_pr)."""
+    return dedup.dedup_eval_pr(load_table(spark, sf_dir, "documents"))

@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "text_ngram_topk",
     "text_tfidf_topterms",
     "dedup_exact",
+    "dedup_eval_pr",
     "dedup_normalized",
     "dedup_minhash",
     "dedup_incremental_minhash",
