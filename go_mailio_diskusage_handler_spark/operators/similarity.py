@@ -1709,3 +1709,41 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
             "n_bad_dim",
         )
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Recall harness for the LSH ANN tier: per query, how much of the
+    exact top-``k`` (brute-force truth) the multi-probe LSH search
+    returns, plus the reciprocal rank of the TRUE nearest neighbor in
+    the ANN list — the live twin of the recall assertions that
+    otherwise exist only in pytest, so a production index rebuild can
+    gate on measured recall (cf. dedup.dedup_eval_pr for the dedup
+    tier).
+
+    Cost = the two component searches (truth is exact but
+    query-bounded: n_queries × corpus — the oracle tier, not the
+    serving path) + one (n_queries × k)-row join: evaluation is
+    corpus-free beyond the searches themselves.
+    """
+    truth = brute_force_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    )
+    pred = lsh_ann_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("p_rank")
+    )
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("p_rank").alias("n_hit"),
+        F.round(F.count("p_rank") / F.lit(float(k)), 4).alias("recall"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("t_rank") == 1,
+                    F.coalesce(1.0 / F.col("p_rank"), F.lit(0.0)),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("rr_top1"),
+    )

@@ -4730,3 +4730,30 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Precision/recall of the SimHash tier vs exact Jaccard
     truth (operators/dedup.py:dedup_eval_pr)."""
     return dedup.dedup_eval_pr(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] ANN recall harness: compose the registered brute-force truth
+# and LSH-ANN oracles (registration order guarantees both exist here).
+SIM_EVAL_RECALL_SQL = f"""
+    WITH truth AS (SELECT query_id, neighbor_id, rank AS t_rank
+                   FROM ({ORACLE_SQL["sim_brute_topk"]}) WHERE rank <= 5),
+    pred AS (SELECT query_id, neighbor_id, rank AS p_rank
+             FROM ({ORACLE_SQL["sim_lsh_ann_topk"]})),
+    j AS (SELECT t.query_id, t.t_rank, p.p_rank
+          FROM truth t LEFT JOIN pred p
+            ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
+    SELECT query_id,
+           COUNT(p_rank) AS n_hit,
+           ROUND(COUNT(p_rank) / 5.0, 4) AS recall,
+           ROUND(MAX(CASE WHEN t_rank = 1
+                          THEN COALESCE(1.0 / p_rank, 0.0)
+                          ELSE 0.0 END), 4) AS rr_top1
+    FROM j GROUP BY query_id
+"""
+
+
+@register("sim_eval_recall", SIM_EVAL_RECALL_SQL)
+def sim_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-query LSH-ANN recall@5 + top-1 reciprocal rank vs
+    exact truth (operators/similarity.py:ann_recall_eval)."""
+    return similarity.ann_recall_eval(load_table(spark, sf_dir, "embeddings"))

@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "sim_matryoshka_topk",
     "curation_semantic_decontam",
     "sim_embedding_stats",
+    "sim_eval_recall",
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
