@@ -736,41 +736,110 @@ def epoch_repeat(documents: DataFrame, max_epochs: int = 4) -> DataFrame:
 
 
 def stratified_split(
-    documents: DataFrame, eval_frac_bp: int = 1000
+    documents: DataFrame, eval_frac_bp: int = 1000, *, skew_guard: bool = True
 ) -> DataFrame:
     """Stratified eval split: EXACTLY ``ceil(frac · n_s)`` documents
     from EVERY source (``eval_frac_bp`` in basis points, 1000 = 10%) —
     the guaranteed-proportion complement of the Bernoulli splits
-    (:func:`assign_splits` holds fractions only in expectation, and a
-    small domain can lose all its eval rows to variance; a benchmark
-    needs every domain represented).
+    (:func:`split_assignments` holds fractions only in expectation,
+    and a small domain can lose all its eval rows to variance; a
+    benchmark needs every domain represented).
 
     Determinism: documents rank within their source by (md5-bucket,
-    doc_id) — the same keyed-hash order every sampler here uses — and
-    the cutoff is an exact integer ceil, so both engines pick the
-    identical set.  Scale: one window per source over the corpus;
-    the skew fence from :func:`mixture_rebalance` (bounded-histogram
-    pre-filter) applies verbatim if a source dominates, since only
-    the first ceil(frac·n_s) hash-ranked rows can qualify.
+    doc_id) and the cutoff is an exact integer ceil, so both engines
+    pick the identical set.
+
+    ``skew_guard`` (default on) is :func:`mixture_rebalance`'s
+    bounded-histogram fence adapted to a per-source FRACTIONAL quota:
+    the exact (source, hash) histogram (≤ |sources|·65 536
+    pre-combined rows however large a source is) yields each source's
+    total AND its ceil-quota-th hash cutoff in one bounded job; rows
+    above their source's cutoff cannot be in the first ceil rows of
+    the (hash, doc_id) order, so they are labeled ``train`` by a pure
+    filter WITHOUT entering the window — the rank window's input
+    shrinks from n_s to ~frac·n_s + one hash tie-group per source,
+    and per-source totals ride the same ≤ |sources|-row collect as a
+    map literal instead of a corpus-sized COUNT window.
     """
-    n_w = Window.partitionBy("source")
+    h = F.expr(_BUCKET_SQL).cast("long")
+    base = documents.select("doc_id", "source", h.alias("h"))
+
+    def quota(n_col):
+        return (n_col * eval_frac_bp + 9999) / F.lit(10000)
+
+    if not skew_guard:
+        n_w = Window.partitionBy("source")
+        rk_w = Window.partitionBy("source").orderBy(
+            F.col("h").asc(), F.col("doc_id").asc()
+        )
+        ranked = base.select(
+            "doc_id",
+            "source",
+            F.count(F.lit(1)).over(n_w).alias("n_source"),
+            F.row_number().over(rk_w).alias("rk"),
+        )
+        cutoff = F.floor(quota(F.col("n_source"))).cast("long")
+        return ranked.select(
+            "doc_id",
+            "source",
+            "n_source",
+            F.when(F.col("rk") <= cutoff, "eval")
+            .otherwise("train")
+            .alias("split"),
+        )
+
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = base.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    stats_rows = (
+        hist.select(
+            "source",
+            "h",
+            F.sum("n").over(cum_w).alias("cum"),
+            F.sum("n").over(Window.partitionBy("source")).alias("tot"),
+        )
+        .filter(F.col("cum") >= F.floor(quota(F.col("tot"))))
+        .groupBy("source")
+        .agg(F.min("h").alias("h_cap"), F.max("tot").alias("n_source"))
+        .collect()
+    )
+    cap_map = F.create_map(
+        *[
+            lit
+            for r in sorted(stats_rows, key=lambda r: r["source"])
+            for lit in (F.lit(r["source"]), F.lit(r["h_cap"]))
+        ]
+    )
+    n_map = F.create_map(
+        *[
+            lit
+            for r in sorted(stats_rows, key=lambda r: r["source"])
+            for lit in (F.lit(r["source"]), F.lit(r["n_source"]))
+        ]
+    )
+    n_source = n_map[F.col("source")].cast("long")
+    cutoff = F.floor(quota(n_source)).cast("long")
+    head_rows = base.filter(F.col("h") <= cap_map[F.col("source")])
     rk_w = Window.partitionBy("source").orderBy(
-        F.expr(_BUCKET_SQL).asc(), F.col("doc_id").asc()
+        F.col("h").asc(), F.col("doc_id").asc()
     )
-    ranked = documents.select(
+    head_out = head_rows.select(
         "doc_id",
         "source",
-        F.count(F.lit(1)).over(n_w).alias("n_source"),
-        F.row_number().over(rk_w).alias("rk"),
-    )
-    # exact integer ceil(frac * n): (n * bp + 9999) // 10000
-    cut = (F.col("n_source") * eval_frac_bp + 9999) / F.lit(10000)
-    cutoff = F.floor(cut).cast("long")
-    return ranked.select(
-        "doc_id",
-        "source",
-        "n_source",
-        F.when(F.col("rk") <= cutoff, "eval")
+        n_source.alias("n_source"),
+        F.when(
+            F.row_number().over(rk_w) <= cutoff, "eval"
+        )
         .otherwise("train")
         .alias("split"),
     )
+    tail_out = base.filter(F.col("h") > cap_map[F.col("source")]).select(
+        "doc_id",
+        "source",
+        n_source.alias("n_source"),
+        F.lit("train").alias("split"),
+    )
+    return head_out.unionAll(tail_out)

@@ -874,3 +874,33 @@ def test_semantic_decontam_is_broadcast_scan(spark):
     # widen_for_compute may add its round-robin rebalance; beyond that
     # the only exchange is the groupBy(vec_id) aggregate.
     assert plans.shuffle_count(df) <= 2, plan
+
+
+def test_stratified_split_skew_guard_is_output_invariant(spark):
+    """Under a 10×-skewed source the histogram fence must (a) label
+    rows bit-identically to the unguarded corpus-window form, and (b)
+    admit only ~quota + one-hash-tie-group rows per source into the
+    rank window."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    rows = [(i, "big") for i in range(5000)] + [
+        (10_000 + i, f"small{i % 3}") for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    guarded = curation.stratified_split(docs)
+    plain = curation.stratified_split(docs, skew_guard=False)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # replicate the fence arithmetic: rows entering the window are the
+    # docs at or below the big source's quota-th hash
+    hashed = docs.filter(F.col("source") == "big").select(
+        F.expr(curation._BUCKET_SQL).cast("long").alias("h")
+    )
+    hs = sorted(r.h for r in hashed.collect())
+    quota = (5000 * 1000 + 9999) // 10000  # ceil(10%)
+    cutoff = hs[quota - 1]
+    survivors = sum(1 for h in hs if h <= cutoff)
+    assert survivors <= 2 * quota, survivors
