@@ -779,3 +779,48 @@ def ab_conversion_test(
         F.coalesce(F.round(z, 3), F.lit(0.0)).alias("z_stat"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
+
+
+def user_day_features(events: DataFrame) -> DataFrame:
+    """Feature-store materialization: per (user, active day), the
+    point-in-time features a training pipeline joins to labels —
+    same-day activity, trailing 7-row activity sums, days since the
+    previous active day, and lifetime-to-date counts.  Everything is
+    AS-OF the day (current day included for same-day features,
+    trailing windows exclude it) so there is no label leakage from
+    the future.
+
+    Shape: the corpus collapses to the (user × active-day) grid in
+    ONE aggregation (the only corpus-sized shuffle); every window
+    then runs on that bounded grid partitioned by user — rows per
+    partition = a user's active days, not their events.
+    """
+    daily = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("day")
+    trail = order.rowsBetween(-7, -1)
+    life = order.rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "day_value",
+        "n_purchases",
+        F.coalesce(F.sum("n_events").over(trail), F.lit(0)).alias(
+            "events_prev7"
+        ),
+        F.coalesce(
+            F.datediff(F.col("day"), F.lag("day").over(order)), F.lit(-1)
+        ).alias("days_since_prev"),
+        F.sum("n_events").over(life).alias("events_lifetime"),
+        F.row_number().over(order).alias("active_day_idx"),
+    )

@@ -4757,3 +4757,37 @@ def sim_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Per-query LSH-ANN recall@5 + top-1 reciprocal rank vs
     exact truth (operators/similarity.py:ann_recall_eval)."""
     return similarity.ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+# [EXT] Point-in-time per-(user, day) training features.
+EVENTS_FEATURES_SQL = """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS day_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchases
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, day)
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           n_events, day_value, n_purchases,
+           COALESCE(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+               AS events_prev7,
+           COALESCE(day - LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                    -1) AS days_since_prev,
+           SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS events_lifetime,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                AS INTEGER) AS active_day_idx
+    FROM daily
+"""
+
+
+@register("events_user_features", EVENTS_FEATURES_SQL)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Leakage-safe per-(user, day) feature materialization
+    (operators/sessions.py:user_day_features)."""
+    return sessions.user_day_features(load_table(spark, sf_dir, "events"))

@@ -36,6 +36,7 @@ ORACLE_CHECKED = [
     "events_markov_stationary",
     "events_seasonality",
     "events_ab_test",
+    "events_user_features",
 ]
 
 
