@@ -666,3 +666,44 @@ def bm25_topk(
         "score",
         F.row_number().over(w_rank).cast("int").alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def corpus_datacard(documents: DataFrame) -> DataFrame:
+    """The data-card summary block: corpus-level metrics as one
+    (metric, value) table — doc/source/language counts, size totals,
+    token statistics, and the exact-duplicate rate — the numbers a
+    dataset release documents up front (public datasheet/data-card
+    practice), computed in ONE pass.
+
+    All metrics fold into a single aggregation over the scan
+    (count_distinct included); the pivot to rows is a zero-cost
+    stack() over the 1-row result, so the datacard costs exactly one
+    corpus read however many metrics it reports.
+    """
+    toks = F.size(F.split(F.lower("text"), r"\s+"))
+    agg = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("distinct_texts"),
+    )
+    pairs = ", ".join(
+        f"'{m}', CAST({expr} AS DOUBLE)"
+        for m, expr in [
+            ("n_docs", "n_docs"),
+            ("n_sources", "n_sources"),
+            ("n_langs", "n_langs"),
+            ("total_chars", "total_chars"),
+            ("total_tokens", "total_tokens"),
+            ("mean_doc_tokens", "ROUND(total_tokens / n_docs, 4)"),
+            ("distinct_texts", "distinct_texts"),
+            (
+                "exact_dup_rate",
+                "ROUND(1.0 - distinct_texts * 1.0 / n_docs, 4)",
+            ),
+        ]
+    )
+    n = 8
+    return agg.selectExpr(f"stack({n}, {pairs}) AS (metric, value)")

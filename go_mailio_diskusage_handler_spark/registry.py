@@ -4791,3 +4791,36 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Leakage-safe per-(user, day) feature materialization
     (operators/sessions.py:user_day_features)."""
     return sessions.user_day_features(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] One-pass corpus datacard (metric, value) block.
+TEXT_DATACARD_SQL = r"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT lang) AS n_langs,
+               SUM(length(text)) AS total_chars,
+               SUM(len(string_split_regex(lower(text), '\s+')))
+                   AS total_tokens,
+               COUNT(DISTINCT sha256(text)) AS distinct_texts
+        FROM documents)
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+        UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+        UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+        UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM agg
+        UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+        UNION ALL SELECT 'mean_doc_tokens',
+                         ROUND(total_tokens * 1.0 / n_docs, 4) FROM agg
+        UNION ALL SELECT 'distinct_texts',
+                         CAST(distinct_texts AS DOUBLE) FROM agg
+        UNION ALL SELECT 'exact_dup_rate',
+                         ROUND(1.0 - distinct_texts * 1.0 / n_docs, 4) FROM agg
+    )
+"""
+
+
+@register("text_datacard", TEXT_DATACARD_SQL)
+def text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-pass corpus datacard (operators/text.py:corpus_datacard)."""
+    return text.corpus_datacard(load_table(spark, sf_dir, "documents"))

@@ -14,6 +14,7 @@ from conftest import SF_CORRECT, compare_with_oracle
 ORACLE_CHECKED = [
     "text_zipf_slope",
     "text_bm25_topk",
+    "text_datacard",
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
