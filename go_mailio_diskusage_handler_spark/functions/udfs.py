@@ -246,3 +246,34 @@ def model_scores(documents: DataFrame) -> DataFrame:
         "n_tok",
         F.round(F.col("model_sum") / F.col("n_tok"), 4).alias("model_score"),
     )
+
+
+def arrow_optimized_tokens(documents: DataFrame) -> DataFrame:
+    """The FOURTH Python-UDF execution surface: an Arrow-OPTIMIZED
+    plain ``@udf`` (``useArrow=True``, public Spark 3.5+ API) — the
+    author writes scalar row-at-a-time Python, the engine transports
+    batches over Arrow instead of pickling row by row (plan shows
+    ArrowEvalPython, asserted in tests).  Next to the pandas_udf
+    (vectorized author API), grouped-map, and Arrow UDTF surfaces,
+    this is the migration path for legacy row UDFs that can't be
+    vectorized but shouldn't pay pickle serialization.
+
+    Kept OFF the hot path like every Python tier here — the same
+    token count is a one-line JVM expression (``token_stats``); the
+    point is API coverage with an oracle twin.
+    """
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def n_tokens(text: str) -> int:
+        return len(text.split(" "))
+
+    @udf("string", useArrow=True)
+    def head_token(text: str) -> str:
+        return text.split(" ")[0] if text else ""
+
+    return documents.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        head_token("text").alias("head_token"),
+    )

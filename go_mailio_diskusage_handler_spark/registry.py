@@ -4824,3 +4824,19 @@ TEXT_DATACARD_SQL = r"""
 def text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] One-pass corpus datacard (operators/text.py:corpus_datacard)."""
     return text.corpus_datacard(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Arrow-optimized plain Python UDF surface (useArrow=True).
+UDF_ARROW_SQL = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS head_token
+    FROM documents
+"""
+
+
+@register("udf_arrow_tokens", UDF_ARROW_SQL)
+def udf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Arrow-optimized scalar Python UDF
+    (functions/udfs.py:arrow_optimized_tokens)."""
+    return udfs.arrow_optimized_tokens(load_table(spark, sf_dir, "documents"))

@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "udtf_path_segments",
     "udf_grouped_map_zscore",
     "udf_iter_model_scores",
+    "udf_arrow_tokens",
 ]
 
 
@@ -67,5 +68,18 @@ def test_iter_model_udf_is_arrow_not_batch_python(spark):
     BatchEvalPython."""
     df = udfs.model_scores(load_table(spark, SF_CORRECT, "documents"))
     plan = plans.executed_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_arrow_optimized_udf_uses_arrow_eval(spark):
+    """useArrow=True must compile to ArrowEvalPython, not the pickled
+    BatchEvalPython path — that transport difference is the whole
+    point of the surface."""
+    from go_mailio_diskusage_handler_spark import plans, registry
+
+    plan = plans.executed_plan(
+        registry.QUERIES["udf_arrow_tokens"](spark, SF_CORRECT)
+    )
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
