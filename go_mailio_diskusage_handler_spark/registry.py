@@ -4840,3 +4840,10 @@ def udf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Arrow-optimized scalar Python UDF
     (functions/udfs.py:arrow_optimized_tokens)."""
     return udfs.arrow_optimized_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@register("sql_lateral_topn", sql_surface.LATERAL_TOPN_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Correlated LATERAL top-N per customer
+    (sql.lateral_topn_orders)."""
+    return sql_surface.lateral_topn_orders(spark, sf_dir)

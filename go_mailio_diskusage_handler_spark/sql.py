@@ -704,3 +704,27 @@ def recursive_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     One ANSI string, both engines."""
     register_views(spark, sf_dir)
     return spark.sql(RECURSIVE_SPINE_SQL)
+
+
+LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+"""
+
+
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by
+    price, stated as a per-row subquery with ORDER BY + LIMIT — the
+    ANSI lateral-join surface.  Catalyst DECORRELATES it: the
+    physical plan is the same partitioned rank-window + join a
+    DataFrame author would write by hand (no per-customer re-scan of
+    orders), which is exactly why the surface is safe at scale — the
+    naive reading executes orders once per customer row, the planned
+    form shuffles each table once.  One ANSI string, both engines;
+    ties break on o_orderkey so the LIMIT edge is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPN_SQL)

@@ -152,6 +152,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_part_supplier_counts",
         "sql_excess_capacity",
         "sql_recursive_spine",
+        "sql_lateral_topn",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
