@@ -4847,3 +4847,29 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Correlated LATERAL top-N per customer
     (sql.lateral_topn_orders)."""
     return sql_surface.lateral_topn_orders(spark, sf_dir)
+
+
+# [EXT] Per-user event-type Shannon entropy (bot/diversity signal).
+EVENTS_ENTROPY_SQL = """
+    WITH ut AS (SELECT user_id, event_type, COUNT(*) AS n
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id, event_type),
+    per_user AS (SELECT user_id, SUM(n) AS n_events,
+                        COUNT(*) AS n_types,
+                        SUM(n * ln(n)) AS sum_nlogn
+                 FROM ut GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           ROUND(ln(n_events) - sum_nlogn / n_events, 4) AS entropy,
+           ROUND(CASE WHEN n_types > 1
+                      THEN (ln(n_events) - sum_nlogn / n_events)
+                           / ln(CAST(n_types AS DOUBLE))
+                      ELSE 0.0 END, 4) AS norm_entropy
+    FROM per_user
+"""
+
+
+@register("events_user_entropy", EVENTS_ENTROPY_SQL)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Behavioral entropy per user
+    (operators/sessions.py:user_behavior_entropy)."""
+    return sessions.user_behavior_entropy(load_table(spark, sf_dir, "events"))

@@ -37,6 +37,7 @@ ORACLE_CHECKED = [
     "events_seasonality",
     "events_ab_test",
     "events_user_features",
+    "events_user_entropy",
 ]
 
 
