@@ -947,3 +947,76 @@ def corpus_index_coverage(
         "*",
         F.round(F.col("n_matched") / F.col("n_docs"), 4).alias("coverage"),
     )
+
+
+def part_affinity_lift(
+    lineitem: DataFrame, part: DataFrame, min_pair_orders: int = 20
+) -> DataFrame:
+    """Association-rule statistics over the type co-occurrence pairs:
+    support, confidence (both directions folded to max), and LIFT —
+    P(a,b) / (P(a)·P(b)) — the measure that separates "frequent
+    because both are common" from genuine affinity, which raw pair
+    counts (:func:`part_type_affinity`) cannot tell apart.
+
+    Inputs are the same order-bounded distinct self-join plus one
+    |types|-bounded marginal count joined in twice (broadcast — the
+    type dimension is tiny by construction).  All ratios are exact
+    integer divisions rounded at 4; the total-order count arrives as
+    a 1-row broadcast scalar, not a second pass.
+    """
+    order_types = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    order_types = order_types.persist(StorageLevel.MEMORY_AND_DISK)
+    marg = order_types.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    total = order_types.select("l_orderkey").distinct().count()
+    a, b = order_types.alias("a"), order_types.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_orders)
+    )
+    ma = marg.select(
+        F.col("p_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("p_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    n_tot = F.lit(total)
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.round(F.col("n_pair") / n_tot, 4).alias("support"),
+            F.round(
+                F.greatest(
+                    F.col("n_pair") / F.col("n_a"),
+                    F.col("n_pair") / F.col("n_b"),
+                ),
+                4,
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair") * n_tot / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+    )

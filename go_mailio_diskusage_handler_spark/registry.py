@@ -4873,3 +4873,39 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Behavioral entropy per user
     (operators/sessions.py:user_behavior_entropy)."""
     return sessions.user_behavior_entropy(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Association-rule lift/confidence over type co-occurrence.
+PART_LIFT_SQL = """
+    WITH order_types AS (
+        SELECT DISTINCT l_orderkey, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    marg AS (SELECT p_type, COUNT(*) AS n_type
+             FROM order_types GROUP BY p_type),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM order_types),
+    pairs AS (SELECT a.p_type AS type_a, b.p_type AS type_b,
+                     COUNT(*) AS n_pair
+              FROM order_types a JOIN order_types b
+                ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+              GROUP BY type_a, type_b
+              HAVING COUNT(*) >= 20)
+    SELECT type_a, type_b, n_pair,
+           ROUND(n_pair * 1.0 / tot.n, 4) AS support,
+           ROUND(GREATEST(n_pair * 1.0 / ma.n_type,
+                          n_pair * 1.0 / mb.n_type), 4) AS confidence,
+           ROUND(n_pair * 1.0 * tot.n / (ma.n_type * mb.n_type), 4) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.p_type = pairs.type_a
+    JOIN marg mb ON mb.p_type = pairs.type_b
+    CROSS JOIN tot
+"""
+
+
+@register("part_affinity_lift", PART_LIFT_SQL)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lift/confidence association rules
+    (operators/relational.py:part_affinity_lift)."""
+    return relational.part_affinity_lift(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )

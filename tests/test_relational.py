@@ -60,6 +60,7 @@ ORACLE_CHECKED = [
     "window_segment_deciles",
     "trend_customer_spend",
     "part_type_affinity",
+    "part_affinity_lift",
     "events_sketch_merge",
     "events_bitmap_users",
     "scalar_variant_props",
