@@ -864,3 +864,50 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         F.round(ent, 4).alias("entropy"),
         F.round(norm, 4).alias("norm_entropy"),
     )
+
+
+def retention_curve(events: DataFrame) -> DataFrame:
+    """The headline retention curve: for each day offset, the
+    cohort-size-weighted share of users still active — the one-line
+    summary the full cohort matrix (:func:`cohort_retention`) exists
+    to feed.  Weighted (pooled) form: sum of active users at offset N
+    over the sum of the sizes of cohorts OLD ENOUGH to have an
+    offset-N reading — unweighted averaging would let tiny young
+    cohorts swing the tail.
+
+    Pure composition over the cohort matrix — one extra
+    offsets-bounded aggregation + a cohort-bounded self-join for the
+    eligibility denominator; nothing corpus-sized beyond the matrix's
+    own build.
+    """
+    m = cohort_retention(events)
+    sizes = m.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("active_users").alias("cohort_size")
+    )
+    max_off = m.groupBy("cohort_day").agg(
+        F.max("day_offset").alias("max_offset")
+    )
+    eligible = sizes.join(max_off, "cohort_day")
+    offsets = m.select("day_offset").distinct()
+    denom = (
+        offsets.join(
+            eligible, F.col("max_offset") >= F.col("day_offset"), "inner"
+        )
+        .groupBy("day_offset")
+        .agg(
+            F.sum("cohort_size").alias("eligible_users"),
+            F.count(F.lit(1)).alias("n_cohorts"),
+        )
+    )
+    act = m.groupBy("day_offset").agg(
+        F.sum("active_users").alias("active_users")
+    )
+    return act.join(denom, "day_offset").select(
+        "day_offset",
+        "n_cohorts",
+        "active_users",
+        "eligible_users",
+        F.round(F.col("active_users") / F.col("eligible_users"), 4).alias(
+            "retention"
+        ),
+    )

@@ -707,3 +707,31 @@ def corpus_datacard(documents: DataFrame) -> DataFrame:
     )
     n = 8
     return agg.selectExpr(f"stack({n}, {pairs}) AS (metric, value)")
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Log₂-bucketed document-length histogram: the corpus size
+    distribution behind chunking and packing decisions (how much is
+    tweet-sized vs book-sized), datacard companion.
+
+    The bucket is ``length(bin(n_chars))`` — the bit length of the
+    integer — so bucket edges are EXACT powers of two computed in
+    integer space: a float ``floor(log2(n))`` flips at the boundary
+    (log2(1024) can land at 9.999…) and splits across engines; the
+    binary-string length cannot.  One map-side-combined aggregation,
+    ≤ 64 output rows.
+    """
+    bucket = F.length(F.expr("bin(length(text))")).alias("log2_bucket")
+    hist = documents.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+    total = hist.agg(F.sum("n_docs").alias("t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "log2_bucket",
+        "n_docs",
+        "min_chars",
+        "max_chars",
+        F.round(F.col("n_docs") / F.col("t"), 4).alias("share"),
+    )

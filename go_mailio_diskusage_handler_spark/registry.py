@@ -4909,3 +4909,55 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+# [EXT] Pooled retention curve over the cohort matrix (composes the
+# registered cohort oracle).
+EVENTS_RETENTION_CURVE_SQL = f"""
+    WITH m AS ({ORACLE_SQL["events_retention_cohorts"]}),
+    sizes AS (SELECT cohort_day, active_users AS cohort_size
+              FROM m WHERE day_offset = 0),
+    max_off AS (SELECT cohort_day, MAX(day_offset) AS max_offset
+                FROM m GROUP BY cohort_day),
+    eligible AS (SELECT s.cohort_day, s.cohort_size, x.max_offset
+                 FROM sizes s JOIN max_off x USING (cohort_day)),
+    offsets AS (SELECT DISTINCT day_offset FROM m),
+    denom AS (SELECT o.day_offset,
+                     SUM(e.cohort_size) AS eligible_users,
+                     COUNT(*) AS n_cohorts
+              FROM offsets o JOIN eligible e
+                ON e.max_offset >= o.day_offset
+              GROUP BY o.day_offset),
+    act AS (SELECT day_offset, SUM(active_users) AS active_users
+            FROM m GROUP BY day_offset)
+    SELECT a.day_offset, d.n_cohorts, a.active_users, d.eligible_users,
+           ROUND(a.active_users * 1.0 / d.eligible_users, 4) AS retention
+    FROM act a JOIN denom d USING (day_offset)
+"""
+
+
+@register("events_retention_curve", EVENTS_RETENTION_CURVE_SQL)
+def events_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Pooled day-N retention curve
+    (operators/sessions.py:retention_curve)."""
+    return sessions.retention_curve(load_table(spark, sf_dir, "events"))
+
+
+# [EXT] Exact log2-bucket length histogram (bit-length buckets).
+TEXT_LENHIST_SQL = """
+    WITH hist AS (SELECT length(bin(length(text))) AS log2_bucket,
+                         COUNT(*) AS n_docs,
+                         MIN(length(text)) AS min_chars,
+                         MAX(length(text)) AS max_chars
+                  FROM documents GROUP BY log2_bucket)
+    SELECT log2_bucket, n_docs, min_chars, max_chars,
+           ROUND(n_docs * 1.0 / (SELECT SUM(n_docs) FROM hist), 4) AS share
+    FROM hist
+"""
+
+
+@register("docs_length_histogram", TEXT_LENHIST_SQL)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Log2 document-length histogram
+    (operators/text.py:length_histogram)."""
+    return text.length_histogram(load_table(spark, sf_dir, "documents"))

@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "text_zipf_slope",
     "text_bm25_topk",
     "text_datacard",
+    "docs_length_histogram",
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",

@@ -38,6 +38,7 @@ ORACLE_CHECKED = [
     "events_ab_test",
     "events_user_features",
     "events_user_entropy",
+    "events_retention_curve",
 ]
 
 
