@@ -1747,3 +1747,35 @@ def ann_recall_eval(
             4,
         ).alias("rr_top1"),
     )
+
+
+def ivfpq_recall_eval(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Recall harness for the PRODUCTION ANN stack (IVF probe → PQ ADC
+    → exact re-rank), same contract as :func:`ann_recall_eval` for
+    the LSH tier: per-query recall@k and top-1 reciprocal rank vs the
+    brute-force truth.  Gating an index rebuild on both tiers'
+    measured recall is exactly how a deployment keeps quantizer drift
+    from silently degrading retrieval.
+    """
+    truth = brute_force_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    )
+    pred = ivfpq_rerank_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("p_rank")
+    )
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("p_rank").alias("n_hit"),
+        F.round(F.count("p_rank") / F.lit(float(k)), 4).alias("recall"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("t_rank") == 1,
+                    F.coalesce(1.0 / F.col("p_rank"), F.lit(0.0)),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("rr_top1"),
+    )

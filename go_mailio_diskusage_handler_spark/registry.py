@@ -4961,3 +4961,30 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Log2 document-length histogram
     (operators/text.py:length_histogram)."""
     return text.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+# [EXT] Recall harness for the IVF-PQ + rerank stack (composes the
+# registered truth and rerank oracles).
+SIM_EVAL_IVFPQ_SQL = f"""
+    WITH truth AS (SELECT query_id, neighbor_id, rank AS t_rank
+                   FROM ({ORACLE_SQL["sim_brute_topk"]}) WHERE rank <= 5),
+    pred AS (SELECT query_id, neighbor_id, rank AS p_rank
+             FROM ({ORACLE_SQL["sim_ivfpq_rerank_topk"]})),
+    j AS (SELECT t.query_id, t.t_rank, p.p_rank
+          FROM truth t LEFT JOIN pred p
+            ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
+    SELECT query_id,
+           COUNT(p_rank) AS n_hit,
+           ROUND(COUNT(p_rank) / 5.0, 4) AS recall,
+           ROUND(MAX(CASE WHEN t_rank = 1
+                          THEN COALESCE(1.0 / p_rank, 0.0)
+                          ELSE 0.0 END), 4) AS rr_top1
+    FROM j GROUP BY query_id
+"""
+
+
+@register("sim_eval_recall_ivfpq", SIM_EVAL_IVFPQ_SQL)
+def sim_eval_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-query IVF-PQ-rerank recall@5 + top-1 RR vs exact
+    truth (operators/similarity.py:ivfpq_recall_eval)."""
+    return similarity.ivfpq_recall_eval(load_table(spark, sf_dir, "embeddings"))

@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "curation_semantic_decontam",
     "sim_embedding_stats",
     "sim_eval_recall",
+    "sim_eval_recall_ivfpq",
     "sim_quantize_int8",
     "sim_pq_codes",
     "sim_pq_ann_topk",
