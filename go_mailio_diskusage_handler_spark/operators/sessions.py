@@ -595,6 +595,16 @@ def event_concentration(events: DataFrame, deciles: int = 10) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return concentration_report(per_user, deciles)
+
+
+def concentration_report(per_user: DataFrame, deciles: int = 10) -> DataFrame:
+    """Scoring half of :func:`event_concentration`, shared with the
+    streaming twin (``streaming.windows.concentration_over_totals_sink``):
+    expects a (user_id, n_events) table — in streaming, the SINK of
+    the additive per-user count aggregation; the NTILE ranking is not
+    incremental-safe, so it runs serving-side over the user-bounded
+    sink (rank-in-sink pattern)."""
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
     bucketed = per_user.select(
         "n_events", F.ntile(deciles).over(w).alias("decile")

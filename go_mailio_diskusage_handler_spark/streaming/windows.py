@@ -364,3 +364,33 @@ def anomaly_over_counts_sink(
     return score_daily_counts(
         daily, trailing=trailing, min_prior=min_prior, z_thresh=z_thresh
     )
+
+
+def user_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user event counts — the additive (incremental-
+    safe) half of the activity-concentration report: a global
+    groupBy(user) count whose state is one long per user (the USER
+    dimension, not event volume; RocksDB holds billions of such keys).
+    Run in complete/update mode into a sink, then rank serving-side
+    with :func:`concentration_over_totals_sink`.
+    """
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def concentration_over_totals_sink(sink_df: DataFrame) -> DataFrame:
+    """Activity-decile Pareto shares over the streamed per-user count
+    sink — NTILE re-ranks on any update, so like
+    :func:`topk_over_counts_sink` and :func:`anomaly_over_counts_sink`
+    the non-incremental ranking stays in the serving layer.  Equals
+    the batch ``events_concentration`` once the stream drains
+    (asserted in tests).
+    """
+    from go_mailio_diskusage_handler_spark.operators.sessions import (
+        concentration_report,
+    )
+
+    return concentration_report(sink_df.select("user_id", "n_events"))

@@ -680,3 +680,25 @@ def test_streaming_anomaly_zscore_equals_batch(spark, events_stream_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_concentration_equals_batch(spark, events_stream_dir):
+    """Pareto deciles over the streamed per-user counts sink must
+    equal the batch events_concentration once the stream drains."""
+    from go_mailio_diskusage_handler_spark.operators import sessions as S
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.user_counts_stream(stream), output_mode="complete"
+    )
+    got = {
+        tuple(r)
+        for r in windows.concentration_over_totals_sink(sink).collect()
+    }
+    want = {
+        tuple(r)
+        for r in S.event_concentration(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert got == want
