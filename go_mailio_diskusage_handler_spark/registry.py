@@ -4988,3 +4988,10 @@ def sim_eval_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Per-query IVF-PQ-rerank recall@5 + top-1 RR vs exact
     truth (operators/similarity.py:ivfpq_recall_eval)."""
     return similarity.ivfpq_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sql_group_by_all", sql_surface.GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GROUP BY ALL / ORDER BY ALL shorthand surface
+    (sql.group_by_all_revenue)."""
+    return sql_surface.group_by_all_revenue(spark, sf_dir)

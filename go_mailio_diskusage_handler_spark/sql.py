@@ -728,3 +728,25 @@ def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on o_orderkey so the LIMIT edge is deterministic."""
     register_views(spark, sf_dir)
     return spark.sql(LATERAL_TOPN_SQL)
+
+
+GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           year(o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand
+    Spark 4 adopted): every non-aggregate select item becomes a
+    grouping key, and the full select list the sort key — one ANSI
+    string both engines parse natively.  Compiles to the identical
+    hash aggregate an explicit column list produces; the value is the
+    surface (analyst SQL ports run unmodified)."""
+    register_views(spark, sf_dir)
+    return spark.sql(GROUP_BY_ALL_SQL)

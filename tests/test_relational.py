@@ -154,6 +154,7 @@ def test_sql_surface_oracle_parity(spark, ddb):
         "sql_excess_capacity",
         "sql_recursive_spine",
         "sql_lateral_topn",
+        "sql_group_by_all",
     ):
         compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
 
