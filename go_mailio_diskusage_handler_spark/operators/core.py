@@ -28,7 +28,7 @@ Spark mapping and why it scales:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def inventory_from_lineitem(lineitem: DataFrame) -> DataFrame:
@@ -389,4 +389,38 @@ def quota_alerts(agg: DataFrame, quota_quantile: float = 0.95) -> DataFrame:
                 "usage_ratio"
             ),
         )
+    )
+
+
+def largest_files_per_address(
+    inventory: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-address largest objects: the drill-down behind every quota
+    conversation ("what is taking my space?") — top ``k`` objects by
+    size per address with their share of the address's total.
+
+    One address-partitioned window over the raw inventory (the
+    per-key top-k shape; partitions are per-user object counts, never
+    the corpus) sharing its shuffle with a windowed SUM for the share
+    denominator — no join back to the aggregate, no second exchange.
+    """
+    addr = F.split_part(F.col("key"), F.lit("/"), F.lit(1))
+    base = inventory.filter(well_formed_key()).select(
+        addr.alias("address"), "key", "size"
+    )
+    w = Window.partitionBy("address")
+    rk = Window.partitionBy("address").orderBy(
+        F.desc("size"), F.asc("key")
+    )
+    return (
+        base.select(
+            "address",
+            "key",
+            F.round("size", 2).alias("size"),
+            F.row_number().over(rk).alias("size_rank"),
+            F.round(F.col("size") / F.sum("size").over(w), 4).alias(
+                "addr_share"
+            ),
+        )
+        .filter(F.col("size_rank") <= k)
     )

@@ -4995,3 +4995,28 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] GROUP BY ALL / ORDER BY ALL shorthand surface
     (sql.group_by_all_revenue)."""
     return sql_surface.group_by_all_revenue(spark, sf_dir)
+
+
+# [EXT] Per-address largest objects (quota drill-down).
+DU_LARGEST_SQL = f"""
+    WITH inventory AS ({INVENTORY_SQL}),
+    base AS (SELECT split_part(key, '/', 1) AS address, key, size
+             FROM inventory WHERE len(string_split(key, '/')) >= 2)
+    SELECT address, key,
+           ROUND(size, 2) AS size,
+           CAST(ROW_NUMBER() OVER (PARTITION BY address
+                                   ORDER BY size DESC, key ASC) AS INTEGER)
+               AS size_rank,
+           ROUND(size / SUM(size) OVER (PARTITION BY address), 4)
+               AS addr_share
+    FROM base
+    QUALIFY size_rank <= 3
+"""
+
+
+@register("du_largest_files", DU_LARGEST_SQL)
+def du_largest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top-3 objects per address with share of the address total
+    (operators/core.py:largest_files_per_address)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return core.largest_files_per_address(core.inventory_from_lineitem(li))

@@ -19,6 +19,7 @@ CORE_QUERIES = [
     "du_top_growth",
     "du_scd2_history",
     "du_quota_alerts",
+    "du_largest_files",
 ]
 
 
