@@ -127,3 +127,12 @@ def test_scd2_invariants(spark):
             deleted += 1
             assert len(vs) == 1 and not vs[0].is_current
     assert deleted > 0  # the slice construction guarantees deletions
+
+
+def test_largest_files_shares_one_window_exchange(spark):
+    """The rank window and the share-denominator SUM window both key
+    on address — the plan must pay ONE exchange, not two."""
+    from go_mailio_diskusage_handler_spark import plans, registry
+
+    df = registry.QUERIES["du_largest_files"](spark, SF_CORRECT)
+    assert plans.shuffle_count(df) == 1, plans.executed_plan(df)
