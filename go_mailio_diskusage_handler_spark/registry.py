@@ -2939,7 +2939,12 @@ _rotate_front(_R5_FRONT)
 # events_concentration, curation_semantic_decontam,
 # events_markov_stationary, curation_epoch_repeat, du_scd2_history,
 # sql_recursive_spine, events_seasonality, docs_index_coverage,
-# sim_embedding_stats, curation_stratified_split, du_quota_alerts.
+# sim_embedding_stats, curation_stratified_split, du_quota_alerts,
+# events_ab_test, dedup_eval_pr, sim_eval_recall, events_user_features,
+# text_datacard, udf_arrow_tokens, sql_lateral_topn,
+# events_user_entropy, part_affinity_lift, events_retention_curve,
+# docs_length_histogram, sim_eval_recall_ivfpq, sql_group_by_all,
+# du_largest_files.
 # The round-6 front should therefore cover: the 20 round-5-deferred
 # additions above, then these, then the first continuation batch —
 # ~50 per round keeps every query's driver row ≤2 rounds old at the
