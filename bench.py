@@ -45,6 +45,10 @@ re-measure warm at their r4 values: dedup_clusters 14.6 s cold /
 ~5.1 s warm vs r4's 4.78, dedup_ngram_jaccard 2.8/2.2 vs r4's 2.70).
 The 28 new queries together add ~24 s; every one is individually
 < 3.5 s at sf0.1.  Zero errors.
+
+End-of-second-continuation reference: 195 queries, 248.3 s idle,
+heaviest 6.5 s (curation_corpus), zero errors; the full 195-query
+oracle sweep at sf0.01 passed 195/195 the same session.
 """
 
 from __future__ import annotations
