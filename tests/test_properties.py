@@ -422,3 +422,32 @@ def test_epoch_repeat_matches_integer_reference(spark, sizes):
         s = int(src[1:])
         want = min(4, n_max // sizes[s])
         assert sorted(per_doc[doc_id]) == list(range(want))
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=4)
+)
+def test_stratified_split_exact_ceil_proportions(spark, sizes):
+    """For ANY source-size mix: every source contributes exactly
+    ceil(10% · n_s) eval docs, and the guarded (histogram-fence) path
+    equals the unguarded corpus-window path row for row."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    rows, did = [], 0
+    for s_i, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((did, f"s{s_i}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.stratified_split(docs).collect()
+    plain = curation.stratified_split(docs, skew_guard=False).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, plain))
+    from collections import Counter
+
+    ev = Counter(r.source for r in out if r.split == "eval")
+    tot = Counter(r.source for r in out)
+    for s_i, n in enumerate(sizes):
+        src = f"s{s_i}"
+        assert tot[src] == n
+        assert ev[src] == (n * 1000 + 9999) // 10000, (src, n, ev[src])
