@@ -921,3 +921,47 @@ def retention_curve(events: DataFrame) -> DataFrame:
             "retention"
         ),
     )
+
+
+def funnel_step_rates(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """The funnel REPORT: per step, how many users reached it, the
+    conversion rate from the previous step, and the overall rate from
+    the top — the aggregate view the per-user funnel
+    (:func:`funnel`) exists to feed.  Pure composition: the per-user
+    fold already reduced the corpus to one row per user;
+    this rollup is a |steps|-bounded unpivot + aggregate over it.
+    """
+    f = funnel(events, steps)
+    n = len(steps)
+    total = f.count()
+    reached = f.agg(
+        *[
+            F.sum((F.col("steps_completed") >= i + 1).cast("long")).alias(
+                f"r{i}"
+            )
+            for i in range(n)
+        ]
+    )
+    pairs = ", ".join(
+        f"{i + 1}, '{steps[i]}', r{i}, "
+        + ("CAST(NULL AS BIGINT)" if i == 0 else f"r{i - 1}")
+        for i in range(n)
+    )
+    stacked = reached.selectExpr(
+        f"stack({n}, {pairs}) AS (step_idx, step, n_reached, n_prev)"
+    )
+    return stacked.select(
+        "step_idx",
+        "step",
+        "n_reached",
+        F.round(
+            F.col("n_reached")
+            / F.coalesce(F.col("n_prev"), F.lit(int(total))),
+            4,
+        ).alias("step_rate"),
+        F.round(F.col("n_reached") / F.lit(int(total)), 4).alias(
+            "overall_rate"
+        ),
+    )

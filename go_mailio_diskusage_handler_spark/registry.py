@@ -5025,3 +5025,32 @@ def du_largest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/core.py:largest_files_per_address)."""
     li = load_table(spark, sf_dir, "lineitem")
     return core.largest_files_per_address(core.inventory_from_lineitem(li))
+
+
+# [EXT] Aggregate funnel conversion report (composes the funnel oracle).
+EVENTS_FUNNEL_RATES_SQL = f"""
+    WITH f AS ({ORACLE_SQL["events_funnel"]}),
+    reached AS (SELECT
+        SUM(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END) AS r0,
+        SUM(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END) AS r1,
+        SUM(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END) AS r2,
+        COUNT(*) AS total FROM f)
+    SELECT step_idx, step, n_reached,
+           ROUND(n_reached * 1.0 / COALESCE(n_prev, total), 4) AS step_rate,
+           ROUND(n_reached * 1.0 / total, 4) AS overall_rate
+    FROM (
+        SELECT 1 AS step_idx, 'view' AS step, r0 AS n_reached,
+               CAST(NULL AS BIGINT) AS n_prev, total FROM reached
+        UNION ALL
+        SELECT 2, 'click', r1, r0, total FROM reached
+        UNION ALL
+        SELECT 3, 'purchase', r2, r1, total FROM reached
+    )
+"""
+
+
+@register("events_funnel_rates", EVENTS_FUNNEL_RATES_SQL)
+def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Step/overall funnel conversion rates
+    (operators/sessions.py:funnel_step_rates)."""
+    return sessions.funnel_step_rates(load_table(spark, sf_dir, "events"))

@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "events_user_features",
     "events_user_entropy",
     "events_retention_curve",
+    "events_funnel_rates",
 ]
 
 
