@@ -2944,7 +2944,7 @@ _rotate_front(_R5_FRONT)
 # text_datacard, udf_arrow_tokens, sql_lateral_topn,
 # events_user_entropy, part_affinity_lift, events_retention_curve,
 # docs_length_histogram, sim_eval_recall_ivfpq, sql_group_by_all,
-# du_largest_files.
+# du_largest_files, events_funnel_rates.
 # The round-6 front should therefore cover: the 20 round-5-deferred
 # additions above, then these, then the first continuation batch —
 # ~50 per round keeps every query's driver row ≤2 rounds old at the
