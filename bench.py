@@ -134,17 +134,28 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "total_query_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-    }
+    # Key ORDER is load-bearing: the driver archives only the final
+    # ~2000 chars of this line, so the headline scalars (metric/value/
+    # unit/sf) must serialize LAST — after the per-query map — or they
+    # are truncated away (BENCH_r01-r05 all recorded "parsed": null
+    # because "value" came first and ~196 timings pushed it off the
+    # tail).  Python dicts preserve insertion order through json.dumps.
+    out: dict = {}
     if errors:
         out["errors"] = errors
+    out["queries"] = timings
+    out["metric"] = "total_query_sec"
+    out["value"] = total
+    out["unit"] = "sec"
+    out["sf"] = float(sf)
     print(json.dumps(out))
     spark.stop()
+    # A run with broken queries must not read as clean: the 60 s
+    # penalty inflates the total, and the exit code makes it visible
+    # to anything that only checks rc.  The JSON line is already
+    # printed, so the recording itself is never lost.
+    if errors:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -25,17 +25,19 @@ also the natural shard key for writing train splits out.
 
 Storage contract: operators that ``persist`` an intermediate (the
 capped shingle table in :func:`contaminated_docs` /
-:func:`curated_corpus`) keep it cached until the CALLER releases it —
-the result is lazy, so the operator itself has no post-action point to
-unpersist at.  Run ``spark.catalog.clearCache()`` between composite
-queries in a long-lived session (bench.py does, per query); a service
-embedding these operators should clear after each refresh cycle.
+:func:`curated_corpus`) tie its lifetime to the RETURNED frame via
+:func:`go_mailio_diskusage_handler_spark.caching.own_cache` — when the
+consumer drops the result, the cache blocks release automatically; a
+held handle keeps them warm for re-execution.  No ``clearCache``
+discipline is required of callers (bench.py still clears per query,
+which is harmlessly redundant).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from go_mailio_diskusage_handler_spark.caching import own_cache
 from go_mailio_diskusage_handler_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     cap_shingle_df,
@@ -182,6 +184,7 @@ def contaminated_docs(
     stopword trigram shared with an eval doc is evidence of nothing,
     and at scale it is also the skew hot key of the shingle join.
     """
+    owned: list[DataFrame] = []
     if sh is None:
         sh = shingles(documents)
     if max_doc_freq is not None:
@@ -192,6 +195,7 @@ def contaminated_docs(
         sh = cap_shingle_df(sh, max_doc_freq).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        owned.append(sh)
     train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
     ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
@@ -202,10 +206,11 @@ def contaminated_docs(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
-    return overlap.groupBy("doc_id").agg(
+    out = overlap.groupBy("doc_id").agg(
         F.max("n_overlap").alias("max_overlap"),
         F.count(F.lit(1)).alias("n_eval_docs"),
     )
+    return own_cache(out, *owned)
 
 
 def sample_weighted(
@@ -356,9 +361,10 @@ def curated_corpus(
         .join(dup_losers, "doc_id", "anti")
         .select("doc_id", "source")
     )
-    return kept.join(split_assignments(documents), "doc_id").select(
+    out = kept.join(split_assignments(documents), "doc_id").select(
         "doc_id", "source", "split"
     )
+    return own_cache(out, sh)
 
 
 def keep_best_per_cluster(documents, threshold: float = 0.6):

@@ -27,6 +27,7 @@ import logging
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from go_mailio_diskusage_handler_spark.caching import own_cache
 from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
 
 SHINGLE_N = 3  # word trigrams
@@ -197,7 +198,8 @@ def minhash_dedup_pairs(
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs)
-    return jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+    out = jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+    return own_cache(out, sh, sigs) if persist else out
 
 
 def ngram_jaccard_pairs(
@@ -218,12 +220,14 @@ def ngram_jaccard_pairs(
     already hold a (persisted) shingle table pass it via ``sh`` so
     composite pipelines explode the corpus once.
     """
+    owned: list[DataFrame] = []
     if sh is None:
         sh = shingles(documents)
         if persist and max_doc_freq is None:
             from pyspark import StorageLevel
 
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            owned.append(sh)
     if max_doc_freq is not None:
         sh = cap_shingle_df(sh, max_doc_freq)
         if persist:
@@ -237,6 +241,7 @@ def ngram_jaccard_pairs(
             # and re-running the explode is cheaper than a second
             # storage materialization (A/B at sf0.1: 2.1 s vs 2.5-3 s).
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            owned.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # One shuffle-join + one aggregation: intersection sizes fall out of
     # the shared-shingle join directly (no distinct-pairs + re-join).
@@ -252,7 +257,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
@@ -266,6 +271,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return own_cache(out, *owned)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +366,7 @@ def simhash_dedup_pairs(
         ).alias("blk"),
     ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -375,6 +381,7 @@ def simhash_dedup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return own_cache(out, sims) if persist else out
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +455,8 @@ def incremental_minhash_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+    out = jaccard_for_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+    return own_cache(out, sh, sigs) if persist else out
 
 
 def connected_components(
@@ -606,9 +614,14 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id) for every document that belongs to
     at least one near-dup pair; singleton documents are not emitted.
     """
-    pairs = ngram_jaccard_pairs(
+    # pair_src stays a local (not a chained temporary) so its owned
+    # shingle cache lives through the eager CC loop and is released
+    # exactly at function exit — the loop's checkpoints make the
+    # returned labels independent of it.
+    pair_src = ngram_jaccard_pairs(
         documents, threshold, sh=sh, max_doc_freq=max_doc_freq
-    ).select("doc_a", "doc_b")
+    )
+    pairs = pair_src.select("doc_a", "doc_b")
     labels, _, _ = connected_components(pairs, max_iterations, strict=strict)
     return labels
 
@@ -634,11 +647,13 @@ def ngram_containment_pairs(
     second join, no union re-scan.
     """
     sh = shingles(documents)
+    owned: list[DataFrame] = []
     if max_doc_freq is not None:
         sh = cap_shingle_df(sh, max_doc_freq)
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        owned.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("x")
@@ -665,7 +680,7 @@ def ngram_containment_pairs(
             (F.col("inter") / F.col("zb.n_shingles")).alias("c"),
         ),
     )
-    return (
+    out = (
         both.select(
             F.explode(
                 F.filter(directed, lambda s: s["c"] >= F.lit(threshold))
@@ -677,6 +692,7 @@ def ngram_containment_pairs(
             F.round(F.col("p.c"), 4).alias("containment"),
         )
     )
+    return own_cache(out, *owned)
 
 
 def simhash_pairs_editdist(
@@ -694,11 +710,12 @@ def simhash_pairs_editdist(
     expensive-verify composition (same shape as the LSH → exact-cosine
     re-rank), here with a string metric the sketch tiers cannot give.
     """
-    pairs = simhash_dedup_pairs(documents, max_hamming).select("doc_a", "doc_b")
+    pair_src = simhash_dedup_pairs(documents, max_hamming)
+    pairs = pair_src.select("doc_a", "doc_b")
     heads = documents.select(
         "doc_id", F.substring("text", 1, head_chars).alias("head")
     )
-    return (
+    out = (
         pairs.join(
             heads.select(
                 F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
@@ -717,6 +734,7 @@ def simhash_pairs_editdist(
             F.levenshtein("head_a", "head_b").alias("head_edit_dist"),
         )
     )
+    return own_cache(out, absorb=[pair_src])
 
 
 def duplicated_span_coverage(
@@ -885,7 +903,7 @@ def prefix_filter_jaccard_pairs(
         F.sort_array(F.collect_list("shingle")).alias("ss"),
         F.count(F.lit(1)).alias("n"),
     )
-    return (
+    out = (
         cand.join(
             doc_sets.select(
                 F.col("doc_id").alias("doc_a"),
@@ -919,6 +937,7 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return own_cache(out, sh)
 
 
 def near_dup_triangles(
@@ -946,11 +965,10 @@ def near_dup_triangles(
     # Jaccard pipeline — and it feeds the degree count plus three
     # self-join branches.  Persisting it collapses six re-executions
     # of the shingle join into one (measured 14.1 s → ~3 s at sf0.1).
-    edges = (
-        ngram_jaccard_pairs(documents, threshold)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pair_src = ngram_jaccard_pairs(documents, threshold)
+    edges = pair_src.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("u").alias("x"))
         .union(edges.select(F.col("v").alias("x")))
@@ -991,9 +1009,12 @@ def near_dup_triangles(
     )
     tri = wedge.join(closing, ["b", "c"])
     arr = F.array_sort(F.array("a", "b", "c"))
-    return tri.select(
+    out = tri.select(
         arr[0].alias("doc_a"), arr[1].alias("doc_b"), arr[2].alias("doc_c")
     )
+    # The result owns the edge cache AND the pair generator's shingle
+    # cache (the jaccard subplan runs inside edges' materialization).
+    return own_cache(out, edges, absorb=[pair_src])
 
 
 def minhash_estimate_quality(documents: DataFrame) -> DataFrame:
@@ -1029,7 +1050,7 @@ def minhash_estimate_quality(documents: DataFrame) -> DataFrame:
         )
     )
     exact = jaccard_for_pairs(cand, sh)
-    return est.join(exact, ["doc_a", "doc_b"]).select(
+    out = est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",
         "est_jaccard",
@@ -1038,6 +1059,7 @@ def minhash_estimate_quality(documents: DataFrame) -> DataFrame:
             "abs_err"
         ),
     )
+    return own_cache(out, sh, sigs)
 
 
 def dedup_eval_pr(
@@ -1058,10 +1080,15 @@ def dedup_eval_pr(
     are exact-integer ratios rounded at 4; an empty side reports 0.0
     with ``evaluable = false`` rather than dividing by zero.
     """
-    truth = ngram_jaccard_pairs(documents, jaccard_threshold).select(
+    # Hold the pair-generator frames in locals: they carry ownership
+    # of their persisted shingle/signature caches (own_cache), which
+    # must transfer to the returned report, not die with a temporary.
+    truth_pairs = ngram_jaccard_pairs(documents, jaccard_threshold)
+    pred_pairs = simhash_dedup_pairs(documents, max_hamming)
+    truth = truth_pairs.select(
         "doc_a", "doc_b", F.lit(1).alias("t"), F.lit(0).alias("p")
     )
-    pred = simhash_dedup_pairs(documents, max_hamming).select(
+    pred = pred_pairs.select(
         "doc_a", "doc_b", F.lit(0).alias("t"), F.lit(1).alias("p")
     )
     pk = (
@@ -1080,7 +1107,7 @@ def dedup_eval_pr(
     f1 = F.when(
         evaluable & (prec + rec > 0), 2 * prec * rec / (prec + rec)
     )
-    return m.select(
+    out = m.select(
         "n_truth",
         "n_pred",
         "tp",
@@ -1089,3 +1116,4 @@ def dedup_eval_pr(
         F.coalesce(F.round(rec, 4), F.lit(0.0)).alias("recall"),
         F.coalesce(F.round(f1, 4), F.lit(0.0)).alias("f1"),
     )
+    return own_cache(out, absorb=[truth_pairs, pred_pairs])

@@ -1000,7 +1000,7 @@ def part_affinity_lift(
         F.col("p_type").alias("type_b"), F.col("n_type").alias("n_b")
     )
     n_tot = F.lit(total)
-    return (
+    out = (
         pairs.join(F.broadcast(ma), "type_a")
         .join(F.broadcast(mb), "type_b")
         .select(
@@ -1020,3 +1020,6 @@ def part_affinity_lift(
             ).alias("lift"),
         )
     )
+    from go_mailio_diskusage_handler_spark.caching import own_cache
+
+    return own_cache(out, order_types)

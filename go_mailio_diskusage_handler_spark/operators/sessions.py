@@ -735,7 +735,10 @@ def ab_conversion_test(
     over exact counts, identical text in both engines, rounded at 3.
     Degenerate pools (rate 0 or 1, or an empty arm) emit
     ``testable = false`` with a 0.0 z sentinel instead of dividing
-    by zero (ANSI mode raises).
+    by zero (ANSI mode raises); the per-arm rates and the lift carry
+    the same guard (an empty arm emits a 0.0 rate, never the
+    NULL/NaN double a raw ``conv/0`` would produce), so every double
+    column is non-null under any input.
     """
     per_user = (
         events.filter(F.col("user_id").isNotNull())
@@ -782,9 +785,17 @@ def ab_conversion_test(
     return arms.select(
         "n_a",
         "n_b",
-        F.round(p_a, 4).alias("rate_a"),
-        F.round(p_b, 4).alias("rate_b"),
-        F.round(p_a - p_b, 4).alias("lift"),
+        F.when(F.col("n_a") > 0, F.round(p_a, 4))
+        .otherwise(F.lit(0.0))
+        .alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(p_b, 4))
+        .otherwise(F.lit(0.0))
+        .alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(p_a - p_b, 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lift"),
         F.coalesce(testable, F.lit(False)).alias("testable"),
         F.coalesce(F.round(z, 3), F.lit(0.0)).alias("z_stat"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
@@ -932,36 +943,49 @@ def funnel_step_rates(
     (:func:`funnel`) exists to feed.  Pure composition: the per-user
     fold already reduced the corpus to one row per user;
     this rollup is a |steps|-bounded unpivot + aggregate over it.
+
+    Single-pass: the user count folds into the SAME aggregation as
+    the per-step reach sums (one Spark job over the funnel shuffle —
+    a separate ``count()`` action would re-run the whole events fold
+    a second time, 2x the corpus scans at scale).  Zero denominators
+    (an intermediate step nobody reached, or an empty corpus) emit a
+    0.0 rate with ``rate_defined = false`` instead of the NULL/NaN
+    double a raw division would produce.
     """
     f = funnel(events, steps)
     n = len(steps)
-    total = f.count()
     reached = f.agg(
+        F.count(F.lit(1)).alias("total"),
         *[
             F.sum((F.col("steps_completed") >= i + 1).cast("long")).alias(
                 f"r{i}"
             )
             for i in range(n)
-        ]
+        ],
     )
     pairs = ", ".join(
-        f"{i + 1}, '{steps[i]}', r{i}, "
-        + ("CAST(NULL AS BIGINT)" if i == 0 else f"r{i - 1}")
+        f"{i + 1}, '{steps[i]}', coalesce(r{i}, 0L), "
+        + ("CAST(NULL AS BIGINT)" if i == 0 else f"coalesce(r{i - 1}, 0L)")
         for i in range(n)
     )
     stacked = reached.selectExpr(
-        f"stack({n}, {pairs}) AS (step_idx, step, n_reached, n_prev)"
+        f"stack({n}, {pairs}) AS (step_idx, step, n_reached, n_prev)",
+        "total",
     )
+    denom = F.coalesce(F.col("n_prev"), F.col("total"))
+    defined = (denom > 0) & (F.col("total") > 0)
     return stacked.select(
         "step_idx",
         "step",
         "n_reached",
-        F.round(
-            F.col("n_reached")
-            / F.coalesce(F.col("n_prev"), F.lit(int(total))),
-            4,
-        ).alias("step_rate"),
-        F.round(F.col("n_reached") / F.lit(int(total)), 4).alias(
-            "overall_rate"
-        ),
+        F.when(defined, F.round(F.col("n_reached") / denom, 4))
+        .otherwise(F.lit(0.0))
+        .alias("step_rate"),
+        F.when(
+            F.col("total") > 0,
+            F.round(F.col("n_reached") / F.col("total"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overall_rate"),
+        defined.alias("rate_defined"),
     )

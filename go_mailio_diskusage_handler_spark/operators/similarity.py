@@ -22,17 +22,19 @@ ranking uses the 6-digit-rounded cosine with vec_id tie-break so
 window order is stable everywhere.
 
 Storage contract: the ANN operators ``persist`` their bucketed /
-list-assigned corpus projection (it feeds both join sides) and return
-a lazy result, so the cached block outlives the query until the
-CALLER releases it — ``spark.catalog.clearCache()`` between composite
-queries (bench.py clears per query), or ``.unpersist()`` on the
-production twin's materialized index.
+list-assigned corpus projection (it feeds both join sides) and tie
+its lifetime to the RETURNED frame
+(:func:`go_mailio_diskusage_handler_spark.caching.own_cache`): when
+the consumer drops the result the cache releases automatically, and a
+held handle keeps the index warm for re-querying — the in-session
+analog of the production twin's materialized index table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from go_mailio_diskusage_handler_spark.caching import own_cache
 from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
 
 N_PLANES = 8  # 256 buckets per table
@@ -507,10 +509,11 @@ def ivf_ann_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+    return own_cache(out, scored_corpus)
 
 
 def embedding_near_dup_pairs(
@@ -573,7 +576,7 @@ def embedding_near_dup_pairs(
     b = withb.select(
         "vec_id", "embedding", "nrm", F.explode(index_entries).alias("idx")
     ).alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.probe.t") == F.col("b.idx.t"))
@@ -592,6 +595,7 @@ def embedding_near_dup_pairs(
         .distinct()
         .filter(F.col("cos_sim") >= threshold)
     )
+    return own_cache(out, withb) if persist else out
 
 
 PQ_M = 8  # subspaces (dim 64 → 8 sub-vectors of 8)
@@ -777,12 +781,13 @@ def _ivfpq_adc_scored(
             "query_id", "vec_id", F.posexplode("codes").alias("subspace", "code")
         )
     )
-    return (
+    out = (
         cand.join(F.broadcast(_adc_tables(embeddings, n_queries)),
                   ["query_id", "subspace", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("d"), 4).alias("approx_dist"))
     )
+    return own_cache(out, scored_corpus)
 
 
 def ivfpq_ann_topk(
@@ -1143,10 +1148,11 @@ def rrf_hybrid_topk(
     w_f = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_score"), F.asc("cand_id")
     )
-    return (
+    out = (
         fused.select("*", F.row_number().over(w_f).alias("fused_rank"))
         .filter(F.col("fused_rank") <= k)
     )
+    return own_cache(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -1215,7 +1221,7 @@ def kmeans_train(
     and broadcast-friendly.
     """
     e, cents = _km_fit(embeddings, k, iters)
-    return _km_assign(e, cents)
+    return own_cache(_km_assign(e, cents), e)
 
 
 def _km_fit(
@@ -1322,11 +1328,12 @@ def kmeans_ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_sq").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         ranked.select(
             "*", F.row_number().over(w).cast("int").alias("rank")
         ).filter(F.col("rank") <= topk)
     )
+    return own_cache(out, e)
 
 
 def range_search(
@@ -1378,11 +1385,12 @@ def kmeans_cluster_stats(
     :func:`kmeans_train`'s output; |k|-bounded result.
     """
     a = kmeans_train(embeddings, k, iters)
-    return a.groupBy("cluster_id").agg(
+    out = a.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("dist_sq"), 4).alias("mean_dist_sq"),
         F.round(F.max("dist_sq"), 4).alias("max_dist_sq"),
     )
+    return own_cache(out, absorb=[a])
 
 
 def semantic_dedup(
@@ -1436,7 +1444,7 @@ def semantic_dedup(
         .groupBy(F.col("x.vec_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_dups"))
     )
-    return (
+    out = (
         ranked.select("vec_id", "cluster_id")
         .join(dups, "vec_id", "left")
         .select(
@@ -1446,6 +1454,7 @@ def semantic_dedup(
             F.col("n_dups").isNull().alias("kept"),
         )
     )
+    return own_cache(out, e)
 
 
 PCA_COMPONENTS = 8
@@ -1711,6 +1720,37 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _recall_report(
+    truth_src: DataFrame, pred_src: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k + top-1 reciprocal rank of ``pred_src``
+    against ``truth_src`` (both (query_id, neighbor_id, rank) lists).
+    Shared by the LSH and IVF-PQ harnesses so the two tiers are scored
+    by literally the same expression; absorbs the component searches'
+    cache ownership into the returned report."""
+    truth = truth_src.select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    )
+    pred = pred_src.select(
+        "query_id", "neighbor_id", F.col("rank").alias("p_rank")
+    )
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    out = j.groupBy("query_id").agg(
+        F.count("p_rank").alias("n_hit"),
+        F.round(F.count("p_rank") / F.lit(float(k)), 4).alias("recall"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("t_rank") == 1,
+                    F.coalesce(1.0 / F.col("p_rank"), F.lit(0.0)),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("rr_top1"),
+    )
+    return own_cache(out, absorb=[truth_src, pred_src])
+
+
 def ann_recall_eval(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -1727,25 +1767,10 @@ def ann_recall_eval(
     serving path) + one (n_queries × k)-row join: evaluation is
     corpus-free beyond the searches themselves.
     """
-    truth = brute_force_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
-    )
-    pred = lsh_ann_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("p_rank")
-    )
-    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
-    return j.groupBy("query_id").agg(
-        F.count("p_rank").alias("n_hit"),
-        F.round(F.count("p_rank") / F.lit(float(k)), 4).alias("recall"),
-        F.round(
-            F.max(
-                F.when(
-                    F.col("t_rank") == 1,
-                    F.coalesce(1.0 / F.col("p_rank"), F.lit(0.0)),
-                ).otherwise(0.0)
-            ),
-            4,
-        ).alias("rr_top1"),
+    return _recall_report(
+        brute_force_topk(embeddings, n_queries, k),
+        lsh_ann_topk(embeddings, n_queries, k),
+        k,
     )
 
 
@@ -1759,23 +1784,8 @@ def ivfpq_recall_eval(
     measured recall is exactly how a deployment keeps quantizer drift
     from silently degrading retrieval.
     """
-    truth = brute_force_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
-    )
-    pred = ivfpq_rerank_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("p_rank")
-    )
-    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
-    return j.groupBy("query_id").agg(
-        F.count("p_rank").alias("n_hit"),
-        F.round(F.count("p_rank") / F.lit(float(k)), 4).alias("recall"),
-        F.round(
-            F.max(
-                F.when(
-                    F.col("t_rank") == 1,
-                    F.coalesce(1.0 / F.col("p_rank"), F.lit(0.0)),
-                ).otherwise(0.0)
-            ),
-            4,
-        ).alias("rr_top1"),
+    return _recall_report(
+        brute_force_topk(embeddings, n_queries, k),
+        ivfpq_rerank_topk(embeddings, n_queries, k),
+        k,
     )

@@ -628,6 +628,11 @@ def bm25_topk(
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_corpus = documents.count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    if avgdl is None:
+        # avg() over zero rows collects as None; a raw float(None)
+        # TypeError downstream is opaque — fail like kmeans_train does
+        # on the same degenerate input.
+        raise ValueError("BM25 needs a non-empty tokenized corpus")
     df_t = postings.groupBy("w").agg(
         F.count(F.lit(1)).alias("df")
     )

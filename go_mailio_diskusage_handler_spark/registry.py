@@ -696,7 +696,7 @@ _JACCARD_TAIL = """
                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id),
     {_JACCARD_TAIL}
-    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
+    WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.8
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +719,7 @@ _INCR_BATCH_MIN = 400
                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id AND b.doc_id >= {_INCR_BATCH_MIN}),
     {_JACCARD_TAIL}
-    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
+    WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.8
     """,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +739,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM shingles x JOIN shingles y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
     {_JACCARD_TAIL}
-    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+    WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,7 +884,7 @@ def curation_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT doc_a, doc_b FROM inter
               JOIN sizes za ON doc_a = za.doc_id
               JOIN sizes zb ON doc_b = zb.doc_id
-              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6),
+              WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a AS src, a AS dst FROM edges
@@ -927,7 +927,7 @@ _CLUSTERS_CTES = f"""
     pairs AS (SELECT doc_a, doc_b FROM inter
               JOIN sizes za ON doc_a = za.doc_id
               JOIN sizes zb ON doc_b = zb.doc_id
-              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6),
+              WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a AS src, a AS dst FROM edges
@@ -3296,7 +3296,7 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM shingles x JOIN shingles y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
     {_JACCARD_TAIL}
-    WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8
+    WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.8
     """,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3434,7 +3434,7 @@ def join_bucketed_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM inter
               JOIN sizes za ON doc_a = za.doc_id
               JOIN sizes zb ON doc_b = zb.doc_id
-              WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8)
+              WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.8)
     SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
     FROM edges e1
     JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -3906,7 +3906,7 @@ CURATION_REPORT_SQL = f"""
     near AS (SELECT doc_a, doc_b FROM inter
              JOIN sizes za ON doc_a = za.doc_id
              JOIN sizes zb ON doc_b = zb.doc_id
-             WHERE i * 1.0 / (za.n + zb.n - i) >= 0.8),
+             WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.8),
     members AS (SELECT doc_a AS d FROM near
                 UNION SELECT doc_b FROM near)
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -3947,6 +3947,8 @@ def sql_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_surface.important_nations(spark, sf_dir)
 
 # ---------------------------------------------------------------------------
+# [SUPERSEDED in round 6 — the executed _R6_FRONT at the end of this
+# file follows exactly this priority rule; kept for the audit trail.]
 # ROUND-6 WINDOW PLAN (for the next session's _R6_FRONT): the driver
 # gate covers the first ~50 registrations.  Priority rule (round-4
 # advisory): (1) every query whose engine code changes in round 6,
@@ -4653,8 +4655,8 @@ EVENTS_AB_SQL = f"""
                     SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
              FROM assigned),
     calc AS (SELECT n_a, n_b, conv_a, conv_b,
-                    conv_a * 1.0 / n_a AS p_a,
-                    conv_b * 1.0 / n_b AS p_b,
+                    CASE WHEN n_a > 0 THEN conv_a * 1.0 / n_a END AS p_a,
+                    CASE WHEN n_b > 0 THEN conv_b * 1.0 / n_b END AS p_b,
                     (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pool,
                     (n_a > 0 AND n_b > 0
                      AND (conv_a + conv_b) * 1.0 / (n_a + n_b) > 0
@@ -4662,9 +4664,9 @@ EVENTS_AB_SQL = f"""
                         AS testable
              FROM arms)
     SELECT n_a, n_b,
-           ROUND(p_a, 4) AS rate_a,
-           ROUND(p_b, 4) AS rate_b,
-           ROUND(p_a - p_b, 4) AS lift,
+           COALESCE(ROUND(p_a, 4), 0.0) AS rate_a,
+           COALESCE(ROUND(p_b, 4), 0.0) AS rate_b,
+           COALESCE(ROUND(p_a - p_b, 4), 0.0) AS lift,
            testable,
            COALESCE(ROUND(CASE WHEN testable THEN (p_a - p_b)
                           / sqrt(pool * (1 - pool)
@@ -4694,7 +4696,7 @@ DEDUP_EVAL_SQL = f"""
                  FROM shingles x JOIN shingles y
                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
         {_JACCARD_TAIL}
-        WHERE i * 1.0 / (za.n + zb.n - i) >= 0.6
+        WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6
     ),
     pred AS (
         WITH {_SIMHASH_CTES},
@@ -5031,13 +5033,21 @@ def du_largest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_FUNNEL_RATES_SQL = f"""
     WITH f AS ({ORACLE_SQL["events_funnel"]}),
     reached AS (SELECT
-        SUM(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END) AS r0,
-        SUM(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END) AS r1,
-        SUM(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END) AS r2,
+        COALESCE(SUM(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END), 0)
+            AS r0,
+        COALESCE(SUM(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END), 0)
+            AS r1,
+        COALESCE(SUM(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END), 0)
+            AS r2,
         COUNT(*) AS total FROM f)
     SELECT step_idx, step, n_reached,
-           ROUND(n_reached * 1.0 / COALESCE(n_prev, total), 4) AS step_rate,
-           ROUND(n_reached * 1.0 / total, 4) AS overall_rate
+           CASE WHEN COALESCE(n_prev, total) > 0 AND total > 0
+                THEN ROUND(n_reached * 1.0 / COALESCE(n_prev, total), 4)
+                ELSE 0.0 END AS step_rate,
+           CASE WHEN total > 0
+                THEN ROUND(n_reached * 1.0 / total, 4)
+                ELSE 0.0 END AS overall_rate,
+           (COALESCE(n_prev, total) > 0 AND total > 0) AS rate_defined
     FROM (
         SELECT 1 AS step_idx, 'view' AS step, r0 AS n_reached,
                CAST(NULL AS BIGINT) AS n_prev, total FROM reached
@@ -5054,3 +5064,114 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Step/overall funnel conversion rates
     (operators/sessions.py:funnel_step_rates)."""
     return sessions.funnel_step_rates(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 window.  Backlog state entering the round: 100 of 196
+# queries had never had a driver CORRECTNESS row (the 20 round-5
+# deferred additions + the two continuation batches + the never-
+# fronted sim_rrf_hybrid_topk).  Per the round-5 verdict, query
+# ADDITIONS are frozen until that backlog drains: this front and the
+# round-7 front are pure rotation.
+#
+# Composition rule (round-4 advisory first, staleness second):
+# 1. Every query whose round-6 change can alter OUTPUT — the funnel
+#    single-pass+guards, the A/B empty-arm guards, the dedup-oracle
+#    round-before-compare, the 1992 spine start, the BM25 guard, the
+#    shared recall-report helper, and every operator that gained
+#    cache-ownership (own_cache) on a path feeding these entries —
+#    and is still unchecked goes FIRST (20 names below).
+# 2. Then the rest of the round-5 deferred additions (17 — three of
+#    the 20 are already in group 1).
+# 3. Then the stalest first-continuation additions fill to 50 (13).
+#
+# The round-6 changes also touched ten queries that ALREADY hold r5
+# driver rows (dedup_minhash / dedup_incremental_minhash /
+# dedup_ngram_jaccard / dedup_clusters / curation_corpus /
+# curation_contaminated / dedup_simhash_pairs / dedup_embedding_cosine
+# / sim_ivf* / sim_ivfpq*).  They are NOT re-fronted: the oracle-text
+# change (round-before-compare in the Jaccard WHERE) was proven
+# output-identical old-vs-new inside DuckDB alone at sf0.01 — a
+# comparison independent of the engine, so the r5 green rows transfer
+# — and the cache-ownership change is resource lifecycle, re-verified
+# this round with the driver-identical compare (all green); window
+# slots go to the 100-name backlog instead.
+#
+# Round-7 front (the remaining 50, in staleness order): the rest of
+# the first continuation batch (join_bucketed_spend, sql_nation_volume,
+# sql_market_share, window_first_last, events_window_topk,
+# events_value_deciles, curation_shard_manifest, trend_daily_dense,
+# profile_orders, events_bounce_rate, events_gap_stats,
+# trend_weekly_wow, media_payload_dedup, scalar_try_parse,
+# sim_range_search, du_top_growth, sql_forecast_revenue,
+# sql_bracket_revenue, sql_important_nations, text_lang_confusion,
+# events_dau_wau, segment_rfm, sql_best_supplier,
+# sql_part_supplier_counts, events_funnel_window) then the rest of the
+# second batch (events_anomaly_zscore, text_zipf_slope,
+# sql_excess_capacity, sim_pca_project, sim_matryoshka_topk,
+# events_user_growth, events_concentration, curation_semantic_decontam,
+# events_markov_stationary, curation_epoch_repeat, du_scd2_history,
+# events_seasonality, docs_index_coverage, sim_embedding_stats,
+# curation_stratified_split, du_quota_alerts, events_user_features,
+# text_datacard, udf_arrow_tokens, sql_lateral_topn,
+# events_user_entropy, events_retention_curve, docs_length_histogram,
+# sql_group_by_all, du_largest_files).  After round 7 every query's
+# driver row is ≤2 rounds old and additions may resume.
+# ---------------------------------------------------------------------------
+_R6_FRONT = [
+    # group 1 — round-6-changed, never driver-checked
+    "events_funnel_rates",
+    "events_ab_test",
+    "sql_recursive_spine",
+    "dedup_eval_pr",
+    "sim_eval_recall",
+    "sim_eval_recall_ivfpq",
+    "text_bm25_topk",
+    "part_affinity_lift",
+    "dedup_triangles",
+    "dedup_minhash_estimate",
+    "dedup_prefix_jaccard",
+    "curation_dedup_report",
+    "dedup_semantic",
+    "sim_kmeans_train",
+    "sim_kmeans_stats",
+    "sim_kmeans_ivf_topk",
+    "sim_rrf_hybrid_topk",
+    "dedup_pair_editdist",
+    "dedup_ngram_containment",
+    "curation_keep_best",
+    # group 2 — remaining round-5 deferred additions
+    "dedup_normalized",
+    "du_heavy_users",
+    "events_bitmap_users",
+    "events_retention_cohorts",
+    "events_sketch_merge",
+    "join_spend_reconcile",
+    "part_type_affinity",
+    "scalar_variant_props",
+    "sim_mmr_topk",
+    "sql_customer_distribution",
+    "sql_promo_revenue",
+    "sql_sales_opportunity",
+    "sql_shipping_modes",
+    "text_tfidf_topterms",
+    "trend_customer_spend",
+    "udf_iter_model_scores",
+    "window_segment_deciles",
+    # group 3 — stalest first-continuation additions
+    "text_pii",
+    "dedup_span_coverage",
+    "curation_temperature_mix",
+    "scalar_zorder_keys",
+    "curation_bloom_decontam",
+    "sql_top_supplier",
+    "sql_small_qty_revenue",
+    "sql_waiting_suppliers",
+    "text_chunks",
+    "curation_quality_gate",
+    "events_transitions",
+    "text_tfidf_cosine_pairs",
+    "percentile_mad_outliers",
+]
+
+_rotate_front(_R6_FRONT)

@@ -677,7 +677,7 @@ def excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECURSIVE_SPINE_SQL = """
     WITH RECURSIVE spine(m) AS (
-        SELECT CAST('1995-01-01' AS DATE)
+        SELECT CAST('1992-01-01' AS DATE)
         UNION ALL
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
         WHERE m < CAST('2001-12-01' AS DATE)
@@ -698,11 +698,18 @@ def recursive_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to monthly revenue with zero-fill — the dense-calendar resample
     (cf. relational.daily_revenue_dense, which builds its spine with
     sequence()+explode) expressed purely in ANSI SQL, exercising the
-    UnionLoop recursion operator.  The recursion depth is the
-    calendar length (84 iterations of a 1-row frame) — bounded and
-    driver-cheap; the fact table is touched once by the aggregate.
-    One ANSI string, both engines."""
+    UnionLoop recursion operator.  The spine spans the full TPC-H
+    order calendar (1992-01 through 2001-12; o_orderdate ends in
+    1998, so the tail years exercise the zero-fill).  The recursion
+    depth is the calendar length (120 iterations of a 1-row frame) —
+    bounded and driver-cheap; the fact table is touched once by the
+    aggregate.  One ANSI string, both engines; Spark's recursion
+    guard defaults to 100 levels, so the 120-month spine needs the
+    session knob raised (the SQL text stays engine-portable —
+    ``MAX RECURSION LEVEL`` is Spark-only syntax DuckDB rejects)."""
     register_views(spark, sf_dir)
+    if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < 130:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "130")
     return spark.sql(RECURSIVE_SPINE_SQL)
 
 

@@ -271,3 +271,28 @@ def test_ab_test_degenerate_pool_is_guarded(spark):
     )
     r = sessions.ab_conversion_test(events).collect()[0]
     assert not r.testable and r.z_stat == 0.0 and not r.significant
+
+
+def test_funnel_step_rates_is_single_pass(spark):
+    """The round-5 verdict's scale finding: funnel_step_rates used to
+    run a separate f.count() ACTION at build time (a second full pass
+    over the events fold).  Pin the fix two ways: (a) merely BUILDING
+    the frame launches zero Spark jobs (the frame is fully lazy), and
+    (b) the per-user funnel subplan appears once in the executed plan,
+    not twice."""
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    events = load_table(spark, SF_CORRECT, "events")
+    sc = spark.sparkContext
+    sc.setJobGroup("fsr-build", "funnel_step_rates build", False)
+    try:
+        df = sessions.funnel_step_rates(events)
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert list(sc.statusTracker().getJobIdsForGroup("fsr-build")) == []
+    plan = plans.executed_plan(df)
+    # the 3-condition funnel fold aggregates once; a double-pass plan
+    # would contain the min-epoch step columns twice.
+    assert plan.count("step_1_us") <= 2, plan  # agg partial+final, one subplan
+    rows = {r.step: r for r in df.collect()}
+    assert rows["view"].rate_defined and rows["purchase"].overall_rate <= 1.0
