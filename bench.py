@@ -149,6 +149,22 @@ def main() -> None:
     out["unit"] = "sec"
     out["sf"] = float(sf)
     print(json.dumps(out))
+    # Per-query regression baseline (round-5 verdict task 7): the
+    # driver archives only the final ~2000 chars of the line above, so
+    # the full 196-entry timing map is unrecoverable from BENCH_r*.json
+    # alone.  Persist it to a committed file on every headline-config
+    # run (default sf0.1 only — ad-hoc sf0.01 iteration runs must not
+    # overwrite the reference); git history is the cross-round series.
+    if sf == "0.1":
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+        )
+        try:
+            with open(baseline_path, "w") as fh:
+                json.dump(out, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line still records
     spark.stop()
     # A run with broken queries must not read as clean: the 60 s
     # penalty inflates the total, and the exit code makes it visible

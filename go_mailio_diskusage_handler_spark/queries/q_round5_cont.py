@@ -498,8 +498,8 @@ MAD_OUTLIERS_SQL = """
            ROUND(any_value(med), 2) AS median_price,
            ROUND(any_value(mad), 2) AS mad_price,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN abs(o.o_totalprice - med) > 3 * mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN abs(o.o_totalprice - med) > 3 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM orders o JOIN mad USING (o_orderpriority)
     GROUP BY o.o_orderpriority
 """
@@ -658,8 +658,9 @@ _DOC_DIGEST_SQL = " + ".join(
 CURATION_SHARDS_SQL = f"""
     SELECT CAST(({_DDB_BUCKET}) % 16 AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
-           SUM({_DOC_DIGEST_SQL}) AS content_checksum
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM({_DOC_DIGEST_SQL}) AS BIGINT) AS content_checksum
     FROM documents
     GROUP BY shard_id
 """
@@ -700,17 +701,17 @@ def trend_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # [EXT] One-pass schema-driven profiler over orders.
 PROFILE_ORDERS_SQL = """
-    SELECT 'o_orderkey' AS column, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    SELECT 'o_orderkey' AS column, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
     UNION ALL
-    SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_custkey) FROM orders
+    SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_custkey) FROM orders
     UNION ALL
-    SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderstatus) FROM orders
+    SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderstatus) FROM orders
     UNION ALL
-    SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_totalprice) FROM orders
+    SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_totalprice) FROM orders
     UNION ALL
-    SELECT 'o_orderdate', SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderdate) FROM orders
+    SELECT 'o_orderdate', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderdate) FROM orders
     UNION ALL
-    SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderpriority) FROM orders
+    SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderpriority) FROM orders
 """
 
 
@@ -739,7 +740,7 @@ EVENTS_BOUNCE_SQL = f"""
     SELECT strftime(CAST(to_timestamp(start_us // 1000000) AS DATE),
                     '%Y-%m-%d') AS day,
            COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
            ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS bounce_rate
     FROM sess GROUP BY day
@@ -831,11 +832,12 @@ SCALAR_TRY_PARSE_SQL = """
                FROM d)
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN ks IS NULL THEN 1 ELSE 0 END) AS n_invalid_json,
-           SUM(CASE WHEN ks IS NOT NULL
-                         AND TRY_CAST(ks AS BIGINT) IS NULL
-                    THEN 1 ELSE 0 END) AS n_nonnumeric,
-           SUM(TRY_CAST(ks AS BIGINT)) AS sum_k
+           CAST(SUM(CASE WHEN ks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_invalid_json,
+           CAST(SUM(CASE WHEN ks IS NOT NULL
+                              AND TRY_CAST(ks AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnumeric,
+           CAST(SUM(TRY_CAST(ks AS BIGINT)) AS BIGINT) AS sum_k
     FROM parsed GROUP BY event_type
 """
 

@@ -397,9 +397,10 @@ EVENTS_USER_GROWTH_SQL = """
                    FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
     daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
     SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) AS cumulative_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
     FROM daily
 """
 
@@ -419,7 +420,8 @@ EVENTS_CONCENTRATION_SQL = """
                         NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC)
                             AS decile
                  FROM per_user),
-    agg AS (SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS n_events
+    agg AS (SELECT decile, COUNT(*) AS n_users,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events
             FROM bucketed GROUP BY decile)
     SELECT decile, n_users, n_events,
            ROUND(n_events / (SELECT SUM(n_events) FROM agg), 4) AS event_share
@@ -592,7 +594,7 @@ EVENTS_SEASONALITY_SQL = """
                            COUNT(*) AS n
                     FROM events GROUP BY 1, 2)
     SELECT event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(arg_max(hr, n * 100 - hr) AS INT) AS peak_hour,
            ROUND(MAX(n) * 1.0 / SUM(n), 4) AS peak_share,
            ROUND(24.0 * SUM(n * n) / SUM(n) - SUM(n), 4) AS chi2,
@@ -617,11 +619,11 @@ DOCS_COVERAGE_SQL = """
         SELECT vec_id AS k, 0 AS d, 1 AS e FROM embeddings),
     pk AS (SELECT k, MAX(d) AS in_docs, MAX(e) AS in_emb
            FROM tagged GROUP BY k)
-    SELECT SUM(in_docs) AS n_docs,
-           SUM(in_emb) AS n_embeddings,
-           SUM(in_docs * in_emb) AS n_matched,
-           SUM(in_docs * (1 - in_emb)) AS n_doc_only,
-           SUM((1 - in_docs) * in_emb) AS n_emb_only,
+    SELECT CAST(SUM(in_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(in_emb) AS BIGINT) AS n_embeddings,
+           CAST(SUM(in_docs * in_emb) AS BIGINT) AS n_matched,
+           CAST(SUM(in_docs * (1 - in_emb)) AS BIGINT) AS n_doc_only,
+           CAST(SUM((1 - in_docs) * in_emb) AS BIGINT) AS n_emb_only,
            ROUND(SUM(in_docs * in_emb) * 1.0 / SUM(in_docs), 4) AS coverage
     FROM pk
 """
@@ -651,8 +653,8 @@ SIM_EMB_STATS_SQL = f"""
            ROUND(AVG(nrm), 4) AS mean_norm,
            ROUND(quantile_cont(nrm, 0.5), 4) AS median_norm,
            ROUND(quantile_cont(nrm, 0.95), 4) AS p95_norm,
-           SUM(is_zero) AS n_zero,
-           SUM(bad_dim) AS n_bad_dim
+           CAST(SUM(is_zero) AS BIGINT) AS n_zero,
+           CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim
     FROM scored GROUP BY label
 """
 
@@ -732,8 +734,10 @@ EVENTS_AB_SQL = f"""
                         CASE WHEN n_conv_events > med THEN 1 ELSE 0 END
                             AS converted
                  FROM per_user CROSS JOIN med),
-    arms AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
-                    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    arms AS (SELECT CAST(SUM(CASE WHEN arm = 0
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN arm = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                     SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
                     SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
              FROM assigned),
@@ -795,8 +799,9 @@ DEDUP_EVAL_SQL = f"""
                UNION ALL SELECT doc_a, doc_b, 0 AS t, 1 AS p FROM pred),
     pk AS (SELECT doc_a, doc_b, MAX(t) AS in_t, MAX(p) AS in_p
            FROM tagged GROUP BY doc_a, doc_b),
-    m AS (SELECT SUM(in_t) AS n_truth, SUM(in_p) AS n_pred,
-                 SUM(in_t * in_p) AS tp
+    m AS (SELECT CAST(SUM(in_t) AS BIGINT) AS n_truth,
+                 CAST(SUM(in_p) AS BIGINT) AS n_pred,
+                 CAST(SUM(in_t * in_p) AS BIGINT) AS tp
           FROM pk)
     SELECT n_truth, n_pred, tp,
            (n_truth > 0 AND n_pred > 0) AS evaluable,
@@ -855,21 +860,22 @@ EVENTS_FEATURES_SQL = """
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS day_value,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS n_purchases
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
         FROM events WHERE user_id IS NOT NULL
         GROUP BY user_id, day)
     SELECT user_id,
            strftime(day, '%Y-%m-%d') AS day,
            n_events, day_value, n_purchases,
-           COALESCE(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+           CAST(COALESCE(SUM(n_events) OVER (
+                        PARTITION BY user_id ORDER BY day
                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
-               AS events_prev7,
+                AS BIGINT) AS events_prev7,
            COALESCE(day - LAG(day) OVER (PARTITION BY user_id ORDER BY day),
                     -1) AS days_since_prev,
-           SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+           CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS events_lifetime,
+                AS BIGINT) AS events_lifetime,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
                 AS INTEGER) AS active_day_idx
     FROM daily
@@ -944,7 +950,7 @@ EVENTS_ENTROPY_SQL = """
     WITH ut AS (SELECT user_id, event_type, COUNT(*) AS n
                 FROM events WHERE user_id IS NOT NULL
                 GROUP BY user_id, event_type),
-    per_user AS (SELECT user_id, SUM(n) AS n_events,
+    per_user AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
                         COUNT(*) AS n_types,
                         SUM(n * ln(n)) AS sum_nlogn
                  FROM ut GROUP BY user_id)
@@ -1013,12 +1019,13 @@ EVENTS_RETENTION_CURVE_SQL = f"""
                  FROM sizes s JOIN max_off x USING (cohort_day)),
     offsets AS (SELECT DISTINCT day_offset FROM m),
     denom AS (SELECT o.day_offset,
-                     SUM(e.cohort_size) AS eligible_users,
+                     CAST(SUM(e.cohort_size) AS BIGINT) AS eligible_users,
                      COUNT(*) AS n_cohorts
               FROM offsets o JOIN eligible e
                 ON e.max_offset >= o.day_offset
               GROUP BY o.day_offset),
-    act AS (SELECT day_offset, SUM(active_users) AS active_users
+    act AS (SELECT day_offset,
+                   CAST(SUM(active_users) AS BIGINT) AS active_users
             FROM m GROUP BY day_offset)
     SELECT a.day_offset, d.n_cohorts, a.active_users, d.eligible_users,
            ROUND(a.active_users * 1.0 / d.eligible_users, 4) AS retention
@@ -1116,12 +1123,12 @@ def du_largest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_FUNNEL_RATES_SQL = f"""
     WITH f AS ({ORACLE_SQL["events_funnel"]}),
     reached AS (SELECT
-        COALESCE(SUM(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END), 0)
-            AS r0,
-        COALESCE(SUM(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END), 0)
-            AS r1,
-        COALESCE(SUM(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END), 0)
-            AS r2,
+        CAST(COALESCE(SUM(CASE WHEN steps_completed >= 1
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS r0,
+        CAST(COALESCE(SUM(CASE WHEN steps_completed >= 2
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS r1,
+        CAST(COALESCE(SUM(CASE WHEN steps_completed >= 3
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS r2,
         COUNT(*) AS total FROM f)
     SELECT step_idx, step, n_reached,
            CASE WHEN COALESCE(n_prev, total) > 0 AND total > 0

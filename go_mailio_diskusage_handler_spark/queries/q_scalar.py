@@ -149,7 +149,7 @@ def events_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events)
     SELECT k % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k
     FROM k GROUP BY k_bucket

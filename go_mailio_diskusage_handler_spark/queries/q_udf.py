@@ -77,7 +77,7 @@ MODEL_SCORES_SQL = f"""
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents),
     v AS (SELECT doc_id, ({_HEX3}) % 1000 AS val FROM w),
-    s AS (SELECT doc_id, SUM(val) AS model_sum,
+    s AS (SELECT doc_id, CAST(SUM(val) AS BIGINT) AS model_sum,
                  CAST(COUNT(*) AS INTEGER) AS n_tok
           FROM v GROUP BY doc_id)
     SELECT doc_id, model_sum, n_tok,

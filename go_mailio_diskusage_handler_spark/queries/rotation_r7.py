@@ -1,0 +1,95 @@
+"""Round-7 rotation window: red re-checks first, then backlog drain.
+
+Split-module convention as rotation_r6; registration order is owned
+by the import sequence in ``..registry``.
+"""
+from __future__ import annotations
+
+from .rotation_r45 import _rotate_front
+
+
+# ---------------------------------------------------------------------------
+# Round-7 window.  State entering the round (CORRECTNESS_r06 + the
+# round-6 verdict):
+#   * 7 driver REDS — all one defect: un-cast integer SUM() in the
+#     oracle SQL, which DuckDB types HUGEINT and pandas renders as
+#     float64 while Spark returns bigint; values identical, the
+#     driver's type-sensitive hash differs.  Round 7 fixed every one
+#     with CAST(... AS BIGINT).  A red row must be flipped, and the
+#     oracle text changed, so per the round-4 advisory (front-load
+#     everything whose round-N change can alter the gate) these 7 go
+#     FIRST.
+#   * 50 never-checked queries (the planned r7 backlog front from
+#     rotation_r6.py).  12 of them carried the SAME latent HUGEINT
+#     defect (verdict's full-registry type scan) and were fixed this
+#     round — they stay in the window (oracle changed + never
+#     checked).  With only 50 driver slots and 7 taken by the red
+#     re-checks, the 7 LEAST-stale backlog names whose oracles did
+#     NOT change this round are deferred to round 8:
+#       du_quota_alerts, text_datacard, udf_arrow_tokens,
+#       sql_lateral_topn, docs_length_histogram, sql_group_by_all,
+#       du_largest_files.
+#     After round 7 the backlog is those 7; round 8 fronts them and
+#     additions may resume.
+#   * A full-registry DESCRIBE scan (tests/test_oracle_types.py) now
+#     forbids HUGEINT-family oracle columns, and the in-repo compare
+#     (tests/conftest.py:assert_dtype_parity) is dtype-strict, so
+#     this defect class is caught at authoring time from now on.
+# ---------------------------------------------------------------------------
+_R7_FRONT = [
+    # group 1 — round-6 reds, oracle CAST fix applied, must re-check
+    "events_funnel_rates",
+    "events_ab_test",
+    "dedup_eval_pr",
+    "scalar_variant_props",
+    "sql_shipping_modes",
+    "udf_iter_model_scores",
+    "percentile_mad_outliers",
+    # group 2 — backlog (never driver-checked), staleness order;
+    # (L) = latent HUGEINT oracle fixed this round
+    "join_bucketed_spend",
+    "sql_nation_volume",
+    "sql_market_share",
+    "window_first_last",
+    "events_window_topk",
+    "events_value_deciles",
+    "curation_shard_manifest",   # (L)
+    "trend_daily_dense",
+    "profile_orders",            # (L)
+    "events_bounce_rate",        # (L)
+    "events_gap_stats",
+    "trend_weekly_wow",
+    "media_payload_dedup",
+    "scalar_try_parse",          # (L)
+    "sim_range_search",
+    "du_top_growth",
+    "sql_forecast_revenue",
+    "sql_bracket_revenue",
+    "sql_important_nations",
+    "text_lang_confusion",
+    "events_dau_wau",
+    "segment_rfm",
+    "sql_best_supplier",
+    "sql_part_supplier_counts",
+    "events_funnel_window",
+    "events_anomaly_zscore",
+    "text_zipf_slope",
+    "sql_excess_capacity",
+    "sim_pca_project",
+    "sim_matryoshka_topk",
+    "events_user_growth",        # (L)
+    "events_concentration",      # (L)
+    "curation_semantic_decontam",
+    "events_markov_stationary",
+    "curation_epoch_repeat",
+    "du_scd2_history",
+    "events_seasonality",        # (L)
+    "docs_index_coverage",       # (L)
+    "sim_embedding_stats",       # (L)
+    "curation_stratified_split",
+    "events_user_features",      # (L)
+    "events_user_entropy",       # (L)
+    "events_retention_curve",    # (L)
+]
+
+_rotate_front(_R7_FRONT)

@@ -44,5 +44,9 @@ from .queries import rotation_r45  # noqa: E402,F401
 from .queries import q_round5_cont  # noqa: E402,F401
 from .queries import q_round5_cont2  # noqa: E402,F401
 
-# Round-6 window rotation (applied on import, last).
+# Round-6 window rotation (applied on import, superseded by r7's).
 from .queries import rotation_r6  # noqa: E402,F401
+
+# Round-7 window rotation (applied on import, last): the 7 oracle-cast
+# red re-checks first, then the 50-name backlog minus 7 deferrals.
+from .queries import rotation_r7  # noqa: E402,F401

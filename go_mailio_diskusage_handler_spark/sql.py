@@ -284,10 +284,10 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPPING_MODES_SQL = """
     SELECT l_returnflag AS ship_group,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate < DATE '1999-01-01'
@@ -706,7 +706,17 @@ def recursive_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  One ANSI string, both engines; Spark's recursion
     guard defaults to 100 levels, so the 120-month spine needs the
     session knob raised (the SQL text stays engine-portable —
-    ``MAX RECURSION LEVEL`` is Spark-only syntax DuckDB rejects)."""
+    ``MAX RECURSION LEVEL`` is Spark-only syntax DuckDB rejects).
+
+    The raise is INTENTIONALLY sticky: ``cteRecursionLevelLimit`` is
+    read at EXECUTION time, not plan time (probed on Spark 4.1 —
+    restoring the conf after ``spark.sql()`` returns makes the
+    caller's later ``.count()`` fail with
+    RECURSION_LEVEL_LIMIT_EXCEEDED), and this function returns a lazy
+    frame, so there is no safe in-function restore point.  130 is a
+    guard against runaway recursion, not a performance knob; leaving
+    it at 130 for the session's other queries changes nothing for
+    non-recursive plans."""
     register_views(spark, sf_dir)
     if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < 130:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", "130")

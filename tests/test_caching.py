@@ -126,3 +126,59 @@ def test_own_cache_transfer_chain(spark):
     final.drop()
     assert _n_persistent(spark) == 0
     del inter
+
+
+def test_derive_transfers_ownership_to_derived_frame(spark):
+    """The advisor-r6 hazard: a consumer keeping ONLY a derived frame
+    (op(...).select(...)) silently loses the cache — derive() is the
+    documented escape hatch and must move ownership to the derived
+    handle."""
+    spark.catalog.clearCache()
+    gc.collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from go_mailio_diskusage_handler_spark.caching import derive
+
+    owner = dedup.minhash_dedup_pairs(docs, 0.8)
+    derived = _Box(derive(owner.select("doc_a"), owner))
+    del owner
+    gc.collect()
+    derived.df.count()
+    # the original owner is gone, but the derived handle keeps the
+    # shingle/signature caches warm
+    assert _n_persistent(spark) > 0
+    derived.drop()
+    assert _n_persistent(spark) == 0
+
+
+def test_derive_is_safe_on_non_owning_sources(spark):
+    from go_mailio_diskusage_handler_spark.caching import derive
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = derive(docs.select("doc_id"), docs)  # docs owns nothing
+    assert out.count() > 0
+
+
+def test_ownership_survives_stash_named_column(spark):
+    """Ownership is tracked in a WeakKeyDictionary, not instance
+    attributes — a table with a column literally named like the old
+    attribute stash must not confuse absorb (advisor-r6 item)."""
+    spark.catalog.clearCache()
+    gc.collect()
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    trap = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F2.col("doc_id").alias("_spark_graft_owned_caches"))
+    )
+    cached = trap.persist(StorageLevel.MEMORY_AND_DISK)
+    owner = _Box(own_cache(cached.filter(F2.col("_spark_graft_owned_caches") >= 0), cached))
+    # absorb from a frame whose SCHEMA carries the trap name: must not
+    # crash or mistake the Column for an ownership record
+    final = _Box(own_cache(owner.df.groupBy().count(), absorb=[owner.df, trap]))
+    final.df.count()
+    assert _n_persistent(spark) > 0
+    owner.drop()
+    assert _n_persistent(spark) > 0
+    final.drop()
+    assert _n_persistent(spark) == 0
