@@ -50,3 +50,8 @@ from .queries import rotation_r6  # noqa: E402,F401
 # Round-7 window rotation (applied on import, last): the 7 oracle-cast
 # red re-checks first, then the 50-name backlog minus 7 deferrals.
 from .queries import rotation_r7  # noqa: E402,F401
+
+# Round-7 additions register AFTER the rotation — they land at the
+# registry tail, behind the driver window, per the new-query deferral
+# policy (fronted in round 8 alongside rotation_r7's 7 deferrals).
+from .queries import q_round7  # noqa: E402,F401

@@ -44,6 +44,8 @@ ORACLE_CHECKED = [
     "curation_keep_best",
     "text_pii",
     "dedup_span_coverage",
+    "dedup_span_trim",
+    "dedup_weighted_jaccard",
     "curation_temperature_mix",
     "curation_epoch_repeat",
     "curation_stratified_split",
@@ -906,3 +908,81 @@ def test_stratified_split_skew_guard_is_output_invariant(spark):
     cutoff = hs[quota - 1]
     survivors = sum(1 for h in hs if h <= cutoff)
     assert survivors <= 2 * quota, survivors
+
+
+def test_span_trim_removes_exactly_the_shared_gram(spark):
+    """Round-7 rewrite tier: tokens covered by a cross-doc 8-gram are
+    deleted; untouched docs round-trip verbatim; counts reconcile."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (0, f"a0 a1 a2 {shared} a3 a4"),
+        (1, f"b0 {shared} b1 b2 b3 b4"),
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        (3, "tiny doc"),  # < n tokens: no grams, kept whole
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in dedup.trim_duplicated_spans(docs, n=8).collect()
+    }
+    assert got[0].trimmed_text == "a0 a1 a2 a3 a4"
+    assert got[1].trimmed_text == "b0 b1 b2 b3 b4"
+    assert got[2].trimmed_text == rows[2][1]
+    assert got[3].trimmed_text == "tiny doc"
+    for r in got.values():
+        assert r.kept_tokens + r.removed_tokens == r.n_words
+    assert got[0].removed_tokens == got[1].removed_tokens == 8
+
+
+def test_span_trim_fully_duplicated_doc_empties(spark):
+    text = "d1 d2 d3 d4 d5 d6 d7 d8"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    out = dedup.trim_duplicated_spans(docs, n=8).collect()
+    assert all(r.trimmed_text == "" and r.kept_tokens == 0 for r in out)
+
+
+def test_weighted_jaccard_discounts_boilerplate(spark):
+    """IDF weighting: a pair sharing RARE shingles scores ~1; a pair
+    whose entire overlap is corpus-universal weighs 0 and is filtered
+    (zero-denominator guard), not reported as a perfect match —
+    exactly the inversion of unweighted Jaccard's verdict."""
+    univ = "u1 u2 u3"
+    rows = [
+        (0, f"r1 r2 r3 r4 {univ}"),
+        (1, f"r1 r2 r3 r4 {univ}"),
+        (2, univ),
+        (3, univ),
+        (4, f"q1 q2 q3 q4 {univ}"),
+        (5, f"z1 z2 z3 z4 {univ}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.w_jaccard
+        for r in dedup.weighted_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (2, 3) not in pairs  # universal-only overlap: weight 0
+    assert all(k == (0, 1) for k in pairs)
+
+
+def test_weighted_jaccard_matches_manual_math(spark):
+    """Hand-check the score on an asymmetric overlap (no boilerplate):
+    w(s) = ln(N/df) summed over intersection / union."""
+    import math
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c x y"),
+        (2, "p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.w_jaccard
+        for r in dedup.weighted_jaccard_pairs(docs, 0.01).collect()
+    }
+    # doc0 shingles: abc bcd cde; doc1: abc bcx cxy; shared: abc (df=2)
+    n = 3
+    w_df2, w_df1 = math.log(n / 2), math.log(n / 1)
+    expect = round(w_df2 / (w_df2 + 4 * w_df1), 4)
+    assert out == {(0, 1): expect}
