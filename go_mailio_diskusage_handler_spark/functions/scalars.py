@@ -382,3 +382,161 @@ def safe_json_parse_stats(events: DataFrame) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+def mergeable_value_quantiles(events: DataFrame, rank_tol: float = 0.02) -> DataFrame:
+    """Apache DataSketches KLL as a MERGEABLE quantile rollup — the
+    quantile sibling of :func:`mergeable_user_sketches`: per-(type,
+    day) partial sketches (``kll_sketch_agg_double`` over ``value``)
+    merged per type (``kll_merge_agg_double``).  A 100 TB metrics
+    store keeps the small daily sketch blobs and answers any later
+    date-range percentile question by MERGE — ``approx_percentile``
+    gives the one-shot estimate but cannot re-aggregate.
+
+    Driver-checkable invariant form (sketch bytes aren't
+    SQL-portable): per event type, the exact value count, plus
+    booleans asserting (a) the sketch's retained N is EXACTLY the
+    count (KLL tracks n losslessly) and (b) each estimated quantile's
+    TRUE rank — measured against the raw values with one extra
+    broadcast-join pass — lands within ``rank_tol`` of its target
+    (default k=200 bounds normalized rank error well under 2%).  The
+    rank check is two-sided on the CDF step: rank(est⁻) ≤ p+tol and
+    rank(est⁺) ≥ p−tol, which is insertion-order-stable where a
+    value-tolerance check would not be.
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "value"
+    )
+    daily = vals.groupBy("event_type", "d").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("mk")
+    )
+    est = merged.select(
+        "event_type",
+        F.kll_sketch_get_n_double("mk").alias("sketch_n"),
+        *[
+            F.kll_sketch_get_quantile_double("mk", F.lit(p)).alias(f"q{tag}")
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ],
+    )
+    ranked = vals.join(F.broadcast(est), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.any_value("sketch_n").alias("sketch_n"),
+        *[
+            a
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+            for a in (
+                (
+                    F.sum(
+                        F.when(F.col("value") < F.col(f"q{tag}"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1))
+                    <= p + rank_tol
+                ).alias(f"q{tag}_lo_ok"),
+                (
+                    F.sum(
+                        F.when(F.col("value") <= F.col(f"q{tag}"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1))
+                    >= p - rank_tol
+                ).alias(f"q{tag}_hi_ok"),
+            )
+        ],
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n_values").cast("bigint").alias("n_values"),
+        (F.col("sketch_n") == F.col("n_values")).alias("n_ok"),
+        *[
+            (F.col(f"q{tag}_lo_ok") & F.col(f"q{tag}_hi_ok")).alias(
+                f"q{tag}_ok"
+            )
+            for tag in ("50", "90", "99")
+        ],
+    )
+
+
+def theta_retained_users(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
+    """Apache DataSketches Theta as MERGEABLE distinct sketches with
+    SET OPERATIONS — the capability HLL fundamentally lacks: daily
+    user sketches intersect (``theta_intersection``) for day-over-day
+    retention and difference (``theta_difference``) for new-user
+    counts, both answered from stored per-day blobs without
+    re-scanning events.
+
+    Driver-checkable invariant form: per consecutive-day pair (LAG
+    over the DISTINCT days actually present — a data gap pairs across
+    it, in both engines) the EXACT retained / new distinct-user
+    counts, plus booleans asserting each theta estimate lands within
+    ``rel_tol`` (absolute slack 1 for near-empty intersections; at
+    fixture cardinalities theta mode is exact — every sketch is far
+    below its k=4096 sampling threshold).
+
+    Plan shape at 100 TB: the sketch path is two shuffles (per-day
+    partials, then a days-long single-partition LAG — day count is
+    driver-scale); the exact tier is one distinct (day, user) shuffle
+    + a broadcast of the tiny day-pairs table + one semi equi-join on
+    (user_id, prev_d) — linear, no per-user day×day blowup.
+    """
+    from pyspark.sql import Window
+
+    ud = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    daily = ud.groupBy("d").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        "d",
+        "sk",
+        F.lag("sk").over(w).alias("prev_sk"),
+        F.lag("d").over(w).alias("prev_d"),
+    ).filter(F.col("prev_sk").isNotNull())
+    est = pairs.select(
+        "d",
+        "prev_d",
+        F.theta_sketch_estimate(
+            F.theta_intersection("prev_sk", "sk")
+        ).alias("est_retained"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk", "prev_sk")
+        ).alias("est_new"),
+    )
+    day_pairs = est.select("d", "prev_d")
+    ud_prev = ud.select("user_id", F.col("d").alias("prev_d"))
+    retained = (
+        ud.join(F.broadcast(day_pairs), "d")
+        .join(ud_prev, ["user_id", "prev_d"], "left_semi")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("exact_retained"))
+    )
+    totals = ud.groupBy("d").agg(F.count(F.lit(1)).alias("exact_users"))
+
+    def ok(est_col: str, exact_col):
+        return F.abs(F.col(est_col) - exact_col) <= F.greatest(
+            F.lit(1.0), rel_tol * exact_col
+        )
+
+    exact_new = F.col("exact_users") - F.coalesce(
+        F.col("exact_retained"), F.lit(0)
+    )
+    return (
+        est.join(retained, "d", "left")
+        .join(totals, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("exact_retained"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_retained"),
+            exact_new.cast("bigint").alias("exact_new"),
+            ok("est_retained", F.coalesce(F.col("exact_retained"), F.lit(0))).alias(
+                "retained_ok"
+            ),
+            ok("est_new", exact_new).alias("new_ok"),
+        )
+    )

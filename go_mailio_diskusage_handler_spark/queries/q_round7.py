@@ -1,11 +1,13 @@
-"""Round-7 additions: exact-substring trim + IDF-weighted Jaccard.
+"""Round-7 additions: exact-substring trim, IDF-weighted Jaccard,
+and the Spark-4 DataSketches tier (mergeable KLL quantiles + Theta
+set-operation retention).
 
-Registered AFTER the round-7 rotation applies, so both entries land at
-the registry TAIL — behind the 50-slot driver window — per the
-rotation policy for brand-new queries (no stale green row to hide
-behind; in-repo oracle-checked via `tests/test_core.py` until the
-round-8 front picks them up together with the 7 deferred backlog
-names listed in ``rotation_r7.py``).
+Registered AFTER the round-7 rotation applies, so all four entries
+land at the registry TAIL — behind the 50-slot driver window — per
+the rotation policy for brand-new queries (no stale green row to hide
+behind; in-repo oracle-checked via the pytest ORACLE_CHECKED lists
+until the round-8 front picks them up together with the 7 deferred
+backlog names listed in ``rotation_r7.py``).
 """
 from __future__ import annotations
 
@@ -106,3 +108,65 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.weighted_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), 0.5
     )
+
+
+# Invariant-form oracle (sketch bytes aren't SQL-portable): the exact
+# counts plus always-TRUE flags the Spark side must reproduce — same
+# convention as events_sketch_merge / events_bitmap_users.
+KLL_QUANTILES_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           TRUE AS n_ok,
+           TRUE AS q50_ok,
+           TRUE AS q90_ok,
+           TRUE AS q99_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("events_kll_quantiles", KLL_QUANTILES_SQL)
+def events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mergeable KLL quantile rollup: per-(type, day) sketch
+    partials merged per type, estimates rank-checked against the raw
+    values (functions/scalars.py:mergeable_value_quantiles)."""
+    from ..functions import scalars
+
+    return scalars.mergeable_value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+# LAG over the DISTINCT days actually present — a data gap pairs
+# across it — exactly as the Spark window does.
+THETA_RETENTION_SQL = """
+    WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       user_id
+                FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT d, LAG(d) OVER (ORDER BY d) AS prev_d
+             FROM (SELECT DISTINCT d FROM ud)),
+    dp AS (SELECT d, prev_d FROM days WHERE prev_d IS NOT NULL),
+    ret AS (SELECT u.d, COUNT(*) AS n_ret
+            FROM ud u
+            JOIN dp ON u.d = dp.d
+            JOIN ud p ON p.user_id = u.user_id AND p.d = dp.prev_d
+            GROUP BY u.d),
+    tot AS (SELECT d, COUNT(*) AS n_users FROM ud GROUP BY d)
+    SELECT strftime(dp.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(ret.n_ret, 0) AS BIGINT) AS exact_retained,
+           CAST(tot.n_users - COALESCE(ret.n_ret, 0) AS BIGINT) AS exact_new,
+           TRUE AS retained_ok,
+           TRUE AS new_ok
+    FROM dp
+    LEFT JOIN ret ON dp.d = ret.d
+    JOIN tot ON dp.d = tot.d
+"""
+
+
+@register("events_theta_retention", THETA_RETENTION_SQL)
+def events_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Theta-sketch day-over-day retention: stored daily
+    sketches answer retained/new distinct counts by set INTERSECTION
+    and DIFFERENCE — the re-aggregatable set-op capability HLL lacks
+    (functions/scalars.py:theta_retained_users)."""
+    from ..functions import scalars
+
+    return scalars.theta_retained_users(load_table(spark, sf_dir, "events"))

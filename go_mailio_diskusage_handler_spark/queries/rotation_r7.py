@@ -29,10 +29,11 @@ from .rotation_r45 import _rotate_front
 #       du_quota_alerts, text_datacard, udf_arrow_tokens,
 #       sql_lateral_topn, docs_length_histogram, sql_group_by_all,
 #       du_largest_files.
-#     After round 7 the backlog is those 7 plus the two round-7
+#     After round 7 the backlog is those 7 plus the four round-7
 #     additions registered at the tail (dedup_span_trim,
-#     dedup_weighted_jaccard — see queries/q_round7.py); round 8
-#     fronts all 9 first, then staleness order.
+#     dedup_weighted_jaccard, events_kll_quantiles,
+#     events_theta_retention — see queries/q_round7.py); round 8
+#     fronts all 11 first, then staleness order.
 #   * A full-registry DESCRIBE scan (tests/test_oracle_types.py) now
 #     forbids HUGEINT-family oracle columns, and the in-repo compare
 #     (tests/conftest.py:assert_dtype_parity) is dtype-strict, so

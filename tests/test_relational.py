@@ -63,6 +63,8 @@ ORACLE_CHECKED = [
     "part_affinity_lift",
     "events_sketch_merge",
     "events_bitmap_users",
+    "events_kll_quantiles",
+    "events_theta_retention",
     "scalar_variant_props",
     "join_spend_reconcile",
     "docs_index_coverage",
@@ -438,3 +440,48 @@ def test_bracket_revenue_pushes_disjunction_into_part_scan(spark):
     plan = plans.executed_plan(df)
     assert "Brand#1" in plan and "Brand#3" in plan, plan
     assert plans.has_broadcast_join(df), plan
+
+
+def test_theta_retention_known_values(spark):
+    """Synthetic 3-day fixture with a data gap: retention pairs follow
+    the DISTINCT days present (day 4 pairs with day 2 across the
+    missing day 3), and the theta estimates are exact at this
+    cardinality, so every flag must be true."""
+    from datetime import datetime
+
+    from go_mailio_diskusage_handler_spark.functions import scalars
+
+    rows = []
+    for day, users in ((1, [1, 2, 3]), (2, [2, 3, 4, 5]), (4, [5, 9])):
+        rows += [
+            (datetime(2024, 1, day, 12, 0, 0), u, "view", 1.0) for u in users
+        ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.day: r for r in scalars.theta_retained_users(ev).collect()}
+    assert set(got) == {"2024-01-02", "2024-01-04"}
+    assert (got["2024-01-02"].exact_retained, got["2024-01-02"].exact_new) == (2, 2)
+    assert (got["2024-01-04"].exact_retained, got["2024-01-04"].exact_new) == (1, 1)
+    assert all(r.retained_ok and r.new_ok for r in got.values())
+
+
+def test_kll_rollup_n_is_lossless_and_quantiles_ranked(spark):
+    """KLL invariant on a skewed synthetic column: the merged sketch's
+    n equals the exact count (KLL never drops count), and every
+    estimated quantile's true rank is within tolerance."""
+    from datetime import datetime
+
+    from go_mailio_diskusage_handler_spark.functions import scalars
+
+    rows = [
+        (datetime(2024, 1, 1 + (i % 5), 8, 0, 0), i, "click", float(i * i % 977))
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    out = scalars.mergeable_value_quantiles(ev).collect()
+    assert len(out) == 1 and out[0].n_values == 2000
+    r = out[0]
+    assert r.n_ok and r.q50_ok and r.q90_ok and r.q99_ok
