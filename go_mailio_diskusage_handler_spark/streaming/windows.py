@@ -394,3 +394,55 @@ def concentration_over_totals_sink(sink_df: DataFrame) -> DataFrame:
     )
 
     return concentration_report(sink_df.select("user_id", "n_events"))
+
+
+def daily_theta_sketches(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming per-day Theta user-sketch PARTIALS — the write half
+    of the sketch store :func:`...functions.scalars.theta_retained_users`
+    reads: each micro-batch folds its users into the open day's
+    sketch, the watermark closes days and bounds state to the few
+    still-open day buffers (KB-scale blobs, never per-user rows).
+    The sink accumulates one mergeable blob per day; retention /
+    new-user questions are then SET OPERATIONS over stored blobs
+    (:func:`retention_over_sketch_sink`), no event rescans.
+    """
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+
+
+def retention_over_sketch_sink(sink_df: DataFrame) -> DataFrame:
+    """Day-over-day retained / new distinct-user estimates computed
+    purely from the accumulated sketch sink — the rank-in-sink
+    pattern applied to SET sketches: intersection/difference are not
+    incremental-safe aggregates, so they stay in the serving layer
+    over the day-keyed blobs (day count is driver-scale; the single-
+    partition LAG is over tens of rows of KB blobs).
+
+    Below the theta sampling threshold (k=4096) sketches are exact
+    sets of key hashes — order- and batch-boundary-independent — so
+    at fixture cardinality the estimates EQUAL the batch operator's
+    exact counts (asserted stream ≡ batch in tests).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d")
+    pairs = sink_df.select(
+        "d",
+        "sk",
+        F.lag("sk").over(w).alias("prev_sk"),
+    ).filter(F.col("prev_sk").isNotNull())
+    return pairs.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("prev_sk", "sk"))
+        ).cast("bigint").alias("est_retained"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sk", "prev_sk"))
+        ).cast("bigint").alias("est_new"),
+    )

@@ -13,7 +13,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-from go_mailio_diskusage_handler_spark.operators import core, sessions
+from go_mailio_diskusage_handler_spark.operators import core, dedup, sessions
 
 # key: 1-2 slash segments from a tiny alphabet (forces collisions and
 # malformed single-segment keys); size: small ints (exact arithmetic).
@@ -451,3 +451,51 @@ def test_stratified_split_exact_ceil_proportions(spark, sizes):
         src = f"s{s_i}"
         assert tot[src] == n
         assert ev[src] == (n * 1000 + 9999) // 10000, (src, n, ev[src])
+
+
+# --- round-7 rewrite tier -------------------------------------------------
+
+_word = st.sampled_from(["w1", "w2", "w3", "w4", "w5"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus)
+def test_span_trim_invariants_hold_for_arbitrary_corpora(spark, docs):
+    """trim_duplicated_spans vs a direct Python reimplementation: for
+    ANY corpus, (a) kept + removed == n_words, (b) trimmed_text is the
+    original token sequence minus exactly the positions covered by a
+    cross-document duplicate n-gram, in order."""
+    n = 4  # small n so tiny generated docs can actually collide
+    rows = [(i, t) for i, t in enumerate(docs)]
+    toks = {i: (t.split(" ") if t else [""]) for i, t in rows}
+    # python reference: gram -> set of docs, then covered positions
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for i, ts in toks.items():
+        for j in range(len(ts) - n + 1):
+            where[" ".join(ts[j : j + n])].add(i)
+    covered = {
+        i: {
+            p
+            for j in range(len(ts) - n + 1)
+            if len(where[" ".join(ts[j : j + n])]) >= 2
+            for p in range(j, j + n)
+        }
+        for i, ts in toks.items()
+    }
+    want = {
+        i: " ".join(t for p, t in enumerate(ts) if p not in covered[i])
+        for i, ts in toks.items()
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.trim_duplicated_spans(df, n=n).collect()
+    }
+    assert set(got) == set(toks)
+    for i, r in got.items():
+        assert r.kept_tokens + r.removed_tokens == r.n_words
+        assert r.trimmed_text == want[i], (i, docs)

@@ -702,3 +702,27 @@ def test_streaming_concentration_equals_batch(spark, events_stream_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_theta_sketch_sink_equals_batch_exact(spark, events_stream_dir):
+    """Round-7 sketch-store twin: daily theta partials accumulated by
+    the stream, retention answered from the SINK by set ops, must
+    equal the batch operator's EXACT counts — below the sampling
+    threshold theta sketches are exact hash sets, so stream ≡ batch
+    holds with equality, not a tolerance band."""
+    from go_mailio_diskusage_handler_spark.functions import scalars
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.daily_theta_sketches(stream), output_mode="complete"
+    )
+    got = {
+        (r.day, r.est_retained, r.est_new)
+        for r in windows.retention_over_sketch_sink(sink).collect()
+    }
+    batch = scalars.theta_retained_users(load_table(spark, SF_SMOKE, "events"))
+    want = {
+        (r.day, r.exact_retained, r.exact_new) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
