@@ -50,14 +50,18 @@ End-of-second-continuation reference: 195 queries, 248.3 s idle,
 heaviest 6.5 s (curation_corpus), zero errors; the full 195-query
 oracle sweep at sf0.01 passed 195/195 the same session.
 
-Round-7 reference: 196 queries, 227.0 s idle (heaviest dedup_eval_pr
-7.6 s — it runs 3rd in the r7 registration order and is charged the
-whole dedup family's codegen JIT; a warmup A/B measured 6.8 s of
-sf0.001 pre-warm buying back only 2 s, so the charge stays where it
-is), zero errors.  From round 7 on the FULL per-query map of the
-latest sf0.1 run is committed as BASELINE_QUERIES.json — cross-round
-per-query comparisons should read that file's git history, not the
-truncated BENCH_r*.json tails.
+Round-7 reference: 200 queries, 233.7 s idle — 227.0 s for the
+pre-addition 196, the four round-7 additions (span trim, weighted
+Jaccard, KLL, theta) add ~5 s, heaviest dedup_eval_pr ~7.6 s (it runs
+3rd in the r7 registration order and is charged the whole dedup
+family's codegen JIT; a warmup A/B measured 6.8 s of sf0.001 pre-warm
+buying back only 2 s, so the charge stays where it is), zero errors.
+One mid-round run recorded 250 s with UNIFORM ~2-3× inflation on
+trivial queries (du_core 0.29 → 1.47 s) — the co-located-load
+signature again; the idle re-run landed back at 233.7.  From round 7
+on the FULL per-query map of the latest sf0.1 run is committed as
+BASELINE_QUERIES.json — cross-round per-query comparisons should read
+that file's git history, not the truncated BENCH_r*.json tails.
 """
 
 from __future__ import annotations
