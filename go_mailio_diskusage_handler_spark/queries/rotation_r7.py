@@ -38,6 +38,29 @@ from .rotation_r45 import _rotate_front
 #     forbids HUGEINT-family oracle columns, and the in-repo compare
 #     (tests/conftest.py:assert_dtype_parity) is dtype-strict, so
 #     this defect class is caught at authoring time from now on.
+#
+# Round-8 front (precomputed from CORRECTNESS_r01-r06 + this window;
+# 11 never-checked first, then the stalest rows, all r4-checked, in
+# registration order): du_quota_alerts, text_datacard,
+# udf_arrow_tokens, sql_lateral_topn, docs_length_histogram,
+# sql_group_by_all, du_largest_files, dedup_span_trim,
+# dedup_weighted_jaccard, events_kll_quantiles, events_theta_retention,
+# then udf_pandas_cosine, udaf_weighted_avg_price, udtf_path_segments,
+# du_quality_check, salted_event_totals, sim_ivf_assignments,
+# sim_ivf_ann_topk, sim_quantize_int8, sim_pq_codes, sim_pq_ann_topk,
+# semi_customers_with_orders, du_incremental, udf_grouped_map_zscore,
+# part_brand_stats, supplier_nation_balance, star_profit_by_nation_brand,
+# docs_source_stats, segment_customer_value, setop_retained_customers,
+# media_resize, media_audio_chunks, events_asof_join,
+# events_attribution_join, sql_pricing_summary, sql_shipping_priority,
+# sql_order_priority, sql_large_orders, sql_local_supplier_volume,
+# sql_correlated_above_avg, sql_grouping_sets, window_order_gaps,
+# unpivot_lineitem_measures, window_moving_spend, range_join_price_bands,
+# events_sessionize, events_session_window, curation_sample_weighted,
+# du_core, du_lookup — adjusted first for any round-8 engine changes
+# (changed queries front first, per the round-4 advisory) and for any
+# r7 driver reds.  96 queries remain at r4/r5 staleness, so full
+# ≤2-round freshness needs two more rotation rounds.
 # ---------------------------------------------------------------------------
 _R7_FRONT = [
     # group 1 — round-6 reds, oracle CAST fix applied, must re-check

@@ -446,3 +446,42 @@ def retention_over_sketch_sink(sink_df: DataFrame) -> DataFrame:
             F.theta_sketch_estimate(F.theta_difference("sk", "prev_sk"))
         ).cast("bigint").alias("est_new"),
     )
+
+
+def daily_value_sketches(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming per-day KLL quantile-sketch PARTIALS over ``value``
+    — the quantile sibling of :func:`daily_theta_sketches` and the
+    write half of the store
+    :func:`...functions.scalars.mergeable_value_quantiles` reads in
+    batch.  State per open day is one bounded KLL buffer (k=200 ⇒
+    ~KBs) regardless of event volume; the watermark closes days.
+    """
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+
+
+def quantiles_over_sketch_sink(sink_df: DataFrame) -> DataFrame:
+    """Any-date-range quantiles answered purely from the accumulated
+    daily KLL blobs: merge (``kll_merge_agg_double``) then probe —
+    one row of (n, q50, q90, q99) without rescanning events.  KLL
+    merge is associative, so this serves mid-stream snapshots as
+    correctly as the drained sink; estimates carry the sketch's
+    normalized rank-error guarantee (well under 2% at k=200), which
+    is what the stream≡batch test asserts (sketch compaction is
+    randomized, so value-equality across independently-built sketches
+    is NOT guaranteed — rank tolerance is the honest contract).
+    """
+    merged = sink_df.groupBy().agg(F.kll_merge_agg_double("sk").alias("mk"))
+    return merged.select(
+        F.kll_sketch_get_n_double("mk").cast("bigint").alias("n_values"),
+        *[
+            F.kll_sketch_get_quantile_double("mk", F.lit(p)).alias(f"q{t}")
+            for p, t in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ],
+    )

@@ -726,3 +726,28 @@ def test_stream_theta_sketch_sink_equals_batch_exact(spark, events_stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_kll_sketch_sink_quantiles_within_rank_tol(spark, events_stream_dir):
+    """Round-7 quantile sketch store: daily KLL partials accumulated
+    by the stream, quantiles probed from the MERGED sink blobs.  The
+    sketch's n is lossless (equals the exact value count) and every
+    estimate's true rank — measured against the batch events — lands
+    within the k=200 rank-error budget."""
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.daily_value_sketches(stream), output_mode="complete"
+    )
+    row = windows.quantiles_over_sketch_sink(sink).collect()[0]
+    vals = sorted(
+        r.value
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .collect()
+    )
+    assert row.n_values == len(vals)
+    for p, est in ((0.5, row.q50), (0.9, row.q90), (0.99, row.q99)):
+        rank_lo = sum(1 for v in vals if v < est) / len(vals)
+        rank_hi = sum(1 for v in vals if v <= est) / len(vals)
+        assert rank_lo <= p + 0.02 and rank_hi >= p - 0.02, (p, est)
