@@ -56,9 +56,10 @@ Jaccard, KLL, theta) add ~5 s, heaviest dedup_eval_pr ~7.6 s (it runs
 3rd in the r7 registration order and is charged the whole dedup
 family's codegen JIT; a warmup A/B measured 6.8 s of sf0.001 pre-warm
 buying back only 2 s, so the charge stays where it is), zero errors.
-One mid-round run recorded 250 s with UNIFORM ~2-3× inflation on
-trivial queries (du_core 0.29 → 1.47 s) — the co-located-load
-signature again; the idle re-run landed back at 233.7.  From round 7
+Back-to-back idle runs this round spread 233.7-270.9 s with UNIFORM
+inflation on trivial queries (du_core 0.29 → 1.47 s in the slower
+runs) — treat the whole band as this box's idle variance and compare
+per-query, not totals, across rounds.  From round 7
 on the FULL per-query map of the latest sf0.1 run is committed as
 BASELINE_QUERIES.json — cross-round per-query comparisons should read
 that file's git history, not the truncated BENCH_r*.json tails.
