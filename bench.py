@@ -59,7 +59,12 @@ buying back only 2 s, so the charge stays where it is), zero errors.
 Back-to-back idle runs this round spread 233.7-270.9 s with UNIFORM
 inflation on trivial queries (du_core 0.29 → 1.47 s in the slower
 runs) — treat the whole band as this box's idle variance and compare
-per-query, not totals, across rounds.  From round 7
+per-query, not totals, across rounds.  A /proc/stat sample taken
+DURING a full run shows <0.5%% hypervisor steal and long sub-10%%-user
+stretches: at sf0.1 the bench is scheduling-latency-bound (per-job
+setup and driver-executor round-trips over tiny stages), not
+CPU-bound, so totals jitter while plan shapes and the 10x-scaling
+probes in SCALE.md carry the real performance signal.  From round 7
 on the FULL per-query map of the latest sf0.1 run is committed as
 BASELINE_QUERIES.json — cross-round per-query comparisons should read
 that file's git history, not the truncated BENCH_r*.json tails.
