@@ -60,7 +60,7 @@ Back-to-back idle runs this round spread 233.7-270.9 s with UNIFORM
 inflation on trivial queries (du_core 0.29 → 1.47 s in the slower
 runs) — treat the whole band as this box's idle variance and compare
 per-query, not totals, across rounds.  A /proc/stat sample taken
-DURING a full run shows <0.5%% hypervisor steal and long sub-10%%-user
+DURING a full run shows <0.5% hypervisor steal and long sub-10%-user
 stretches: at sf0.1 the bench is scheduling-latency-bound (per-job
 setup and driver-executor round-trips over tiny stages), not
 CPU-bound, so totals jitter while plan shapes and the 10x-scaling
