@@ -53,3 +53,26 @@ def test_oracle_has_no_hugeint_columns(ddb_tiny, name):
         f"pandas renders these float64, the driver's type-sensitive hash "
         f"will mismatch Spark's bigint; wrap with CAST(... AS BIGINT)"
     )
+
+
+def test_dtype_parity_gate_catches_hugeint_class(ddb_tiny):
+    """Meta-test: the round-7 gate must FAIL on exactly the defect
+    class that slipped through round 6 — a DuckDB HUGEINT (rendered
+    float64) against a Spark bigint with numerically equal values —
+    and pass once the oracle casts."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from conftest import assert_dtype_parity
+
+    bad = ddb_tiny.execute(
+        "SELECT SUM(x) AS s FROM (SELECT 150 AS x)"
+    ).df()  # HUGEINT -> float64
+    good = ddb_tiny.execute(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT 150 AS x)"
+    ).df()
+    spark_like = pd.DataFrame({"s": pd.array([150], dtype="int64")})
+    assert bad["s"].dtype.kind == "f" and good["s"].dtype.kind == "i"
+    with _pytest.raises(AssertionError, match="dtype-group mismatch"):
+        assert_dtype_parity("meta", ["s"], spark_like, bad)
+    assert_dtype_parity("meta", ["s"], spark_like, good)
