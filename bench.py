@@ -68,6 +68,13 @@ probes in SCALE.md carry the real performance signal.  From round 7
 on the FULL per-query map of the latest sf0.1 run is committed as
 BASELINE_QUERIES.json — cross-round per-query comparisons should read
 that file's git history, not the truncated BENCH_r*.json tails.
+
+Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
+refresh only from an IDLE run — check nothing else is running (no
+concurrent pytest/verify; `uptime` load well under core count) and,
+when in doubt, confirm a trivial query's timing sits in its idle band
+(du_core ≈ 0.3 s idle vs ≈ 1.5 s co-located).  An inflated committed
+baseline weakens the 2x regression gate for every later round.
 """
 
 from __future__ import annotations
@@ -174,7 +181,9 @@ def main() -> None:
     # alone.  Persist it to a committed file on every headline-config
     # run (default sf0.1 only — ad-hoc sf0.01 iteration runs must not
     # overwrite the reference); git history is the cross-round series.
-    if sf == "0.1":
+    # Compare NUMERICALLY so equivalent spellings ("0.10", ".1") still
+    # refresh the committed baseline (ADVICE r7).
+    if float(sf) == 0.1:
         baseline_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
         )

@@ -403,10 +403,16 @@ def mergeable_value_quantiles(events: DataFrame, rank_tol: float = 0.02) -> Data
     rank check is two-sided on the CDF step: rank(est⁻) ≤ p+tol and
     rank(est⁺) ≥ p−tol, which is insertion-order-stable where a
     value-tolerance check would not be.
+
+    NULL event types are filtered (mirrored in the oracle): the rank
+    pass rejoins the estimates on ``event_type``, and an equi-join
+    silently drops a NULL-keyed group that a plain GROUP BY would
+    emit — a cross-engine row-count trap even though current fixtures
+    carry no NULL event types.
     """
-    vals = events.filter(F.col("value").isNotNull()).select(
-        "event_type", F.date_trunc("day", "ts").alias("d"), "value"
-    )
+    vals = events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", F.date_trunc("day", "ts").alias("d"), "value")
     daily = vals.groupBy("event_type", "d").agg(
         F.kll_sketch_agg_double("value").alias("sk")
     )

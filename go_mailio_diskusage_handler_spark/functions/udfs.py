@@ -198,6 +198,61 @@ def path_segments(inventory: DataFrame, limit_keys: int = 100) -> DataFrame:
     ).select("key", "pos", "piece")
 
 
+class _WidenPathUDTF:
+    """Python UDTF with ``analyze()`` — Spark 4's POLYMORPHIC-output
+    table function (the one UDF-family surface ``SplitPathUDTF``'s
+    fixed ``returnType`` doesn't exercise): the output schema is
+    computed at PLAN time from the constant ``depth`` argument, so
+    ``depth=2`` yields columns (seg_1, seg_2, n_segs) and ``depth=5``
+    yields (seg_1..seg_5, n_segs) — one function, any width.  Catalyst
+    sees the concrete resolved schema, so downstream pruning/codegen
+    are unaffected by the polymorphism; evaluation stays
+    partition-local under the lateral join (no shuffle), exactly as
+    the fixed-schema UDTF.
+    """
+
+    @staticmethod
+    def analyze(key, depth):
+        from pyspark.sql.types import IntegerType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if depth.value is None or not isinstance(depth.value, int):
+            raise ValueError(
+                "widen_path_segments: depth must be a constant integer "
+                "(the output schema is derived from it at plan time)"
+            )
+        schema = StructType()
+        for i in range(1, depth.value + 1):
+            schema.add(f"seg_{i}", StringType())
+        schema.add("n_segs", IntegerType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, key: str, depth: int):
+        parts = [] if key is None else key.split("/")
+        yield tuple(
+            parts[i] if i < len(parts) else None for i in range(depth)
+        ) + (len(parts),)
+
+
+WidenPathUDTF = udtf(_WidenPathUDTF, useArrow=True)
+
+
+def widen_path_segments(
+    inventory: DataFrame, depth: int = 2, limit_keys: int = 100
+) -> DataFrame:
+    """Lateral-join the polymorphic UDTF over the bounded key subset:
+    one output ROW per key (the widening is horizontal), with the
+    column count chosen by ``depth`` at plan time."""
+    keys = inventory.select("key").orderBy("key").limit(limit_keys)
+    return keys.lateralJoin(
+        WidenPathUDTF(F.col("key").outer(), F.lit(depth))
+    ).select(
+        "key",
+        *[f"seg_{i}" for i in range(1, depth + 1)],
+        "n_segs",
+    )
+
+
 def _fake_model() -> dict:
     """Stand-in for an expensive model load (weights file, tokenizer,
     ONNX session): a deterministic token→score table derived from md5

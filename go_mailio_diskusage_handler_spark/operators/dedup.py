@@ -1152,10 +1152,14 @@ def trim_duplicated_spans(
 
     Output: one row per document — (doc_id, n_words, kept_tokens,
     removed_tokens, trimmed_text); a fully-duplicated document keeps
-    an empty string.
+    an empty string.  NULL text is coalesced to '' BEFORE the split
+    (mirrored in the oracle): without it Spark's size(split(NULL))
+    yields -1 while SQL engines yield NULL — a cross-engine trap even
+    though current fixtures carry no NULL text.
     """
     base = documents.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
     ).select("doc_id", "t", F.size("t").alias("n_words"))
     gram_arr = F.when(
         F.col("n_words") >= n,

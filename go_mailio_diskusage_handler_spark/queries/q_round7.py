@@ -20,10 +20,14 @@ from ._base import register
 # DuckDB mirror of dedup.trim_duplicated_spans (n=8, min_docs=2).
 # Gram at 1-based start idx covers token positions idx .. idx+7; the
 # rewrite anti-joins the positional token table against the covered
-# set and reassembles with list(tok ORDER BY p).
+# set and reassembles with list(tok ORDER BY p).  COALESCE(text, '')
+# mirrors the operator's NULL-text guard (Spark size(split(NULL)) is
+# -1 vs SQL NULL — see trim_duplicated_spans docstring).
 SPAN_TRIM_SQL = """
-    WITH b2 AS (SELECT doc_id, string_split(text, ' ') AS t,
-                       len(string_split(text, ' ')) AS n_words
+    WITH b2 AS (SELECT doc_id,
+                       string_split(COALESCE(text, ''), ' ') AS t,
+                       len(string_split(COALESCE(text, ''), ' '))
+                           AS n_words
                 FROM documents),
     idxs AS (SELECT doc_id, t, unnest(range(1, n_words - 6)) AS idx
              FROM b2 WHERE n_words >= 8),
@@ -112,7 +116,10 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Invariant-form oracle (sketch bytes aren't SQL-portable): the exact
 # counts plus always-TRUE flags the Spark side must reproduce — same
-# convention as events_sketch_merge / events_bitmap_users.
+# convention as events_sketch_merge / events_bitmap_users.  The
+# event_type IS NOT NULL mirrors the operator's guard (its rank pass
+# rejoins on event_type, and an equi-join drops a NULL-keyed group a
+# plain GROUP BY would emit — see mergeable_value_quantiles).
 KLL_QUANTILES_SQL = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_values,
@@ -120,7 +127,8 @@ KLL_QUANTILES_SQL = """
            TRUE AS q50_ok,
            TRUE AS q90_ok,
            TRUE AS q99_ok
-    FROM events WHERE value IS NOT NULL
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
     GROUP BY event_type
 """
 

@@ -1,0 +1,89 @@
+"""Round-8 additions: polymorphic-output Python UDTF (``analyze()``)
+and the runtime-bloom-filter probe join.
+
+Registered AFTER the round-8 rotation applies, so both entries land at
+the registry TAIL — behind the 50-slot driver window — per the
+rotation policy for brand-new queries (no stale green row to hide
+behind; in-repo oracle-checked via the pytest ORACLE_CHECKED lists
+until the round-9 front picks them up).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import udfs
+from ..operators import core
+from ..sources.tables import load_table
+from ._base import register
+from .q_du import INVENTORY_SQL
+
+# DuckDB mirror of udfs.widen_path_segments (depth=2, limit 100):
+# per-key horizontal widening; list indexing past the end is NULL in
+# DuckDB exactly as the UDTF pads missing segments with None.
+WIDEN_SEGMENTS_SQL = f"""
+    WITH inv AS ({INVENTORY_SQL}),
+    keys AS (SELECT key FROM inv ORDER BY key LIMIT 100),
+    t AS (SELECT key, string_split(key, '/') AS parts FROM keys)
+    SELECT key,
+           parts[1] AS seg_1,
+           parts[2] AS seg_2,
+           CAST(len(parts) AS INTEGER) AS n_segs
+    FROM t
+"""
+
+
+@register("udtf_widen_segments", WIDEN_SEGMENTS_SQL)
+def udtf_widen_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Python UDTF with ``analyze()``: the output schema
+    (seg_1..seg_k, n_segs) is computed at plan time from the constant
+    depth argument — Spark 4's polymorphic-output table-function
+    surface (functions/udfs.py:_WidenPathUDTF)."""
+    inv = core.inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    return udfs.widen_path_segments(inv, depth=2, limit_keys=100)
+
+
+# Plain ANSI join both engines agree on; the runtime-filter story is
+# plan-level, demonstrated (and pinned) by tests/test_round8.py.
+BLOOM_PROBE_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    GROUP BY l_returnflag
+"""
+
+
+@register("sql_bloom_probe_revenue", BLOOM_PROBE_SQL)
+def sql_bloom_probe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Selective-dimension probe join — the decontamination
+    shape (tiny filtered key set pruning a huge fact scan) stated so
+    Spark's runtime row-level filtering applies: when the filtered
+    creation side is under ``runtime.bloomFilter.creationSideThreshold``
+    and the probe side's scan is large enough, the optimizer injects a
+    ``BloomFilterAggregate`` on the orders slice and a
+    ``might_contain`` predicate INTO the lineitem scan, cutting the
+    shuffled probe volume before the join — exactly what a 100 TB
+    decontam pass needs when the dim is too big to broadcast but far
+    smaller than the fact.  At test scale the dim broadcasts and no
+    filter is needed; tests/test_round8.py forces the shuffle-join
+    regime (thresholds save/restored) and asserts the injection.
+
+    Values are threshold-free across engines: COUNT is exact and the
+    revenue sum is rounded AFTER aggregation.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 250000)
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

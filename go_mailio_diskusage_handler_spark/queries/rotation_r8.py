@@ -1,0 +1,98 @@
+"""Round-8 rotation window: the 11 never-driver-checked queries first,
+then this round's engine-changed queries, then the stalest r4 rows.
+
+Split-module convention as rotation_r6/r7; registration order is owned
+by the import sequence in ``..registry``.
+"""
+from __future__ import annotations
+
+from .rotation_r45 import _rotate_front
+
+
+# ---------------------------------------------------------------------------
+# Round-8 window.  State entering the round (CORRECTNESS_r07 + the
+# round-7 verdict):
+#   * 50/50 driver rows GREEN in round 7; cumulative 189/200 green,
+#     zero queries ever left red.
+#   * 11 queries have never had a driver CORRECTNESS row (7 deferred
+#     from the round-7 window squeeze + the 4 round-7 additions
+#     registered at the tail).  All 11 are in-repo green at sf0.01
+#     AND sf0.1 under the dtype-strict comparator; the round-7
+#     verdict's #1 ask is to front them so the driver's own gate
+#     confirms.  They go FIRST.
+#   * Round-8 engine changes (per the round-4 advisory, anything
+#     whose round-N change can alter the gate fronts next):
+#       - sql_recursive_spine: the cteRecursionLevelLimit session
+#         leak is fixed by eager localCheckpoint + conf restore
+#         (sql.py:recursive_spine_revenue) — execution path changed.
+#       - dedup_span_trim: NULL-text guard added to BOTH engines
+#         (ADVICE r7; dedup.py:trim_duplicated_spans + SPAN_TRIM_SQL).
+#       - events_kll_quantiles: NULL event_type filter added to BOTH
+#         engines (ADVICE r7; scalars.py:mergeable_value_quantiles +
+#         KLL_QUANTILES_SQL).
+#     dedup_span_trim and events_kll_quantiles are already in the
+#     never-checked 11, so only sql_recursive_spine is added.
+#   * Remaining slots drain the backlog in staleness order (freshest
+#     driver row r4, registration order) — the precomputed list from
+#     rotation_r7.py's comment.  With 12 slots taken, the last two
+#     names of that list (du_core, du_lookup) defer to round 9; both
+#     are r7-window-adjacent and in-repo green, so nothing hides.
+#     After this window, ~58 queries remain at r4/r5 staleness —
+#     round 9 finishes the drain as planned.
+# ---------------------------------------------------------------------------
+_R8_FRONT = [
+    # group 1 — never driver-checked (7 r7 deferrals + 4 r7 additions)
+    "du_quota_alerts",
+    "text_datacard",
+    "udf_arrow_tokens",
+    "sql_lateral_topn",
+    "docs_length_histogram",
+    "sql_group_by_all",
+    "du_largest_files",
+    "dedup_span_trim",
+    "dedup_weighted_jaccard",
+    "events_kll_quantiles",
+    "events_theta_retention",
+    # group 2 — engine changed this round (conf-leak fix)
+    "sql_recursive_spine",
+    # group 3 — backlog drain, staleness order (freshest row = r4)
+    "udf_pandas_cosine",
+    "udaf_weighted_avg_price",
+    "udtf_path_segments",
+    "du_quality_check",
+    "salted_event_totals",
+    "sim_ivf_assignments",
+    "sim_ivf_ann_topk",
+    "sim_quantize_int8",
+    "sim_pq_codes",
+    "sim_pq_ann_topk",
+    "semi_customers_with_orders",
+    "du_incremental",
+    "udf_grouped_map_zscore",
+    "part_brand_stats",
+    "supplier_nation_balance",
+    "star_profit_by_nation_brand",
+    "docs_source_stats",
+    "segment_customer_value",
+    "setop_retained_customers",
+    "media_resize",
+    "media_audio_chunks",
+    "events_asof_join",
+    "events_attribution_join",
+    "sql_pricing_summary",
+    "sql_shipping_priority",
+    "sql_order_priority",
+    "sql_large_orders",
+    "sql_local_supplier_volume",
+    "sql_correlated_above_avg",
+    "sql_grouping_sets",
+    "window_order_gaps",
+    "unpivot_lineitem_measures",
+    "window_moving_spend",
+    "range_join_price_bands",
+    "events_sessionize",
+    "events_session_window",
+    "curation_sample_weighted",
+]
+
+_rotate_front(_R8_FRONT)

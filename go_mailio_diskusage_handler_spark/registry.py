@@ -55,3 +55,12 @@ from .queries import rotation_r7  # noqa: E402,F401
 # registry tail, behind the driver window, per the new-query deferral
 # policy (fronted in round 8 alongside rotation_r7's 7 deferrals).
 from .queries import q_round7  # noqa: E402,F401
+
+# Round-8 window rotation (applied on import, last): the 11
+# never-driver-checked queries first, then this round's engine-changed
+# query, then the stalest r4 backlog.
+from .queries import rotation_r8  # noqa: E402,F401
+
+# Round-8 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round8  # noqa: E402,F401

@@ -708,19 +708,29 @@ def recursive_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     session knob raised (the SQL text stays engine-portable —
     ``MAX RECURSION LEVEL`` is Spark-only syntax DuckDB rejects).
 
-    The raise is INTENTIONALLY sticky: ``cteRecursionLevelLimit`` is
-    read at EXECUTION time, not plan time (probed on Spark 4.1 —
-    restoring the conf after ``spark.sql()`` returns makes the
-    caller's later ``.count()`` fail with
-    RECURSION_LEVEL_LIMIT_EXCEEDED), and this function returns a lazy
-    frame, so there is no safe in-function restore point.  130 is a
-    guard against runaway recursion, not a performance knob; leaving
-    it at 130 for the session's other queries changes nothing for
-    non-recursive plans."""
+    ``cteRecursionLevelLimit`` is read at EXECUTION time, not plan
+    time (probed on Spark 4.1 — restoring the conf right after
+    ``spark.sql()`` returns makes the caller's later ``.count()``
+    fail with RECURSION_LEVEL_LIMIT_EXCEEDED), so a lazy return
+    cannot restore the session conf safely.  The result is bounded
+    (120 month rows regardless of fact-table size: the recursion is
+    a 1-row-per-iteration calendar spine and the fact table enters
+    only through a pre-aggregated monthly rollup), so we materialize
+    it eagerly with ``localCheckpoint`` — truncating the lineage so
+    the recursion never re-executes — and restore the caller's limit
+    in a ``finally``.  The shared session leaves this function with
+    exactly the conf it entered with."""
     register_views(spark, sf_dir)
-    if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < 130:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", "130")
-    return spark.sql(RECURSIVE_SPINE_SQL)
+    conf_key = "spark.sql.cteRecursionLevelLimit"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "130")
+    try:
+        return spark.sql(RECURSIVE_SPINE_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 LATERAL_TOPN_SQL = """

@@ -1,0 +1,239 @@
+"""Round-8 surface: polymorphic-output UDTF (``analyze()``), runtime
+bloom-filter injection on the probe join, the recursive-CTE conf
+restore, and regression tests for the two ADVICE-r7 cross-engine
+NULL traps."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_mailio_diskusage_handler_spark import plans, registry
+from go_mailio_diskusage_handler_spark.functions import scalars, udfs
+from go_mailio_diskusage_handler_spark.operators import dedup
+from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+from conftest import SF_CORRECT, compare_with_oracle
+
+ORACLE_CHECKED = [
+    "udtf_widen_segments",
+    "sql_bloom_probe_revenue",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_widen_udtf_schema_follows_constant_depth(spark):
+    """The whole point of ``analyze()``: the SAME function yields a
+    different resolved schema per constant depth argument."""
+    inv = spark.createDataFrame(
+        [("a/b/c",), ("a",)], "key string"
+    )
+    d2 = udfs.widen_path_segments(inv, depth=2, limit_keys=10)
+    d4 = udfs.widen_path_segments(inv, depth=4, limit_keys=10)
+    assert d2.columns == ["key", "seg_1", "seg_2", "n_segs"]
+    assert d4.columns == ["key", "seg_1", "seg_2", "seg_3", "seg_4", "n_segs"]
+    rows = {r["key"]: r for r in d4.collect()}
+    assert rows["a/b/c"]["seg_3"] == "c" and rows["a/b/c"]["seg_4"] is None
+    assert rows["a/b/c"]["n_segs"] == 3
+    assert rows["a"]["seg_2"] is None and rows["a"]["n_segs"] == 1
+
+
+def test_widen_udtf_rejects_non_constant_depth(spark):
+    """analyze() derives the schema from the depth CONSTANT; a column
+    reference has no plan-time value and must be refused, not guessed."""
+    inv = spark.createDataFrame([("a/b", 2)], "key string, d int")
+    with pytest.raises(Exception, match="constant"):
+        inv.lateralJoin(
+            udfs.WidenPathUDTF(F.col("key").outer(), F.col("d").outer())
+        ).collect()
+
+
+def test_widen_udtf_is_arrow_batched(spark):
+    df = registry.QUERIES["udtf_widen_segments"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPythonUDTF" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter injection
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_injected_in_shuffle_join_regime(spark):
+    """Force the 100 TB regime (dim too big to broadcast, probe scan
+    large enough to matter) via session thresholds and assert the
+    optimizer injects the bloom probe into the fact side.  All touched
+    confs are save/restored — the session leaves unchanged."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.adaptive.enabled",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        # AQE re-plans around the injected filter at this tiny scale;
+        # the assertion targets the static optimized plan.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = registry.QUERIES["sql_bloom_probe_revenue"](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bloom_probe_values_identical_with_and_without_filter(spark):
+    """The runtime filter is a pure pruning optimization: values must
+    be byte-identical across the broadcast (default) and forced
+    shuffle+bloom regimes."""
+    base = sorted(
+        map(tuple, registry.QUERIES["sql_bloom_probe_revenue"](
+            spark, SF_CORRECT
+        ).collect())
+    )
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        forced = sorted(
+            map(tuple, registry.QUERIES["sql_bloom_probe_revenue"](
+                spark, SF_CORRECT
+            ).collect())
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert forced == base
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE conf hygiene (round-7 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_spine_restores_session_conf(spark):
+    """The shared session must leave sql_recursive_spine with exactly
+    the cteRecursionLevelLimit it entered with — and the returned
+    frame must still execute AFTER the restore (the localCheckpoint
+    severs the recursion from the conf)."""
+    key = "spark.sql.cteRecursionLevelLimit"
+    before = spark.conf.get(key, None)
+    df = registry.QUERIES["sql_recursive_spine"](spark, SF_CORRECT)
+    assert spark.conf.get(key, None) == before
+    assert df.count() == 120  # 1992-01 .. 2001-12
+    # and with a caller-set value: restored to THAT value, not default
+    spark.conf.set(key, "77")
+    try:
+        df = registry.QUERIES["sql_recursive_spine"](spark, SF_CORRECT)
+        assert spark.conf.get(key) == "77"
+        assert df.count() == 120
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE-r7 NULL traps (cross-engine semantics pinned by unit fixtures;
+# the parquet fixtures carry no NULLs, so these build their own)
+# ---------------------------------------------------------------------------
+
+
+def test_span_trim_null_text_yields_empty_not_minus_one(spark):
+    """Spark's size(split(NULL)) is -1; the coalesce guard must make a
+    NULL-text document behave as an empty one in BOTH engines."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "w x y z w x y z w x y z")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.trim_duplicated_spans(docs).collect()}
+    assert rows[1]["n_words"] == 1  # split('') -> ['']
+    assert rows[1]["kept_tokens"] == 1
+    assert rows[1]["removed_tokens"] == 0
+    assert rows[1]["trimmed_text"] == ""
+    assert all(r["n_words"] >= 0 for r in rows.values())
+
+
+def test_span_trim_null_text_matches_duckdb(spark, ddb):
+    """End-to-end cross-engine check on a NULL-bearing fixture: run
+    the registered oracle SQL over a temp DuckDB table with a NULL
+    text and compare with the operator output."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": [None, "a b c d e f g h a b", "a b c d e f g h a b"]}
+    )
+    con = ddb.cursor()
+    con.register("null_docs", pdf)
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM null_docs")
+    want = (
+        con.execute(registry.ORACLE_SQL["dedup_span_trim"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = spark.createDataFrame(pdf)
+    got = (
+        dedup.trim_duplicated_spans(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ["n_words", "kept_tokens", "removed_tokens", "trimmed_text"]:
+        assert list(got[c]) == list(want[c].astype(got[c].dtype)), c
+
+
+def test_kll_quantiles_null_event_type_dropped_in_both_engines(spark):
+    """A NULL event_type group must not appear (both engines filter it)
+    — without the guard Spark's rank-pass equi-join dropped the group
+    while the oracle's GROUP BY emitted it."""
+    ev = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00", 1.0)]
+        + [("click", f"2024-01-0{d} 00:00:00", float(v))
+           for d in (1, 2) for v in range(1, 6)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = scalars.mergeable_value_quantiles(ev).collect()
+    assert len(out) == 1
+    assert out[0]["event_type"] == "click"
+    assert out[0]["n_values"] == 10
+    assert out[0]["n_ok"] and out[0]["q50_ok"]
