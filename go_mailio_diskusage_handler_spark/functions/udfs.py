@@ -253,6 +253,61 @@ def widen_path_segments(
     )
 
 
+@udtf(
+    returnType="user_id bigint, n_events bigint, direction_changes bigint",
+    useArrow=True,
+)
+class DirectionChangesUDTF:
+    """Python UDTF over a TABLE argument — the third UDTF surface
+    (after fixed-schema lateral and ``analyze()`` polymorphic): the
+    function consumes ``TABLE(...) PARTITION BY user_id ORDER BY ts``
+    so Spark feeds it each user's events IN ORDER and calls
+    ``terminate()`` at the partition boundary — the per-key stateful
+    stream-aggregator shape (cf. sessionize) as a table function.
+
+    State is one scalar pair per OPEN partition (previous value +
+    previous non-zero direction), never the partition's rows, so
+    executor memory is O(1) per user regardless of history length;
+    the PARTITION BY clause is the one hash shuffle, identical to
+    what the window-function equivalent costs.
+
+    Counted: sign alternations of consecutive value diffs, zero diffs
+    ignored (they extend the current run).  Signs of float diffs are
+    exact cross-engine (same doubles, same subtraction), so the count
+    is oracle-stable where a float-tolerance metric would not be.
+    """
+
+    def __init__(self):
+        self._user = None
+        self._n = 0
+        self._changes = 0
+        self._prev = None
+        self._dir = 0.0
+
+    def eval(self, row):
+        self._user = row["user_id"]
+        self._n += 1
+        v = row["value"]
+        if self._prev is not None:
+            diff = v - self._prev
+            if diff != 0:
+                d = 1.0 if diff > 0 else -1.0
+                if self._dir != 0.0 and d != self._dir:
+                    self._changes += 1
+                self._dir = d
+        self._prev = v
+
+    def terminate(self):
+        if self._user is not None:
+            yield self._user, self._n, self._changes
+
+
+def register_direction_changes(spark) -> None:
+    """Register the table-argument UDTF for SQL invocation
+    (idempotent; registration is session-scoped)."""
+    spark.udtf.register("direction_changes", DirectionChangesUDTF)
+
+
 def _fake_model() -> dict:
     """Stand-in for an expensive model load (weights file, tokenizer,
     ONNX session): a deterministic token→score table derived from md5

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import udfs
 from ..operators import core
 from ..sources.tables import load_table
+from ..sql import register_views
 from ._base import register
 from .q_du import INVENTORY_SQL
 
@@ -86,4 +87,53 @@ def sql_bloom_probe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
+    )
+
+
+# DuckDB mirror of DirectionChangesUDTF: zero diffs extend the current
+# run, so the sign stream is compacted to its non-zero values first
+# (nz), then consecutive distinct signs are counted.  (ts, event_id)
+# is the deterministic per-user order in BOTH engines.
+DIRECTION_CHANGES_SQL = """
+    WITH e AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    d AS (SELECT user_id, event_id, ts,
+                 value - LAG(value) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS diff
+          FROM e),
+    nz AS (SELECT user_id, event_id, ts, SIGN(diff) AS s
+           FROM d WHERE diff IS NOT NULL AND diff <> 0),
+    ch AS (SELECT user_id,
+                  CASE WHEN s <> LAG(s) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       THEN 1 ELSE 0 END AS c
+           FROM nz),
+    agg AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS direction_changes
+            FROM ch GROUP BY user_id),
+    n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM e GROUP BY user_id)
+    SELECT n.user_id, n.n_events,
+           COALESCE(agg.direction_changes, 0) AS direction_changes
+    FROM n LEFT JOIN agg USING (user_id)
+"""
+
+
+@register("udtf_table_arg_changes", DIRECTION_CHANGES_SQL)
+def udtf_table_arg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Python UDTF over a TABLE argument with PARTITION BY /
+    ORDER BY — per-user stateful direction-change counting with O(1)
+    state per open partition (functions/udfs.py:DirectionChangesUDTF).
+    Invoked through SQL because the TABLE(...) argument syntax is the
+    surface under test."""
+    register_views(spark, sf_dir)
+    udfs.register_direction_changes(spark)
+    return spark.sql(
+        """
+        SELECT * FROM direction_changes(
+            TABLE(SELECT user_id, ts, event_id, value FROM events
+                  WHERE value IS NOT NULL AND user_id IS NOT NULL)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
     )

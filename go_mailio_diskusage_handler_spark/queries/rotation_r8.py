@@ -37,8 +37,40 @@ from .rotation_r45 import _rotate_front
 #     rotation_r7.py's comment.  With 12 slots taken, the last two
 #     names of that list (du_core, du_lookup) defer to round 9; both
 #     are r7-window-adjacent and in-repo green, so nothing hides.
-#     After this window, ~58 queries remain at r4/r5 staleness —
-#     round 9 finishes the drain as planned.
+#     After this window, 59 queries remain at r4/r5 staleness and 42
+#     at r6 — rounds 9-10 finish the drain.
+#
+# Round-9 front (precomputed from CORRECTNESS_r01-r07 + this window;
+# the 3 round-8 additions first, then ALL 9 remaining r4-stale rows,
+# then the oldest r5-stale rows in registration order — 50 exactly,
+# the last r5 name below (inventory_diff) joining the overflow):
+# udtf_widen_segments, sql_bloom_probe_revenue, udtf_table_arg_changes,
+# du_core, du_lookup,
+# du_multifile, topk_addresses, window_top_orders,
+# window_running_total, join_revenue_by_region,
+# anti_customers_without_orders, setop_lapsed_customers,
+# rollup_order_stats, distinct_customers_per_status,
+# approx_distinct_customers, approx_order_percentiles,
+# scalar_monthly_orders, scalar_math_buckets, scalar_json_events,
+# scalar_map_props, scalar_embedding_arrays, events_tumbling_window,
+# text_token_stats, text_quality_scores, text_unigram_logprob,
+# text_language_ngram, text_language_id, text_fingerprints,
+# text_repetition, dedup_exact, dedup_minhash,
+# dedup_incremental_minhash, dedup_ngram_jaccard,
+# curation_split_assign, curation_mixture, curation_pack_sequences,
+# curation_contaminated, curation_corpus, dedup_clusters,
+# dedup_simhash_values, dedup_simhash_pairs, sim_brute_topk,
+# sim_filtered_topk, sim_lsh_buckets, sim_lsh_ann_topk,
+# dedup_embedding_cosine, media_metadata, media_decode_features,
+# media_frame_sample, events_sliding_window, inventory_diff
+# — adjusted first for any round-9 engine changes (changed queries
+# front first, per the round-4 advisory) and for any r8 driver reds.
+# The 12 r5-stale names that overflow to round 10: inventory_diff,
+# pivot_status_revenue,
+# percentile_order_value, cube_lineitem_flags, sim_ivfpq_rerank_topk,
+# sim_ivfpq_ann_topk, events_window_users, approx_top_event_types,
+# events_funnel, text_ngram_topk, sql_returned_revenue,
+# events_first_touch — followed by the 42 r6-stale rows.
 # ---------------------------------------------------------------------------
 _R8_FRONT = [
     # group 1 — never driver-checked (7 r7 deferrals + 4 r7 additions)

@@ -19,6 +19,7 @@ from conftest import SF_CORRECT, compare_with_oracle
 ORACLE_CHECKED = [
     "udtf_widen_segments",
     "sql_bloom_probe_revenue",
+    "udtf_table_arg_changes",
 ]
 
 
@@ -63,6 +64,40 @@ def test_widen_udtf_is_arrow_batched(spark):
     plan = plans.executed_plan(df)
     assert "ArrowEvalPythonUDTF" in plan, plan
     assert "BatchEvalPythonUDTF" not in plan, plan
+
+
+def test_table_arg_udtf_per_partition_state(spark):
+    """TABLE(...) PARTITION BY semantics: one output row per user,
+    state never bleeds across partitions, and ORDER BY governs the
+    diff sequence.  Fixture: user 1 sees 1,3,2,4 (up,down,up → 2
+    changes); user 2 sees 5,5,6 (flat then up → 0 changes — the zero
+    diff must extend the run, not reset it)."""
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:01", 1.0),
+         (1, 2, "2024-01-01 00:00:02", 3.0),
+         (1, 3, "2024-01-01 00:00:03", 2.0),
+         (1, 4, "2024-01-01 00:00:04", 4.0),
+         (2, 5, "2024-01-01 00:00:01", 5.0),
+         (2, 6, "2024-01-01 00:00:02", 5.0),
+         (2, 7, "2024-01-01 00:00:03", 6.0)],
+        "user_id bigint, event_id bigint, ts_s string, value double",
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    ev.createOrReplaceTempView("tiny_events")
+    udfs.register_direction_changes(spark)
+    rows = {r["user_id"]: r for r in spark.sql(
+        """
+        SELECT * FROM direction_changes(
+            TABLE(SELECT user_id, ts, event_id, value FROM tiny_events)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    ).collect()}
+    assert len(rows) == 2
+    assert rows[1]["n_events"] == 4 and rows[1]["direction_changes"] == 2
+    assert rows[2]["n_events"] == 3 and rows[2]["direction_changes"] == 0
 
 
 # ---------------------------------------------------------------------------
@@ -192,19 +227,23 @@ def test_span_trim_null_text_yields_empty_not_minus_one(spark):
     assert all(r["n_words"] >= 0 for r in rows.values())
 
 
-def test_span_trim_null_text_matches_duckdb(spark, ddb):
+def test_span_trim_null_text_matches_duckdb(spark):
     """End-to-end cross-engine check on a NULL-bearing fixture: run
     the registered oracle SQL over a temp DuckDB table with a NULL
-    text and compare with the operator output."""
+    text and compare with the operator output.  Uses a PRIVATE DuckDB
+    connection — the session-scoped ``ddb`` fixture's ``documents``
+    view must not be replaced (cursors share the catalog, so a
+    replace there poisons every later oracle test)."""
+    import duckdb
     import pandas as pd
 
     pdf = pd.DataFrame(
         {"doc_id": [1, 2, 3],
          "text": [None, "a b c d e f g h a b", "a b c d e f g h a b"]}
     )
-    con = ddb.cursor()
+    con = duckdb.connect()
     con.register("null_docs", pdf)
-    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM null_docs")
+    con.execute("CREATE VIEW documents AS SELECT * FROM null_docs")
     want = (
         con.execute(registry.ORACLE_SQL["dedup_span_trim"])
         .df()
