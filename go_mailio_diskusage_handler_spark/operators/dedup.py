@@ -1303,3 +1303,80 @@ def weighted_jaccard_pairs(
         .filter(F.col("w_jaccard") >= threshold)
     )
     return own_cache(out, sh, sw)
+
+
+def novelty_fraction(
+    documents: DataFrame,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document NOVELTY — the curation signal dual to
+    :func:`duplicated_span_coverage`: the fraction of a document's
+    distinct word ``n``-grams whose FIRST corpus occurrence (minimum
+    ``doc_id`` — ingestion order in this corpus) is the document
+    itself.  A crawl pipeline ranks same-topic documents by novelty to
+    keep first-sources and demote re-publishers; coverage alone cannot
+    distinguish the original from its copies (both score identically),
+    novelty can (the original owns its grams, the copy owns none).
+
+    Plan shape at 100 TB — the same corpus-linear gram inversion the
+    span family uses, but the per-gram aggregate is a MIN, so there is
+    no pairwise join to cap:
+
+    * posexplode n-grams, distinct per (doc_id, gram) — corpus-linear;
+    * ONE vocabulary-bounded shuffle on the gram for ``min(doc_id)``
+      (map-side partial MIN makes the exchange vocabulary×tasks-
+      bounded, and MIN is insensitive to the heavy-hitter df skew that
+      forces the Jaccard family's MAX_SHINGLE_DF cap);
+    * the first-owner table joins back on the same key (exchange
+      reused), then one doc_id shuffle for the per-document rollup.
+
+    Output: (doc_id, n_grams, novel_grams, novel_frac), one row per
+    document with ≥1 gram (shorter documents carry no signal and are
+    excluded — which also keeps ``novel_frac`` non-NULL, dodging the
+    NaN-vs-NULL cross-engine float trap).  ``novel_frac`` is an exact
+    int/int double division — bit-identical across engines, no
+    rounding needed.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    from pyspark import StorageLevel
+
+    occ = (
+        toks.filter(F.size("t") >= n)
+        .select("doc_id", F.explode(gram_arr).alias("g"))
+        .distinct()
+        # two consumers (the MIN aggregate and the join-back probe)
+        # shuffle on DIFFERENT keys, so the exchange can't be reused —
+        # persist the gram table once instead of re-running the
+        # scan+explode+distinct subplan per consumer (the same
+        # one-materialization-many-reads shape as the MinHash
+        # family's shingle table; MEMORY_AND_DISK spills, never OOMs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = occ.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    out = (
+        occ.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("novel_grams").cast("bigint").alias("novel_grams"),
+            (
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novel_frac"),
+        )
+    )
+    return own_cache(out, occ)

@@ -137,3 +137,42 @@ def udtf_table_arg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# DuckDB mirror of dedup.novelty_fraction (n=8): distinct grams per
+# doc, first owner = MIN(doc_id) per gram, novelty = owned fraction.
+# The division is exact-int-valued doubles — bit-identical across
+# engines, no ROUND needed.  Same slice/COALESCE conventions as
+# SPAN_TRIM_SQL (q_round7.py).
+NOVELTY_SQL = """
+    WITH b AS (SELECT doc_id,
+                      string_split(COALESCE(text, ''), ' ') AS t
+               FROM documents),
+    g AS (SELECT doc_id, t FROM b WHERE len(t) >= 8),
+    idxs AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS idx
+             FROM g),
+    occ AS (SELECT DISTINCT doc_id,
+                   array_to_string(t[idx : idx + 7], ' ') AS gm
+            FROM idxs),
+    first AS (SELECT gm, MIN(doc_id) AS first_doc FROM occ GROUP BY gm)
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = o.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN f.first_doc = o.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS novel_frac
+    FROM occ o JOIN first f USING (gm)
+    GROUP BY o.doc_id
+"""
+
+
+@register("dedup_novelty", NOVELTY_SQL)
+def dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-document novelty: fraction of a document's distinct
+    word 8-grams whose first corpus occurrence is the document itself
+    — ranks first-sources above re-publishers, which span coverage
+    alone cannot (operators/dedup.py:novelty_fraction)."""
+    from ..operators import dedup
+
+    return dedup.novelty_fraction(load_table(spark, sf_dir, "documents"))

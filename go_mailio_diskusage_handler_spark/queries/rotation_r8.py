@@ -41,11 +41,12 @@ from .rotation_r45 import _rotate_front
 #     at r6 — rounds 9-10 finish the drain.
 #
 # Round-9 front (precomputed from CORRECTNESS_r01-r07 + this window;
-# the 3 round-8 additions first, then ALL 9 remaining r4-stale rows,
+# the 4 round-8 additions first, then ALL 9 remaining r4-stale rows,
 # then the oldest r5-stale rows in registration order — 50 exactly,
-# the last r5 name below (inventory_diff) joining the overflow):
+# the last two r5 names below (events_sliding_window, inventory_diff)
+# joining the overflow):
 # udtf_widen_segments, sql_bloom_probe_revenue, udtf_table_arg_changes,
-# du_core, du_lookup,
+# dedup_novelty, du_core, du_lookup,
 # du_multifile, topk_addresses, window_top_orders,
 # window_running_total, join_revenue_by_region,
 # anti_customers_without_orders, setop_lapsed_customers,
@@ -65,8 +66,8 @@ from .rotation_r45 import _rotate_front
 # media_frame_sample, events_sliding_window, inventory_diff
 # — adjusted first for any round-9 engine changes (changed queries
 # front first, per the round-4 advisory) and for any r8 driver reds.
-# The 12 r5-stale names that overflow to round 10: inventory_diff,
-# pivot_status_revenue,
+# The 13 r5-stale names that overflow to round 10:
+# events_sliding_window, inventory_diff, pivot_status_revenue,
 # percentile_order_value, cube_lineitem_flags, sim_ivfpq_rerank_topk,
 # sim_ivfpq_ann_topk, events_window_users, approx_top_event_types,
 # events_funnel, text_ngram_topk, sql_returned_revenue,

@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "udtf_widen_segments",
     "sql_bloom_probe_revenue",
     "udtf_table_arg_changes",
+    "dedup_novelty",
 ]
 
 
@@ -98,6 +99,25 @@ def test_table_arg_udtf_per_partition_state(spark):
     assert len(rows) == 2
     assert rows[1]["n_events"] == 4 and rows[1]["direction_changes"] == 2
     assert rows[2]["n_events"] == 3 and rows[2]["direction_changes"] == 0
+
+
+def test_novelty_separates_original_from_copy(spark):
+    """The signal the operator exists for: an exact copy scores 0
+    novelty while the original keeps 1.0 — span COVERAGE scores both
+    identically (that asymmetry is the point).  A doc sharing half its
+    grams with an earlier doc scores the unshared fraction."""
+    eight = "a b c d e f g h"           # one gram exactly
+    original = f"{eight} p q r s t u v w"  # 16 words -> 9 grams
+    docs = spark.createDataFrame(
+        [(1, original), (2, original), (3, eight)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.novelty_fraction(docs).collect()}
+    assert rows[1]["novel_frac"] == 1.0
+    assert rows[2]["novel_frac"] == 0.0        # exact copy, later id
+    assert rows[3]["novel_frac"] == 0.0        # its only gram is owned by 1
+    assert rows[1]["n_grams"] == 9 and rows[2]["n_grams"] == 9
+    assert rows[3]["n_grams"] == 1
 
 
 # ---------------------------------------------------------------------------
@@ -276,3 +296,80 @@ def test_kll_quantiles_null_event_type_dropped_in_both_engines(spark):
     assert out[0]["event_type"] == "click"
     assert out[0]["n_values"] == 10
     assert out[0]["n_ok"] and out[0]["q50_ok"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource: incremental manifest-directory ingest
+# ---------------------------------------------------------------------------
+
+
+def _write_manifest_batch(spark, tmp_path, idx: int, rows):
+    """One daily snapshot: a parquet listing + its manifest JSON."""
+    import json
+
+    d = tmp_path / f"files_{idx}"
+    spark.createDataFrame(rows, "key string, size long").coalesce(
+        1
+    ).write.parquet(str(d))
+    keys = [
+        str(p.relative_to(tmp_path))
+        for p in d.iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    mpath = tmp_path / f"manifest_2024-01-0{idx}.json"
+    mpath.write_text(
+        json.dumps({"files": [{"key": k, "size": 0} for k in keys]})
+    )
+    return mpath.name
+
+
+def test_inventory_stream_is_incremental_and_resumable(spark, tmp_path):
+    """The reference's periodic ingest with the streaming guarantees it
+    lacks: batch 1 reads manifest 1 only; a RESTARTED stream (same
+    checkpoint) picks up exactly the manifests added since — no
+    re-download, no gap — and rows carry their owning manifest."""
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryStreamDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryStreamDataSource)
+    # manifests live in their own subdir so the parquet output sink
+    # never shadows the watched listing
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    m1 = _write_manifest_batch(
+        spark, mdir, 1, [("alice/a.txt", 10), ("bob/b.txt", 20)]
+    )
+
+    def run_once():
+        # file sink (not memory) — it supports checkpoint RECOVERY,
+        # which is the semantics under test
+        q = (
+            spark.readStream.format("mailio_inventory_stream")
+            .option("manifest_dir", str(mdir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            (r.key, r.size, r.manifest)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = run_once()
+    assert got1 == {("alice/a.txt", 10, m1), ("bob/b.txt", 20, m1)}
+
+    # day 2 arrives; a fresh run from the SAME checkpoint must read
+    # ONLY the new manifest (offset = count of committed manifests) —
+    # the output accumulates, batch 2 adds exactly the new rows
+    m2 = _write_manifest_batch(spark, mdir, 2, [("alice/c.txt", 5)])
+    got2 = run_once()
+    assert got2 == got1 | {("alice/c.txt", 5, m2)}
