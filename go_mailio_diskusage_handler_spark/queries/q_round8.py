@@ -176,3 +176,43 @@ def dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     return dedup.novelty_fraction(load_table(spark, sf_dir, "documents"))
+
+
+# ANSI equivalent of the Spark SQL script below: the threshold CTE
+# replaces the script variable.  MAX/2 is order-insensitive exact
+# double arithmetic, so the bracket boundary cannot split across
+# engines the way an AVG (fold-order-dependent) could.
+SCRIPTING_THRESHOLD_SQL = """
+    WITH t AS (SELECT MAX(o_totalprice) / 2 AS thr FROM orders)
+    SELECT CASE WHEN o_totalprice > thr THEN 'high' ELSE 'low' END
+               AS bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders, t
+    GROUP BY bracket
+"""
+
+
+@register("sql_scripting_threshold", SCRIPTING_THRESHOLD_SQL)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spark 4 SQL scripting (BEGIN/END): DECLARE a script
+    variable, SET it from a scalar subquery over the data, then use it
+    in the final statement — the procedural-SQL surface (multi-step
+    parameterized reports without a Python driver loop).  The script
+    compiles to ordinary Catalyst plans; the variable is resolved to a
+    literal before the final SELECT optimizes, so filter pushdown and
+    codegen see a constant, not a correlated subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (SELECT MAX(o_totalprice) / 2 FROM orders);
+          SELECT CASE WHEN o_totalprice > thr THEN 'high' ELSE 'low' END
+                     AS bracket,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY bracket;
+        END
+        """
+    )

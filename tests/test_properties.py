@@ -499,3 +499,64 @@ def test_span_trim_invariants_hold_for_arbitrary_corpora(spark, docs):
     for i, r in got.items():
         assert r.kept_tokens + r.removed_tokens == r.n_words
         assert r.trimmed_text == want[i], (i, docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the table-argument UDTF against a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_values = st.lists(
+    st.integers(min_value=-3, max_value=3).map(float),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ref_direction_changes(vals: list[float]) -> int:
+    """Independent reference: compact zero diffs away, count sign
+    alternations of what remains."""
+    signs = []
+    for prev, cur in zip(vals, vals[1:]):
+        d = cur - prev
+        if d != 0:
+            signs.append(1 if d > 0 else -1)
+    return sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+
+
+@given(seqs=st.lists(_values, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_direction_changes_matches_reference(spark, seqs):
+    """DirectionChangesUDTF must agree with the sequential reference on
+    arbitrary per-user sequences — including all-flat runs, single
+    events, and sign ping-pong — and emit exactly one row per user."""
+    from go_mailio_diskusage_handler_spark.functions import udfs
+
+    rows = [
+        (uid, i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", v)
+        for uid, vals in enumerate(seqs)
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, value double"
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    ev.createOrReplaceTempView("prop_events")
+    udfs.register_direction_changes(spark)
+    got = {
+        r["user_id"]: (r["n_events"], r["direction_changes"])
+        for r in spark.sql(
+            """
+            SELECT * FROM direction_changes(
+                TABLE(SELECT user_id, ts, event_id, value FROM prop_events)
+                PARTITION BY user_id ORDER BY (ts, event_id)
+            )
+            """
+        ).collect()
+    }
+    want = {
+        uid: (len(vals), _ref_direction_changes(vals))
+        for uid, vals in enumerate(seqs)
+    }
+    assert got == want

@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "sql_bloom_probe_revenue",
     "udtf_table_arg_changes",
     "dedup_novelty",
+    "sql_scripting_threshold",
 ]
 
 
