@@ -275,6 +275,14 @@ class DirectionChangesUDTF:
     ignored (they extend the current run).  Signs of float diffs are
     exact cross-engine (same doubles, same subtraction), so the count
     is oracle-stable where a float-tolerance metric would not be.
+
+    Cost note: ``eval`` is one Python call per ROW (Arrow batches the
+    TRANSFER, not the dispatch) — ~8 s over 100k events at sf0.1.
+    That is the price of the API surface itself; logic expressible as
+    window functions (the events_* family) stays JVM-side in
+    production, and this operator is the pattern for the cases that
+    genuinely cannot (model-driven per-sequence state, external
+    library calls).
     """
 
     def __init__(self):
