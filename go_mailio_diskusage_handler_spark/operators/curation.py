@@ -41,6 +41,7 @@ from go_mailio_diskusage_handler_spark.caching import own_cache
 from go_mailio_diskusage_handler_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     cap_shingle_df,
+    novelty_fraction,
     shingles,
 )
 
@@ -849,3 +850,59 @@ def stratified_split(
         F.lit("train").alias("split"),
     )
     return head_out.unionAll(tail_out)
+
+
+def novelty_gate(
+    documents: DataFrame,
+    min_novelty: float = 0.5,
+    n: int = 8,
+) -> DataFrame:
+    """Per-source corpus report for a NOVELTY-gated keep policy: how
+    many documents each source keeps (novel_frac ≥ ``min_novelty``) vs
+    drops, and the kept token volume — the dedup-aware acceptance
+    dashboard a crawl pipeline reads before admitting a source's batch
+    (a re-publisher source shows a high drop rate here long before
+    whole-doc dedup would flag anything, because ITS copies lose the
+    first-owner race gram by gram).
+
+    Composition, not new machinery: :func:`~..dedup.novelty_fraction`
+    supplies the per-document score (its persisted gram table and
+    MIN-per-gram scale story carry over); this adds one broadcast-able
+    dimension join back to ``source`` and a per-source rollup — one
+    extra shuffle on the source key.  Documents too short to carry a
+    gram (< ``n`` words) are reported in their own ``short_docs``
+    column rather than silently dropped: at corpus scale, "too short
+    to judge" is a signal about the source, not noise.
+    """
+    nv = novelty_fraction(documents, n=n)
+    dim = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_words"
+        ),
+    )
+    return (
+        dim.join(nv, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("novel_frac") >= min_novelty, 1).otherwise(0)
+            ).cast("bigint").alias("kept_docs"),
+            F.sum(
+                F.when(
+                    F.col("novel_frac").isNotNull()
+                    & (F.col("novel_frac") < min_novelty),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("dropped_docs"),
+            F.sum(
+                F.when(F.col("novel_frac").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("short_docs"),
+            F.sum(
+                F.when(F.col("novel_frac") >= min_novelty, F.col("n_words"))
+                .otherwise(0)
+            ).cast("bigint").alias("kept_tokens"),
+        )
+    )

@@ -216,3 +216,52 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# DuckDB mirror of curation.novelty_gate (min_novelty 0.5, n=8): the
+# NOVELTY_SQL body as a CTE, LEFT-joined back to every document so
+# short docs (no gram) land in their own column.  The >= boundary is
+# exact (novel_frac is an exact int/int division and 0.5 is
+# representable), so the keep set cannot split across engines.
+NOVELTY_GATE_SQL = """
+    WITH b AS (SELECT doc_id, source,
+                      string_split(COALESCE(text, ''), ' ') AS t
+               FROM documents),
+    g AS (SELECT doc_id, t FROM b WHERE len(t) >= 8),
+    idxs AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS idx
+             FROM g),
+    occ AS (SELECT DISTINCT doc_id,
+                   array_to_string(t[idx : idx + 7], ' ') AS gm
+            FROM idxs),
+    first AS (SELECT gm, MIN(doc_id) AS first_doc FROM occ GROUP BY gm),
+    nv AS (SELECT o.doc_id,
+                  CAST(SUM(CASE WHEN f.first_doc = o.doc_id
+                                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                      AS novel_frac
+           FROM occ o JOIN first f USING (gm)
+           GROUP BY o.doc_id)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nv.novel_frac >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN nv.novel_frac < 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_docs,
+           CAST(SUM(CASE WHEN nv.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS short_docs,
+           CAST(SUM(CASE WHEN nv.novel_frac >= 0.5 THEN len(b.t)
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM b LEFT JOIN nv USING (doc_id)
+    GROUP BY b.source
+"""
+
+
+@register("curation_novelty_gate", NOVELTY_GATE_SQL)
+def curation_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Novelty-gated source acceptance report: per source, docs
+    kept/dropped at novel_frac >= 0.5 plus the kept token volume — the
+    dedup-aware dashboard a crawl pipeline reads before admitting a
+    source's batch (operators/curation.py:novelty_gate, composing
+    dedup.novelty_fraction)."""
+    from ..operators import curation
+
+    return curation.novelty_gate(load_table(spark, sf_dir, "documents"))

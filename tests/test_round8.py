@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "udtf_table_arg_changes",
     "dedup_novelty",
     "sql_scripting_threshold",
+    "curation_novelty_gate",
 ]
 
 
@@ -374,3 +375,58 @@ def test_inventory_stream_is_incremental_and_resumable(spark, tmp_path):
     m2 = _write_manifest_batch(spark, mdir, 2, [("alice/c.txt", 5)])
     got2 = run_once()
     assert got2 == got1 | {("alice/c.txt", 5, m2)}
+
+
+def test_inventory_stream_missing_file_fails_batch_not_checkpoint(
+    spark, tmp_path
+):
+    """Failure posture: a manifest listing a missing file fails its
+    micro-batch (per-task isolation — no silent skips), the offset is
+    NOT committed, and once the file appears the SAME checkpoint
+    recovers and ingests everything exactly once."""
+    import json
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryStreamDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryStreamDataSource)
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # manifest names a file that does not exist yet
+    (mdir / "manifest_2024-01-01.json").write_text(
+        json.dumps({"files": [{"key": "late/part.parquet", "size": 0}]})
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("mailio_inventory_stream")
+            .option("manifest_dir", str(mdir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    with pytest.raises(Exception):
+        run_once()
+
+    # the listed file lands; the same checkpoint must replay the batch
+    d = tmp_path / "late_src"
+    spark.createDataFrame(
+        [("alice/a.txt", 10)], "key string, size long"
+    ).coalesce(1).write.parquet(str(d))
+    part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    (mdir / "late").mkdir()
+    part.rename(mdir / "late" / "part.parquet")
+
+    run_once()
+    got = {(r.key, r.size) for r in spark.read.parquet(out).collect()}
+    assert got == {("alice/a.txt", 10)}
