@@ -1380,3 +1380,88 @@ def novelty_fraction(
         )
     )
     return own_cache(out, occ)
+
+
+def novelty_fraction_incremental(
+    documents: DataFrame,
+    history_frac: float = 0.8,
+    n: int = 8,
+) -> DataFrame:
+    """Incremental novelty — :func:`novelty_fraction` for the daily
+    batch, probing the HISTORY's gram index instead of recomputing the
+    corpus (the same O(new)-per-batch shape as
+    :func:`incremental_minhash_pairs`): the oldest ``history_frac`` of
+    documents (by doc_id — ingest order) plays the persisted corpus, the
+    rest is the arriving batch.  A batch document owns a gram iff no
+    history document contains it AND the document is the gram's first
+    owner WITHIN the batch — which is exactly ``min(doc_id)`` over the
+    whole corpus, so the result row-for-row equals the batch operator
+    filtered to the new documents (asserted by test and by the oracle,
+    which IS the batch SQL filtered).
+
+    Plan shape at 100 TB:
+
+    * the history index is the DISTINCT gram set — vocabulary-bounded,
+      in production a stored table maintained by union, here derived
+      once and persisted;
+    * batch grams LEFT ANTI join the index on the gram key (one
+      shuffle; the batch side is O(new), the index side is the
+      vocabulary — never the corpus);
+    * the surviving grams' first-in-batch MIN and the per-doc rollup
+      are the batch operator's aggregates over O(new) rows.
+
+    The split point is FLOOR(history_frac · max(doc_id)) computed as a
+    1-row aggregate broadcast into both branches (FLOOR, not CAST:
+    DuckDB rounds double→int casts while Spark truncates — FLOOR is
+    exact in both).
+    """
+    from pyspark import StorageLevel
+
+    toks = documents.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    occ = toks.filter(F.size("t") >= n).select(
+        "doc_id", F.explode(gram_arr).alias("g")
+    ).distinct()
+    split = documents.agg(
+        F.floor(F.lit(history_frac) * F.max("doc_id")).alias("split_id")
+    )
+    occ_split = occ.join(F.broadcast(split))
+    hist_index = (
+        occ_split.filter(F.col("doc_id") <= F.col("split_id"))
+        .select("g")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    batch = occ_split.filter(F.col("doc_id") > F.col("split_id")).select(
+        "doc_id", "g"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fresh = batch.join(hist_index, "g", "left_anti")
+    first_in_batch = fresh.groupBy("g").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    out = (
+        batch.join(first_in_batch, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("novel_grams").cast("bigint").alias("novel_grams"),
+            (
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novel_frac"),
+        )
+    )
+    return own_cache(out, hist_index, batch)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import udfs
-from ..operators import core
+from ..operators import core, dedup
 from ..sources.tables import load_table
 from ..sql import register_views
 from ._base import register
@@ -265,3 +265,44 @@ def curation_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import curation
 
     return curation.novelty_gate(load_table(spark, sf_dir, "documents"))
+
+
+# Oracle = the FULL-corpus novelty computation filtered to the batch
+# (doc_id > FLOOR(0.8·max)): a batch doc owns a gram iff min(doc_id)
+# over the corpus is itself ⟺ no history occurrence AND first within
+# the batch — the equivalence the incremental operator exploits.
+# FLOOR, not CAST: DuckDB rounds double→int casts, Spark truncates.
+NOVELTY_INCR_SQL = """
+    WITH b AS (SELECT doc_id,
+                      string_split(COALESCE(text, ''), ' ') AS t
+               FROM documents),
+    g AS (SELECT doc_id, t FROM b WHERE len(t) >= 8),
+    idxs AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS idx
+             FROM g),
+    occ AS (SELECT DISTINCT doc_id,
+                   array_to_string(t[idx : idx + 7], ' ') AS gm
+            FROM idxs),
+    first AS (SELECT gm, MIN(doc_id) AS first_doc FROM occ GROUP BY gm),
+    s AS (SELECT FLOOR(0.8 * MAX(doc_id)) AS split_id FROM documents)
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = o.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN f.first_doc = o.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS novel_frac
+    FROM occ o JOIN first f USING (gm), s
+    WHERE o.doc_id > s.split_id
+    GROUP BY o.doc_id
+"""
+
+
+@register("dedup_novelty_incremental", NOVELTY_INCR_SQL)
+def dedup_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental novelty: the daily batch (newest 20% by
+    doc_id) probes the history's persisted gram index — O(new) per
+    batch, result row-for-row equal to the batch operator filtered to
+    the new documents (operators/dedup.py:novelty_fraction_incremental)."""
+    return dedup.novelty_fraction_incremental(
+        load_table(spark, sf_dir, "documents")
+    )

@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "dedup_novelty",
     "sql_scripting_threshold",
     "curation_novelty_gate",
+    "dedup_novelty_incremental",
 ]
 
 
@@ -430,3 +431,25 @@ def test_inventory_stream_missing_file_fails_batch_not_checkpoint(
     run_once()
     got = {(r.key, r.size) for r in spark.read.parquet(out).collect()}
     assert got == {("alice/a.txt", 10)}
+
+
+def test_novelty_incremental_equals_batch_filtered(spark):
+    """The incremental path's contract: probing the history index must
+    reproduce EXACTLY the full-corpus novelty of the batch docs (no
+    drift between the stored-index path and the recompute path)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    split = docs.agg(
+        F.floor(F.lit(0.8) * F.max("doc_id")).alias("s")
+    ).collect()[0]["s"]
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in dedup.novelty_fraction(docs)
+        .filter(F.col("doc_id") > split)
+        .collect()
+    }
+    incr = {
+        r["doc_id"]: tuple(r)
+        for r in dedup.novelty_fraction_incremental(docs).collect()
+    }
+    assert incr == full
+    assert len(incr) > 0
