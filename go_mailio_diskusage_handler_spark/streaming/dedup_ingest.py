@@ -139,3 +139,167 @@ class StreamingDedupIngest:
     def stop(self) -> None:
         if self._query.isActive:
             self._query.stop()
+
+
+_GRAM_INDEX_SCHEMA = "g string, first_doc long"
+
+
+class StreamingNoveltyIngest:
+    """Continuous novelty scoring over a growing documents directory —
+    the streaming twin of ``dedup.novelty_fraction_incremental``: each
+    micro-batch's grams probe the PERSISTED gram index (everything
+    ingested before), per-document novelty rows land in
+    ``{work_dir}/novelty``, and the batch's previously-unseen grams
+    are appended to the index so later batches see them.
+
+    The index stores ``(g, first_doc)`` — each gram's smallest owner
+    doc_id seen so far — and ownership is the global MIN over
+    index ∪ batch.  That one design choice buys three properties:
+    (a) when ingest order respects doc_id order (the fixture and
+    deployment norm — ids are assigned at ingest), every batch's
+    output equals the full-corpus batch operator restricted to that
+    batch, so the union over batches IS ``novelty_fraction`` of the
+    whole corpus (asserted stream≡batch in
+    ``tests/test_streaming.py``); (b) batch replay is idempotent even
+    when the crash lands BETWEEN the novelty write and the index
+    append (a replayed batch re-reads an index that may already
+    contain its own mins — the min is unchanged); (c) under
+    out-of-order arrival, already-written outputs are not revised
+    (novelty is inherently arrival-ordered) but the index still
+    converges to the true corpus min, so every FUTURE batch is judged
+    against it.  The index grows with the VOCABULARY, not the corpus.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs_dir: str,
+        checkpoint_dir: str,
+        work_dir: str,
+        *,
+        n: int = 8,
+        schema: str = "doc_id long, text string",
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        self._spark = spark
+        self._n = n
+        self._index_dir = f"{work_dir}/gram_index"
+        self._novelty_dir = f"{work_dir}/novelty"
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(docs_dir)
+        self._query = (
+            stream.writeStream.foreachBatch(self._ingest_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        try:
+            return self._spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self._spark.createDataFrame([], schema)
+            raise
+
+    def _ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark import StorageLevel
+
+        n = self._n
+        toks = batch_df.select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+        )
+        gram_arr = F.expr(
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {n})))"
+        )
+        # three consumers (global-min, rollup, index delta):
+        # materialize once
+        occ = (
+            toks.filter(F.size("t") >= n)
+            .select("doc_id", F.explode(gram_arr).alias("g"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # read-time min-merge: the append-only index may hold an
+        # improvement CHAIN per gram — collapse it before use
+        index = (
+            self._read_or_empty(self._index_dir, _GRAM_INDEX_SCHEMA)
+            .groupBy("g")
+            .agg(F.min("first_doc").alias("first_doc"))
+        )
+        batch_first = occ.groupBy("g").agg(
+            F.min("doc_id").alias("first_doc")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        global_first = (
+            index.unionByName(batch_first)
+            .groupBy("g")
+            .agg(F.min("first_doc").alias("first_doc"))
+        )
+        novelty = (
+            occ.join(global_first, "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                    .otherwise(0)
+                ).alias("novel_grams"),
+            )
+            .select(
+                "doc_id",
+                F.col("n_grams").cast("bigint").alias("n_grams"),
+                F.col("novel_grams").cast("bigint").alias("novel_grams"),
+                (
+                    F.col("novel_grams").cast("double")
+                    / F.col("n_grams").cast("double")
+                ).alias("novel_frac"),
+            )
+        )
+        # novelty overwrites its own batch partition (replay rewrites
+        # identical rows — the global min absorbs a replayed index
+        # append); the index delta appends a gram only when the batch
+        # IMPROVES its min (or introduces it), so the append-only
+        # index converges to the corpus min under any arrival order
+        # and a replayed completed append adds nothing (its min is no
+        # longer a strict improvement).  The read-time groupBy-min
+        # merges improvement chains; compaction folds them physically.
+        (
+            novelty.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._novelty_dir)
+        )
+        improving = (
+            batch_first.alias("b")
+            .join(index.alias("i"), "g", "left")
+            .filter(
+                F.col("i.first_doc").isNull()
+                | (F.col("b.first_doc") < F.col("i.first_doc"))
+            )
+            .select("g", F.col("b.first_doc").alias("first_doc"))
+            .distinct()
+        )
+        improving.write.mode("append").parquet(self._index_dir)
+        occ.unpersist()
+        batch_first.unpersist()
+
+    def await_drained(self, timeout_sec: int = 120) -> None:
+        if not self._query.awaitTermination(timeout_sec):
+            self._query.stop()
+            raise TimeoutError("novelty ingest did not drain under AvailableNow")
+
+    def novelty(self) -> DataFrame:
+        return self._spark.read.parquet(self._novelty_dir).select(
+            "doc_id", "n_grams", "novel_grams", "novel_frac"
+        )
+
+    def stop(self) -> None:
+        if self._query.isActive:
+            self._query.stop()

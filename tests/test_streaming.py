@@ -751,3 +751,45 @@ def test_stream_kll_sketch_sink_quantiles_within_rank_tol(spark, events_stream_d
         rank_lo = sum(1 for v in vals if v < est) / len(vals)
         rank_hi = sum(1 for v in vals if v <= est) / len(vals)
         assert rank_lo <= p + 0.02 and rank_hi >= p - 0.02, (p, est)
+
+
+def test_streaming_novelty_ingest_equals_full_batch(spark, tmp_path):
+    """StreamingNoveltyIngest over the corpus split into two
+    id-ordered arrival batches must reproduce EXACTLY the full-corpus
+    novelty_fraction: batch-1 docs judged among themselves (they hold
+    every smaller id), batch-2 docs against the stored gram index
+    plus their own batch mins."""
+    import os
+    import time
+
+    from go_mailio_diskusage_handler_spark.operators import dedup
+    from go_mailio_diskusage_handler_spark.streaming.dedup_ingest import (
+        StreamingNoveltyIngest,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    now = time.time()
+    for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
+        p = d / f"b{i}.parquet"
+        docs.filter(pred).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    ingest = StreamingNoveltyIngest(
+        spark,
+        str(d) + "/*/",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "work"),
+        max_files_per_trigger=1,
+    )
+    ingest.await_drained()
+    got = {tuple(r) for r in ingest.novelty().collect()}
+    want = {tuple(r) for r in dedup.novelty_fraction(docs).collect()}
+    assert got == want
+    assert want, "fixture should contain gram-bearing documents"
+    # the index holds one min per gram of the whole corpus — replaying
+    # the LAST batch against it must change nothing (idempotency of
+    # the global-min formulation)
+    idx = spark.read.parquet(str(tmp_path / "work" / "gram_index"))
+    assert idx.groupBy("g").count().filter(F.col("count") > 1).count() == 0
