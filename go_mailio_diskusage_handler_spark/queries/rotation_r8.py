@@ -34,18 +34,19 @@ from .rotation_r45 import _rotate_front
 #     never-checked 11, so only sql_recursive_spine is added.
 #   * Remaining slots drain the backlog in staleness order (freshest
 #     driver row r4, registration order) — the precomputed list from
-#     rotation_r7.py's comment.  With 12 slots taken, the last two
-#     names of that list (du_core, du_lookup) defer to round 9; both
-#     are r7-window-adjacent and in-repo green, so nothing hides.
-#     After this window, 59 queries remain at r4/r5 staleness and 42
+#     rotation_r7.py's comment.  With 12 slots taken, that list's
+#     last name (du_lookup) defers to round 9 (du_core claims the
+#     50th slot below); both are in-repo green, so nothing hides.
+#     After this window, 58 queries remain at r4/r5 staleness and 42
 #     at r6 — rounds 9-10 finish the drain.
 #
 # Round-9 front (precomputed from CORRECTNESS_r01-r07 + this window;
-# the 7 round-8 additions first, then ALL 9 remaining r4-stale rows,
-# then the 34 oldest r5-stale rows in registration order — 50 exactly):
+# the 7 round-8 additions first, then ALL 8 remaining r4-stale rows
+# (du_core took this round's 50th slot), then the 35 oldest r5-stale
+# rows in registration order — 50 exactly):
 # udtf_widen_segments, sql_bloom_probe_revenue, udtf_table_arg_changes,
 # dedup_novelty, sql_scripting_threshold, curation_novelty_gate,
-# dedup_novelty_incremental, du_core, du_lookup,
+# dedup_novelty_incremental, du_lookup,
 # du_multifile, topk_addresses, window_top_orders,
 # window_running_total, join_revenue_by_region,
 # anti_customers_without_orders, setop_lapsed_customers,
@@ -61,11 +62,11 @@ from .rotation_r45 import _rotate_front
 # curation_contaminated, curation_corpus, dedup_clusters,
 # dedup_simhash_values, dedup_simhash_pairs, sim_brute_topk,
 # sim_filtered_topk, sim_lsh_buckets, sim_lsh_ann_topk,
-# dedup_embedding_cosine
+# dedup_embedding_cosine, media_metadata
 # — adjusted first for any round-9 engine changes (changed queries
 # front first, per the round-4 advisory) and for any r8 driver reds.
-# The 16 r5-stale names that overflow to round 10:
-# media_metadata, media_decode_features, media_frame_sample,
+# The 15 r5-stale names that overflow to round 10:
+# media_decode_features, media_frame_sample,
 # events_sliding_window, inventory_diff, pivot_status_revenue,
 # percentile_order_value, cube_lineitem_flags, sim_ivfpq_rerank_topk,
 # sim_ivfpq_ann_topk, events_window_users, approx_top_event_types,
@@ -125,6 +126,9 @@ _R8_FRONT = [
     "events_sessionize",
     "events_session_window",
     "curation_sample_weighted",
+    # 50th slot: the stalest r4 name (otherwise the slot would fall to
+    # the r7-green head of the residual order — wasted freshness)
+    "du_core",
 ]
 
 _rotate_front(_R8_FRONT)
