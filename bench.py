@@ -69,15 +69,17 @@ on the FULL per-query map of the latest sf0.1 run is committed as
 BASELINE_QUERIES.json — cross-round per-query comparisons should read
 that file's git history, not the truncated BENCH_r*.json tails.
 
-Round-8 reference: 205 queries, 249.9 s idle — like-for-like ≈236 s
-for the prior 200 after subtracting the five round-8 additions
-(udtf_table_arg_changes ~7.8 s is the bulk: a Python UDTF's per-row
-eval over 100k events is the documented cost of the TABLE-argument
-API surface; the window-function events_* family is the production
-path for that shape).  Three same-day idle runs spread 249.9-324.2 s
-(1.30x) with the >2x per-query outliers exactly the queries the r8
-rotation moved to the FRONT of the run order — registration position
-decides who pays the JVM/codegen warmup tax, so cross-round per-query
+Round-8 reference: 207 queries, 267.0 s idle (back-to-back complete
+runs 267.7/267.0 — 0.3% apart; an earlier 205-query idle run measured
+249.9 s) — like-for-like ≈249 s for the prior 200 after subtracting
+the seven round-8 additions (~18 s: udtf_table_arg_changes ~8 s is
+the bulk — a Python UDTF's per-row eval over 100k events is the
+documented cost of the TABLE-argument API surface; the
+window-function events_* family is the production path for that
+shape).  Same-day idle runs this round spread 249.9-324.2 s (1.30x)
+with the >2x per-query outliers exactly the queries the r8 rotation
+moved to the FRONT of the run order — registration position decides
+who pays the JVM/codegen warmup tax, so cross-round per-query
 comparisons must account for rotation moves, not just load.
 
 Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
