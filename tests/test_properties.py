@@ -560,3 +560,50 @@ def test_direction_changes_matches_reference(spark, seqs):
         for uid, vals in enumerate(seqs)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8: novelty against a brute-force reference
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["w1", "w2", "w3"])
+_doc_text = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+def _ref_novelty(texts: list[str], n: int = 8):
+    """Brute-force reference: per doc, distinct word n-grams and the
+    fraction whose first owner (min doc index) is the doc itself."""
+    grams = []
+    for t in texts:
+        toks = t.split(" ") if t else [""]
+        gs = {
+            " ".join(toks[i:i + n])
+            for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+        grams.append(gs)
+    first = {}
+    for i, gs in enumerate(grams):
+        for g in gs:
+            first.setdefault(g, i)
+    return {
+        i: (len(gs), sum(1 for g in gs if first[g] == i))
+        for i, gs in enumerate(grams)
+        if gs
+    }
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_novelty_matches_brute_force(spark, texts):
+    """novelty_fraction must agree with the brute-force reference on
+    arbitrary tiny corpora — including empty docs, sub-gram-length
+    docs, exact copies, and partial overlaps (the 3-word alphabet
+    forces heavy gram collisions)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"])
+        for r in dedup.novelty_fraction(docs).collect()
+    }
+    assert got == _ref_novelty(texts)
