@@ -989,3 +989,38 @@ def funnel_step_rates(
         .alias("overall_rate"),
         defined.alias("rate_defined"),
     )
+
+
+def forward_fill_values(events: DataFrame) -> DataFrame:
+    """Per-user forward-fill (last-observation-carried-forward) — the
+    classic sparse-metric imputation a training pipeline runs before
+    feature extraction: 'view' events carry no value observation in
+    this corpus (the derivation rule; a real deployment marks
+    missingness upstream), and every event is assigned the user's most
+    recent observed value at that point in the (ts, event_id) order.
+
+    One window, one shuffle on user_id: ``last(obs, ignorenulls=True)``
+    over UNBOUNDED PRECEDING..CURRENT ROW — Spark keeps a single
+    last-seen scalar per partition while scanning in order, so state is
+    O(1) per user exactly like the as-of join above (:func:`asof_last_
+    purchase` fills from a REFERENCE stream; this fills WITHIN the
+    series).  No arithmetic touches the carried double, so the filled
+    values are bit-identical across engines.
+
+    Events before a user's first observation have no fill; per the
+    oracle float convention (nullable DOUBLE renders NaN vs NULL across
+    engines), they carry the -1.0 sentinel plus ``has_value = false``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("event_type") != "view", F.col("value"))
+    filled = F.last(obs, ignorenulls=True).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.coalesce(filled, F.lit(-1.0)).alias("filled_value"),
+        filled.isNotNull().alias("has_value"),
+    )

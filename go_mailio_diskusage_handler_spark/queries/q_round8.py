@@ -306,3 +306,34 @@ def dedup_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.novelty_fraction_incremental(
         load_table(spark, sf_dir, "documents")
     )
+
+
+# DuckDB mirror of sessions.forward_fill_values: LAST_VALUE IGNORE
+# NULLS over the same (user, ts, event_id) order; no arithmetic on the
+# carried double, so values are bit-identical.  -1.0 sentinel +
+# has_value flag per the nullable-DOUBLE oracle convention.
+FORWARD_FILL_SQL = """
+    WITH e AS (SELECT event_id, user_id, ts,
+                      CASE WHEN event_type <> 'view' THEN value END AS obs
+               FROM events),
+    f AS (SELECT event_id, user_id,
+                 LAST_VALUE(obs IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled
+          FROM e)
+    SELECT event_id, user_id,
+           COALESCE(filled, -1.0) AS filled_value,
+           filled IS NOT NULL AS has_value
+    FROM f
+"""
+
+
+@register("events_forward_fill", FORWARD_FILL_SQL)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user forward-fill (last observation carried forward):
+    sparse-metric imputation in one ordered window pass, O(1) state
+    per user (operators/sessions.py:forward_fill_values)."""
+    from ..operators import sessions
+
+    return sessions.forward_fill_values(load_table(spark, sf_dir, "events"))

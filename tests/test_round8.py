@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "sql_scripting_threshold",
     "curation_novelty_gate",
     "dedup_novelty_incremental",
+    "events_forward_fill",
 ]
 
 
