@@ -1024,3 +1024,66 @@ def forward_fill_values(events: DataFrame) -> DataFrame:
         F.coalesce(filled, F.lit(-1.0)).alias("filled_value"),
         filled.isNotNull().alias("has_value"),
     )
+
+
+def interpolate_values(events: DataFrame) -> DataFrame:
+    """Per-user LINEAR interpolation between observations — the
+    two-sided sibling of :func:`forward_fill_values` (resampling a
+    sparse metric onto every event's timestamp before feature
+    extraction): each event gets the time-weighted blend of the
+    nearest observation at-or-before and at-or-after it in the
+    (ts, event_id) order.
+
+    Two windows over ONE shuffle on user_id (same sort, opposite
+    frames): ``last(obs) IGNORE NULLS`` over the preceding frame and
+    ``first(obs) IGNORE NULLS`` over the following frame, carrying
+    (value, epoch-microsecond) pairs.  At an observation row the two
+    anchors coincide and the blend degenerates to the exact observed
+    value; before a user's first observation the -1.0 sentinel applies
+    (nullable-DOUBLE oracle convention); after the last, the value
+    holds (trailing LOCF — the standard resample edge).
+
+    Cross-engine determinism: the anchors are untouched doubles, the
+    time ratio is a BIGINT-difference division, and the blend is
+    written as ``prev + (next - prev) * ratio`` in BOTH engines — the
+    same IEEE operation sequence, so results are bit-identical, not
+    merely tolerance-close.  ``kind`` labels each row (obs / interp /
+    leading / trailing) so downstream can weight imputed points.
+    """
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(F.col("event_type") != "view", F.col("value"))
+    obs_t = F.when(F.col("event_type") != "view", F.unix_micros("ts"))
+    prev_v = F.last(obs, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first(obs, ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    t = F.unix_micros("ts")
+    ratio = (t - prev_t) / (next_t - prev_t)
+    blend = prev_v + (next_v - prev_v) * ratio
+    interp = (
+        F.when(prev_v.isNull(), F.lit(-1.0))
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(blend)
+    )
+    kind = (
+        F.when(obs.isNotNull(), F.lit("obs"))
+        .when(prev_v.isNull(), F.lit("leading"))
+        .when(next_v.isNull(), F.lit("trailing"))
+        .otherwise(F.lit("interp"))
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        interp.alias("interp_value"),
+        kind.alias("kind"),
+    )

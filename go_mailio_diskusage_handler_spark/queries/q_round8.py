@@ -337,3 +337,54 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sessions
 
     return sessions.forward_fill_values(load_table(spark, sf_dir, "events"))
+
+
+# DuckDB mirror of sessions.interpolate_values.  The blend is written
+# prev + (next - prev) * ((t - pt) / (nt - pt)) in BOTH engines — the
+# identical IEEE sequence over identical anchors, so values are
+# bit-identical (the time ratio is a BIGINT-difference division).
+INTERPOLATE_SQL = """
+    WITH e AS (SELECT event_id, user_id, ts,
+                      epoch_us(ts) AS t,
+                      CASE WHEN event_type <> 'view' THEN value END
+                          AS obs,
+                      CASE WHEN event_type <> 'view' THEN epoch_us(ts)
+                          END AS obs_t
+               FROM events),
+    w AS (SELECT event_id, user_id, t, obs,
+                 LAST_VALUE(obs IGNORE NULLS) OVER pw AS prev_v,
+                 LAST_VALUE(obs_t IGNORE NULLS) OVER pw AS prev_t,
+                 FIRST_VALUE(obs IGNORE NULLS) OVER fw AS next_v,
+                 FIRST_VALUE(obs_t IGNORE NULLS) OVER fw AS next_t
+          FROM e
+          WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW),
+                 fw AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN prev_v IS NULL THEN -1.0
+                WHEN next_v IS NULL THEN prev_v
+                WHEN next_t = prev_t THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * ((t - prev_t) / (next_t - prev_t))
+           END AS interp_value,
+           CASE WHEN obs IS NOT NULL THEN 'obs'
+                WHEN prev_v IS NULL THEN 'leading'
+                WHEN next_v IS NULL THEN 'trailing'
+                ELSE 'interp'
+           END AS kind
+    FROM w
+"""
+
+
+@register("events_interpolate", INTERPOLATE_SQL)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user linear interpolation between observations: the
+    two-sided resample (time-weighted blend of nearest anchors), one
+    user_id shuffle, bit-identical across engines
+    (operators/sessions.py:interpolate_values)."""
+    from ..operators import sessions
+
+    return sessions.interpolate_values(load_table(spark, sf_dir, "events"))

@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "curation_novelty_gate",
     "dedup_novelty_incremental",
     "events_forward_fill",
+    "events_interpolate",
 ]
 
 
@@ -454,3 +455,41 @@ def test_novelty_incremental_equals_batch_filtered(spark):
     }
     assert incr == full
     assert len(incr) > 0
+
+
+def test_interpolate_blends_and_labels_edges(spark):
+    """Hand-checked anchors: user 1 observes 10 @t2 and 40 @t5; the
+    t3/t4 gap rows blend time-weighted (20, 30), the t1 row is leading
+    sentinel, the t6 row trails at 40; observation rows return their
+    exact value."""
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    rows = [
+        # (event_id, sec, type, value) — 'view' carries no observation
+        (1, 1, "view", 99.0),
+        (2, 2, "click", 10.0),
+        (3, 3, "view", 99.0),
+        (4, 4, "view", 99.0),
+        (5, 5, "click", 40.0),
+        (6, 6, "view", 99.0),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, 1, f"2024-01-01 00:00:0{s}", t, v) for eid, s, t, v in rows],
+        "event_id bigint, user_id bigint, ts_s string, event_type string, value double",
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    got = {
+        r["event_id"]: (r["interp_value"], r["kind"])
+        for r in sessions.interpolate_values(ev).collect()
+    }
+    assert got == {
+        1: (-1.0, "leading"),
+        2: (10.0, "obs"),
+        3: (20.0, "interp"),
+        4: (30.0, "interp"),
+        5: (40.0, "obs"),
+        6: (40.0, "trailing"),
+    }
