@@ -1087,3 +1087,54 @@ def interpolate_values(events: DataFrame) -> DataFrame:
         interp.alias("interp_value"),
         kind.alias("kind"),
     )
+
+
+def user_value_ewma(
+    events: DataFrame, alpha: float = 0.1, cap: int = 256
+) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` —
+    the classic recency-weighted feature (recursive ``y = (1-α)·y +
+    α·x``, which no window frame expresses) computed as an ORDERED
+    ARRAY FOLD that never leaves the JVM: sort-collect the user's
+    (ts, event_id, value) sequence, keep the trailing ``cap`` elements,
+    and ``F.aggregate`` the fold — one shuffle, whole-stage codegen,
+    no Python (contrast ``DirectionChangesUDTF``, which exists to
+    exercise the Python table-function surface; this is how the same
+    per-key sequential shape ships FAST when the logic is expressible
+    as a lambda).
+
+    The trailing cap is the scale guard: per-group state is ≤ ``cap``
+    elements regardless of a user's history length (the dropped prefix
+    contributes weight ≤ (1-α)^cap ≈ 2e-12 at the defaults — below
+    double noise), so executor memory is bounded exactly like the
+    table-arg UDTF's O(1) state.
+
+    Cross-engine determinism: the fold SEEDS WITH THE FIRST ELEMENT
+    (DuckDB ``list_reduce`` fold1 semantics, mirrored here via
+    element_at + slice) and both engines execute the identical
+    ``acc·(1-α) + α·x`` sequence over identical doubles —
+    bit-identical results, no rounding.
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ),
+        lambda s: s["value"],
+    )
+    per_user = events.filter(F.col("value").isNotNull()).groupBy(
+        "user_id"
+    ).agg(
+        ordered.alias("vals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    tail = F.slice(
+        F.col("vals"),
+        F.greatest(F.lit(1), F.size("vals") - F.lit(cap - 1)),
+        F.lit(cap),
+    )
+    ewma = F.aggregate(
+        F.slice(tail, 2, F.greatest(F.size(tail) - 1, F.lit(0))),
+        F.element_at(tail, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    return per_user.select("user_id", "n_events", ewma.alias("ewma_value"))

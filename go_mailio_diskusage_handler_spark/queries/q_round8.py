@@ -388,3 +388,34 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sessions
 
     return sessions.interpolate_values(load_table(spark, sf_dir, "events"))
+
+
+# DuckDB mirror of sessions.user_value_ewma (α=0.1, cap 256):
+# list(value ORDER BY ts, event_id), trailing-cap slice, list_reduce
+# fold (fold1 — seeds with the first element, exactly as the Spark
+# side's element_at + slice) — identical IEEE sequence, bit-identical.
+EWMA_SQL = """
+    WITH u AS (SELECT user_id,
+                      list(value ORDER BY ts, event_id) AS vals,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events WHERE value IS NOT NULL
+               GROUP BY user_id),
+    c AS (SELECT user_id, n_events,
+                 vals[GREATEST(1, len(vals) - 255) : len(vals)] AS tail
+          FROM u)
+    SELECT user_id, n_events,
+           list_reduce(tail, (acc, x) -> acc * 0.9 + 0.1 * x)
+               AS ewma_value
+    FROM c
+"""
+
+
+@register("events_user_ewma", EWMA_SQL)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user EWMA of value: the recursive recency-weighted
+    feature as a JVM-side ordered array fold (one shuffle, no Python),
+    trailing-256 cap bounding per-group state
+    (operators/sessions.py:user_value_ewma)."""
+    from ..operators import sessions
+
+    return sessions.user_value_ewma(load_table(spark, sf_dir, "events"))

@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "dedup_novelty_incremental",
     "events_forward_fill",
     "events_interpolate",
+    "events_user_ewma",
 ]
 
 
