@@ -1023,3 +1023,66 @@ def part_affinity_lift(
     from go_mailio_diskusage_handler_spark.caching import own_cache
 
     return own_cache(out, order_types)
+
+
+def exact_global_median(orders: DataFrame, *, buckets: int = 1024) -> DataFrame:
+    """[EXT] Exact global median via two distributed passes — no
+    global sort, no single-task window.
+
+    Spark's ``median``/``percentile`` aggregates buffer every value of
+    a group in one task, and an unpartitioned ``row_number`` window
+    serializes the table through one partition — both die at 100 TB.
+    The scale-correct exact algorithm is histogram refinement:
+
+    1. one pass aggregates (min, max, count) — three scalars;
+    2. one pass builds a ``buckets``-bin histogram (map-side partial
+       agg, ≤ ``buckets`` rows to the driver — bounded, like the
+       codebook collects elsewhere in this package);
+    3. the driver walks the histogram to find the bucket(s) holding
+       the two middle ranks, then ONE narrow filtered pass (the range
+       predicate prunes parquet row groups via min/max stats) ranks
+       only ~n/buckets rows to read the exact order statistics.
+
+    Slice membership reuses the SAME bucket expression as the
+    histogram, so float rounding can't strand a row between passes;
+    the conjoined conservative range predicate is there purely for
+    scan-stat pruning.  Emits the two middle order statistics (raw
+    data values) and an integer twice-median-in-cents — no derived
+    float crosses the engine boundary (half-tie rounding differs).
+    """
+    v = F.col("o_totalprice")
+    lo, hi, n = orders.agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
+    width = (hi - lo) / buckets if hi > lo else 1.0
+    bexpr = F.least(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(buckets - 1))
+    hist = dict(
+        (r[0], r[1])
+        for r in orders.groupBy(bexpr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    k1, k2 = (n + 1) // 2, n // 2 + 1
+    cum, rank_before, b1, b2 = 0, 0, None, None
+    for b in sorted(hist):
+        if b1 is None and cum + hist[b] >= k1:
+            b1, rank_before = b, cum
+        if cum + hist[b] >= k2:
+            b2 = b
+            break
+        cum += hist[b]
+    slice_df = orders.filter(
+        (v >= lo + b1 * width - width)  # conservative: row-group pruning
+        & (v <= lo + (b2 + 1) * width + width)
+        & bexpr.between(b1, b2)  # exact: same expression as the histogram
+    )
+    ranked = slice_df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(v)) + F.lit(rank_before)
+    )
+    mid = ranked.filter(F.col("rn").isin(k1, k2))
+    return mid.agg(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.min(v).alias("lo_mid"),
+        F.max(v).alias("hi_mid"),
+        (F.round(F.min(v) * 100) + F.round(F.max(v) * 100))
+        .cast("bigint")
+        .alias("median_cents_x2"),
+    )

@@ -740,3 +740,82 @@ def length_histogram(documents: DataFrame) -> DataFrame:
         "max_chars",
         F.round(F.col("n_docs") / F.col("t"), 4).alias("share"),
     )
+
+
+# Content-defined chunking: gram width, polynomial base and the cut
+# modulus (expected chunk length ≈ CDC_MODULUS + CDC_WIDTH chars).
+CDC_WIDTH = 8
+CDC_BASE = 31
+CDC_MODULUS = 61
+
+
+def _cdc_gram_hash_sql(text_col: str, pos_col: str) -> str:
+    """Base-31 polynomial hash of the CDC_WIDTH-gram at 1-based
+    ``pos_col`` — written as explicit literal-coefficient terms so the
+    DuckDB oracle can evaluate the byte-identical expression (no
+    engine hash function, no pow(): coefficients are precomputed ints
+    and the sum stays < 31^8·255 ≈ 2.3e14, safely inside BIGINT)."""
+    return " + ".join(
+        f"CAST(ascii(substring({text_col}, {pos_col}+{j}, 1)) AS BIGINT)"
+        f" * {CDC_BASE ** (CDC_WIDTH - 1 - j)}"
+        for j in range(CDC_WIDTH)
+    )
+
+
+def cdc_chunk_stats(documents: DataFrame) -> DataFrame:
+    """[EXT] Content-defined chunking (CDC) dedup profile per source.
+
+    Fixed-size shingles shift at every insertion, so exact-duplicate
+    *passages* embedded at different offsets defeat block-level dedup.
+    CDC places chunk boundaries where a rolling content hash hits a
+    modulus — boundaries move WITH the content, so a shared passage
+    yields identical chunks regardless of its offset in the document
+    (the trick behind storage dedup and rsync).  Per document: cut
+    where the base-31 polynomial hash of the 8-gram starting at
+    position i divides by 61 (expected chunk ≈ 69 chars); chunks are
+    the substrings between consecutive cuts.
+
+    The plan is fully relational and JVM-side: a per-row array expr
+    computes cut positions (no Python UDF), one explode emits only the
+    cuts (not every position), a per-doc window turns consecutive cuts
+    into substrings, and one hash-agg profiles chunk sharing per
+    source — total/distinct chunk counts quantify the corpus'
+    CDC-dedupable redundancy.  Scale note: the text column rides
+    along the cut explode (~len/61 copies per doc); at 100 TB chunk
+    *extraction* would keep the array form (transform over cut pairs)
+    to explode chunk strings directly instead — same semantics, this
+    relational form is kept because the oracle mirrors it clause for
+    clause.
+    """
+    d = documents.select(
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    gram = _cdc_gram_hash_sql("t", "i")
+    cuts = F.expr(
+        f"CASE WHEN length(t) >= {CDC_WIDTH + 1} THEN "
+        f"  filter(sequence(2, length(t) - {CDC_WIDTH - 1}), "
+        f"         i -> ({gram}) % {CDC_MODULUS} = 0) "
+        f"ELSE array() END"
+    )
+    bounds = d.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(
+            F.concat(cuts, F.array((F.length("t") + F.lit(1)).cast("int")))
+        ).alias("cut"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("cut")
+    chunks = bounds.withColumn(
+        "prev", F.coalesce(F.lag("cut").over(w), F.lit(1))
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("substring(t, prev, cut - prev)").alias("chunk"),
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk").alias("distinct_chunks"),
+        F.sum(F.length("chunk")).alias("total_chunk_chars"),
+    )

@@ -64,3 +64,4 @@ from .queries import rotation_r8  # noqa: E402,F401
 # Round-8 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round8  # noqa: E402,F401
+from .queries import q_round8b  # noqa: E402,F401

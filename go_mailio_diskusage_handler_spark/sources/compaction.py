@@ -85,3 +85,120 @@ def write_compacted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def plan_compaction_bins(
+    events: DataFrame, *, target_bytes: int = 4096, row_overhead: int = 48
+) -> DataFrame:
+    """[EXT] Compaction *planner*: bin-pack per-partition small files
+    into target-size merge groups.
+
+    The read-path complement of :func:`write_compacted`.  A streaming
+    ingest that commits one file per (event_type, hour) micro-batch —
+    the classic Structured-Streaming sink layout — accretes thousands
+    of KB-sized files; before a rewrite, the compactor must decide
+    WHICH files merge into WHICH output file.  The scale-correct plan
+    keeps neighbouring hours together (preserves time-locality so the
+    compacted file's min/max ts stats stay selective) and packs
+    greedily in hour order until ``target_bytes`` is reached: with
+    files ordered by hour, ``bin = floor(bytes_before_file / target)``
+    — a running-sum window per event_type, no driver loop, no
+    all-pairs.  One shuffle on event_type for the window plus the
+    partial-aggregated file listing; at 100 TB the input here is the
+    file *inventory* (one row per file), not the data, so the whole
+    plan is metadata-sized.
+
+    File bytes are synthesized from the events themselves
+    (``length(props) + row_overhead`` per row) since the local
+    fixtures are single parquet files; on a real lake the same plan
+    runs directly over the S3 inventory / listing table.
+    """
+    from pyspark.sql import Window
+
+    files = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.coalesce(F.length("props"), F.lit(0)) + F.lit(row_overhead)).alias(
+            "file_bytes"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    binned = files.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("file_bytes").over(w) - F.col("file_bytes"))
+            / F.lit(float(target_bytes))
+        ).cast("bigint"),
+    )
+    return binned.groupBy("event_type", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_bytes").alias("bin_bytes"),
+        F.min("hour_ts").alias("first_hour"),
+        F.max("hour_ts").alias("last_hour"),
+    )
+
+
+def zone_map_skipping_audit(
+    orders: DataFrame,
+    *,
+    pred_lo: str = "1997-03-01",
+    pred_hi: str = "1997-04-01",
+    key_shard_rows: int = 256,
+    hash_buckets: int = 64,
+) -> DataFrame:
+    """[EXT] Zone-map (file min/max stats) skipping audit across
+    candidate physical layouts.
+
+    Data skipping is THE 100 TB lever: a scan that consults per-file
+    min/max stats reads only files whose [min, max] intersects the
+    predicate.  How much skips is decided at *write* time by the
+    layout, so before committing to one, audit candidates against the
+    real query predicate.  Three layouts of `orders` vs a one-month
+    ``o_orderdate`` window:
+
+    * ``date_partitioned`` — shard = calendar month: the predicate
+      column is the layout key, ~all shards skip;
+    * ``key_clustered`` — shard = o_orderkey range: orderkey is
+      uncorrelated with date here, so zone maps are wide and nothing
+      skips (the honest negative result the audit exists to surface);
+    * ``hash_bucketed`` — shard = multiplicative hash of the key:
+      every shard spans the full date range, zero skipping.
+
+    One scan: the three shard ids are exploded as (layout, shard)
+    pairs, then a single hash-agg builds every zone map (min/max date
+    per shard) and a second counts scanned-vs-skipped per layout —
+    both metadata-sized after the first partial agg.  The hash uses
+    explicit multiplicative arithmetic (not ``F.hash``) so the oracle
+    computes the identical bucket.
+    """
+    d = F.col("o_orderdate")
+    pairs = F.array(
+        F.struct(
+            F.lit("date_partitioned").alias("layout"),
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("shard"),
+        ),
+        F.struct(
+            F.lit("key_clustered").alias("layout"),
+            F.floor(F.col("o_orderkey") / key_shard_rows).cast("bigint").alias("shard"),
+        ),
+        F.struct(
+            F.lit("hash_bucketed").alias("layout"),
+            ((F.col("o_orderkey") * F.lit(2654435761)) % hash_buckets)
+            .cast("bigint")
+            .alias("shard"),
+        ),
+    )
+    zone = (
+        orders.select(F.explode(pairs).alias("ls"), d.alias("d"))
+        .groupBy(F.col("ls.layout").alias("layout"), F.col("ls.shard").alias("shard"))
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    )
+    scanned = F.when(
+        (F.col("dmax") >= F.lit(pred_lo).cast("timestamp"))
+        & (F.col("dmin") < F.lit(pred_hi).cast("timestamp")),
+        1,
+    ).otherwise(0)
+    return zone.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum(scanned).cast("bigint").alias("n_scanned"),
+    )

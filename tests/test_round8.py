@@ -27,6 +27,11 @@ ORACLE_CHECKED = [
     "events_forward_fill",
     "events_interpolate",
     "events_user_ewma",
+    # round-8b additions (q_round8b.py) — registry tail, driver-checked r9
+    "events_compaction_bins",
+    "orders_zone_map_skipping",
+    "percentile_exact_median",
+    "text_cdc_chunks",
 ]
 
 
