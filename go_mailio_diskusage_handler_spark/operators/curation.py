@@ -906,3 +906,111 @@ def novelty_gate(
             ).cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature space size for DSIR.  Public DSIR uses 10k buckets;
+#: 1024 keeps the fixture's bucket table readable while preserving the
+#: collision behavior the estimator is defined on.
+DSIR_BUCKETS = 1024
+
+
+def _hashed_gram_buckets(n_buckets: int):
+    """(words column) -> exploded gram-bucket column builder.
+
+    Feature = unigrams + word bigrams, hashed to ``n_buckets`` via the
+    first 8 hex chars of md5 — the one hash both Spark and DuckDB
+    evaluate bit-identically (same portability trick as the curation
+    split buckets).  At 100 TB you would widen to the public DSIR
+    default (10k buckets); the shape is unchanged.
+    """
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return grams, bucket
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", arXiv 2302.03169): score every raw document
+    by how target-like its hashed-ngram profile is.
+
+    Features are unigram+bigram counts hashed into ``n_buckets``; both
+    the target distribution (here: ``lang = target_lang`` docs as the
+    in-domain proxy) and the raw distribution are add-1-smoothed
+    bag-of-buckets models, and each doc's log importance weight is
+
+        log w(x) = sum_b  c_b(x) * ( log p_target[b] - log p_raw[b] ).
+
+    Docs with high ``log_importance`` resemble the target domain;
+    resampling by these weights is the DSIR selection step.
+
+    Distributed shape: ONE explode of the gram stream feeds both
+    estimators and the scoring pass — (doc, bucket) partial counts
+    aggregate map-side, the global bucket table is ≤ ``n_buckets``
+    rows (corpus-size-independent), totals are a 1-row aggregate
+    cross-joined back, and scoring joins the per-doc counts to the
+    BROADCAST bucket-weight table.  No corpus-sized state ever sits
+    on fewer than all partitions; the only full shuffles are the two
+    keyed aggregations.
+
+    Scores round to 4 digits: group-sum order varies between engines
+    at the last ulp (same convention as ``unigram_logprob_scores``).
+    """
+    from pyspark import StorageLevel
+
+    grams, bucket = _hashed_gram_buckets(n_buckets)
+    g = documents.select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    # per_doc feeds BOTH the bucket-model estimation and the scoring
+    # pass; persist so the gram explode + first aggregation run once
+    # (same shared-intermediate contract as curated_corpus).
+    per_doc = g.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    glob = per_doc.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(0)
+        ).alias("tgt_cnt"),
+    )
+    totals = glob.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    wts = glob.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_tot") + n_buckets))
+            - F.log((F.col("raw_cnt") + 1) / (F.col("raw_tot") + n_buckets))
+        ).alias("w"),
+    )
+    out = (
+        per_doc.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("w")), 4).alias("log_importance"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    return own_cache(out, per_doc)

@@ -819,3 +819,76 @@ def cdc_chunk_stats(documents: DataFrame) -> DataFrame:
         F.countDistinct("chunk").alias("distinct_chunks"),
         F.sum(F.length("chunk")).alias("total_chunk_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style fixed-threshold rule gate
+# ---------------------------------------------------------------------------
+
+#: Gopher/MassiveText rule thresholds (Rae et al. 2021, table A1 —
+#: public arXiv 2112.11446).  Word-count bounds are scaled to this
+#: fixture's doc lengths; the RULE SET is the point, not the numbers.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_RANGE = (3.0, 10.0)
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_KINDS = 2
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.3
+
+
+def gopher_rule_gate(documents: DataFrame) -> DataFrame:
+    """Fixed-threshold document filter in the Gopher/MassiveText style:
+    one boolean per rule plus the conjunction ``keep``.
+
+    Unlike ``quality_scores`` (continuous scores, reader decides) and
+    ``curation.adaptive_quality_gate`` (per-source data-driven cutoffs),
+    this is the DECLARED-threshold gate a pretraining pipeline runs
+    first: word-count bounds, mean-word-length band, alphabetic-word
+    fraction, minimum distinct stopwords, and a duplicate-bigram
+    repetition cap.
+
+    Distributed shape: pure per-row array expressions — zero shuffles,
+    scales linearly in document count; the bigram list is
+    document-local (same guarded ``sequence`` construction as
+    ``repetition_signals``).
+    """
+    w = tokens()
+    n = F.size(w)
+    # word chars = total chars minus the n-1 separators (same formula
+    # as quality_scores.avg_token_len).
+    mean_len = (F.length("text") - n + 1) / n
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n
+    stop_kinds = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in LANG_PROFILES["en"]]))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.when(
+        F.size(bigrams) == 0, F.lit(0.0)
+    ).otherwise(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams))
+
+    lo, hi = GOPHER_MEAN_LEN_RANGE
+    r_word_count = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_mean_word_len = (mean_len >= lo) & (mean_len <= hi)
+    r_alpha_frac = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stopwords = stop_kinds >= GOPHER_MIN_STOPWORD_KINDS
+    r_repetition = dup_frac <= GOPHER_MAX_DUP_BIGRAM_FRAC
+    return documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_alpha_frac.alias("r_alpha_frac"),
+        r_stopwords.alias("r_stopwords"),
+        r_repetition.alias("r_repetition"),
+        (
+            r_word_count & r_mean_word_len & r_alpha_frac & r_stopwords & r_repetition
+        ).alias("keep"),
+    )

@@ -1,0 +1,151 @@
+"""Round-8 continuation (batch c): DSIR importance weights, a
+Deequ-style data-quality constraint suite, and the Gopher
+fixed-threshold quality gate.
+
+Registered AFTER the round-8 rotation applies, so all three land at
+the registry TAIL — behind the 50-slot driver window — per the
+rotation policy for brand-new queries (in-repo oracle-checked via the
+pytest ORACLE_CHECKED lists until the round-9 front picks them up).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation, dq, text
+from ..operators.curation import DSIR_BUCKETS
+from ..sources.tables import load_table
+from ._base import register
+
+# DuckDB mirror of curation.dsir_importance_weights: identical gram
+# stream (unigrams + word bigrams), identical md5-hex bucket hash,
+# identical add-1 smoothing.  SUMs of counts CAST BIGINT (DuckDB
+# SUM(int) is HUGEINT-family otherwise).
+DSIR_WEIGHTS_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, lang, u.g AS gram
+        FROM t, UNNEST(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                 ELSE []::VARCHAR[] END)) AS u(g)),
+    bucketed AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+        FROM grams),
+    per_doc AS (SELECT doc_id, lang, bucket, COUNT(*) AS cnt
+                FROM bucketed GROUP BY 1, 2, 3),
+    gstats AS (SELECT bucket,
+                    SUM(cnt) AS raw_cnt,
+                    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tgt_cnt
+             FROM per_doc GROUP BY 1),
+    tot AS (SELECT SUM(raw_cnt) AS raw_tot, SUM(tgt_cnt) AS tgt_tot FROM gstats),
+    wts AS (SELECT bucket,
+                   ln((tgt_cnt + 1) * 1.0 / (tgt_tot + {DSIR_BUCKETS}))
+                 - ln((raw_cnt + 1) * 1.0 / (raw_tot + {DSIR_BUCKETS})) AS w
+            FROM gstats CROSS JOIN tot)
+    SELECT doc_id, lang,
+           ROUND(SUM(cnt * w), 4) AS log_importance,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams
+    FROM per_doc JOIN wts USING (bucket)
+    GROUP BY 1, 2
+"""
+
+
+@register("curation_dsir_weights", DSIR_WEIGHTS_SQL)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR hashed-ngram importance weights vs the 'en' target
+    domain (operators/curation.py:dsir_importance_weights; Xie et al.
+    2023, arXiv 2302.03169)."""
+    return curation.dsir_importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB mirror of dq.constraint_suite: same one-pass aggregates over
+# orders, same NULL-falls-to-violation CASE arms, same anti-join
+# orphan count, assembled as a UNION ALL of 1-row rules.
+DQ_CONSTRAINTS_SQL = """
+    WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+               COUNT(DISTINCT o_orderkey) AS d_ok,
+               SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+                   AS bad_status,
+               SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price
+        FROM orders),
+    o AS (
+        SELECT COUNT(*) AS orphan_rows
+        FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) ord
+        LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL)
+    SELECT 'completeness:o_custkey' AS rule,
+           ROUND(CAST((n_rows - null_ck) * 1.0 / n_rows AS DOUBLE), 6) AS metric,
+           CASE WHEN null_ck = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM a
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey',
+           ROUND(CAST(d_ok * 1.0 / n_rows AS DOUBLE), 6),
+           CASE WHEN d_ok = n_rows THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+    UNION ALL
+    SELECT 'domain:o_orderstatus',
+           ROUND(CAST(bad_status AS DOUBLE), 6),
+           CASE WHEN bad_status = 0 THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+    UNION ALL
+    SELECT 'non_negative:o_totalprice',
+           ROUND(CAST(neg_price AS DOUBLE), 6),
+           CASE WHEN neg_price = 0 THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+    UNION ALL
+    SELECT 'referential:o_custkey->c_custkey',
+           ROUND(CAST(orphan_rows AS DOUBLE), 6),
+           CASE WHEN orphan_rows = 0 THEN 'PASS' ELSE 'FAIL' END
+    FROM o
+"""
+
+
+@register("dq_orders_constraints", DQ_CONSTRAINTS_SQL)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Declarative Deequ-style constraint suite over orders
+    (operators/dq.py:constraint_suite) — the scale-correct replacement
+    for the reference's log.Fatalf ingest posture (handler.go:176)."""
+    return dq.constraint_suite(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+# DuckDB mirror of text.gopher_rule_gate: same tokenization, same
+# guarded bigram list, same thresholds.
+GOPHER_RULES_SQL = """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    b AS (SELECT doc_id, text, w, len(w) AS n,
+                 CASE WHEN len(w) >= 2
+                      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                      ELSE []::VARCHAR[] END AS bg
+          FROM t),
+    r AS (SELECT doc_id,
+                 CAST(n AS INTEGER) AS n_words,
+                 (n BETWEEN 50 AND 100000) AS r_word_count,
+                 ((length(text) - n + 1) * 1.0 / n BETWEEN 3.0 AND 10.0)
+                     AS r_mean_word_len,
+                 (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / n
+                     >= 0.8) AS r_alpha_frac,
+                 (len(list_intersect(w, ['the','and','of','to','a','in','is','it']))
+                     >= 2) AS r_stopwords,
+                 (CASE WHEN len(bg) = 0 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END
+                     <= 0.3) AS r_repetition
+          FROM b)
+    SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_alpha_frac,
+           r_stopwords, r_repetition,
+           (r_word_count AND r_mean_word_len AND r_alpha_frac AND r_stopwords
+            AND r_repetition) AS keep
+    FROM r
+"""
+
+
+@register("text_gopher_rules", GOPHER_RULES_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher/MassiveText fixed-threshold rule gate with per-rule
+    flags (operators/text.py:gopher_rule_gate; Rae et al. 2021,
+    arXiv 2112.11446 table A1)."""
+    return text.gopher_rule_gate(load_table(spark, sf_dir, "documents"))

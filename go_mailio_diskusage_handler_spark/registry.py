@@ -65,3 +65,4 @@ from .queries import rotation_r8  # noqa: E402,F401
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round8  # noqa: E402,F401
 from .queries import q_round8b  # noqa: E402,F401
+from .queries import q_round8c  # noqa: E402,F401

@@ -32,6 +32,10 @@ ORACLE_CHECKED = [
     "orders_zone_map_skipping",
     "percentile_exact_median",
     "text_cdc_chunks",
+    # round-8c additions (q_round8c.py) — registry tail, driver-checked r9
+    "curation_dsir_weights",
+    "dq_orders_constraints",
+    "text_gopher_rules",
 ]
 
 
@@ -499,3 +503,99 @@ def test_interpolate_blends_and_labels_edges(spark):
         5: (40.0, "obs"),
         6: (40.0, "trailing"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-8c: DQ constraint suite / Gopher gate / DSIR weights
+# ---------------------------------------------------------------------------
+
+
+def test_dq_suite_passes_on_clean_fixture(spark):
+    """TPC-H dbgen data satisfies every declared constraint."""
+    res = registry.QUERIES["dq_orders_constraints"](spark, SF_CORRECT)
+    rows = {r["rule"]: r for r in res.collect()}
+    assert len(rows) == 5
+    assert all(r["status"] == "PASS" for r in rows.values()), rows
+    assert rows["completeness:o_custkey"]["metric"] == 1.0
+    assert rows["uniqueness:o_orderkey"]["metric"] == 1.0
+
+
+def test_dq_suite_flags_injected_violations(spark):
+    """Each rule fails independently on a frame built to violate it."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0),     # clean
+            (1, 20, "X", -3.0),    # dup orderkey, bad status, negative price
+            (2, None, "F", 7.0),   # null custkey
+            (3, 99, "P", 1.0),     # orphan custkey (99 not in customer)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    customer = spark.createDataFrame([(10,), (20,)], "c_custkey bigint")
+    rows = {r["rule"]: r for r in dq.constraint_suite(orders, customer).collect()}
+    assert rows["completeness:o_custkey"]["status"] == "FAIL"
+    assert rows["uniqueness:o_orderkey"]["status"] == "FAIL"
+    assert rows["domain:o_orderstatus"]["status"] == "FAIL"
+    assert rows["domain:o_orderstatus"]["metric"] == 1.0
+    assert rows["non_negative:o_totalprice"]["status"] == "FAIL"
+    assert rows["referential:o_custkey->c_custkey"]["status"] == "FAIL"
+    # NULL custkey rows do NOT count as orphans (anti join on NULL
+    # never matches nor fails the FK rule — completeness owns NULLs);
+    # only custkey 99 is an orphan.
+    assert rows["referential:o_custkey->c_custkey"]["metric"] == 1.0
+
+
+def test_dq_suite_plan_is_two_aggregates_no_fact_shuffle_join(spark):
+    """The suite must stay one scan + one broadcast anti join: no
+    sort-merge join of the fact table, no per-rule scans."""
+    res = registry.QUERIES["dq_orders_constraints"](spark, SF_CORRECT)
+    plan = plans.executed_plan(res)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_gate_rule_boundaries(spark):
+    from go_mailio_diskusage_handler_spark.operators import text as t
+
+    # 50 words, all alpha, 2 stopword kinds, all bigrams distinct
+    fifty = " ".join(["the", "and"] + [f"word{i}" for i in range(48)])
+    docs = spark.createDataFrame(
+        [
+            (1, fifty),                                # passes everything
+            (2, "the and of to"),                      # < 50 words
+            (3, " ".join(["the and"] + ["1 2"] * 30)), # digits: alpha frac low
+            (4, " ".join(["zz"] * 60)),                # no stopwords + repetitive
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in t.gopher_rule_gate(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["r_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["r_alpha_frac"] is False
+    assert rows[4]["r_stopwords"] is False and rows[4]["r_repetition"] is False
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    """Per-row rule evaluation must not shuffle — the gate is a map."""
+    res = registry.QUERIES["text_gopher_rules"](spark, SF_CORRECT)
+    plan = plans.executed_plan(res)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """Mean log-importance of target-lang ('en') docs must exceed the
+    mean over every other language — the defining property of the
+    importance weight."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    res = curation.dsir_importance_weights(docs)
+    means = {
+        r["is_tgt"]: r["m"]
+        for r in res.groupBy((F.col("lang") == "en").alias("is_tgt"))
+        .agg(F.avg("log_importance").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
