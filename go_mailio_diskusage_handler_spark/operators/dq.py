@@ -110,3 +110,64 @@ def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+#: Rows one task should own after salting — the denominator of the
+#: recommended salt factor (local fixture value; a real cluster sizes
+#: this from executor memory / row width).
+TARGET_ROWS_PER_TASK = 100_000
+
+
+def join_key_skew(df: DataFrame, table: str, key: str) -> DataFrame:
+    """Per-key cardinality profile for one prospective join key:
+    row/key counts, the heaviest key's share, and a recommended salt
+    factor (``ceil(max_key_rows / TARGET_ROWS_PER_TASK)``, min 1).
+
+    Two-level aggregation — per-key counts partial-aggregate map-side,
+    then a key-count-table-sized summary — so the profile costs one
+    shuffle regardless of fact size.  Run this BEFORE a big join: a
+    skew_ratio in the hundreds means the naive shuffle join stalls on
+    one task and the join should go through the salting path
+    (``salted_event_totals``) or AQE skew splitting.
+    """
+    per_key = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.sum("c") / F.count(F.lit(1)), 4).alias("avg_key_rows"),
+        F.round(F.max("c") * F.count(F.lit(1)) / F.sum("c"), 4).alias(
+            "skew_ratio"
+        ),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.max("c") / F.lit(TARGET_ROWS_PER_TASK)),
+        ).alias("salt_factor"),
+    ).select(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "avg_key_rows",
+        "skew_ratio",
+        "salt_factor",
+    )
+
+
+def join_key_skew_report(
+    orders: DataFrame, lineitem: DataFrame, events: DataFrame
+) -> DataFrame:
+    """One skew profile row per declared (table, join key) pair — the
+    pre-flight report for the engine's recurring join keys."""
+    return (
+        join_key_skew(orders, "orders", "o_custkey")
+        .unionByName(join_key_skew(lineitem, "lineitem", "l_orderkey"))
+        .unionByName(join_key_skew(events, "events", "user_id"))
+    )

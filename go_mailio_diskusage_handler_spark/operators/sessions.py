@@ -1138,3 +1138,52 @@ def user_value_ewma(
         lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
     )
     return per_user.select("user_id", "n_events", ewma.alias("ewma_value"))
+
+
+def watermark_delay_plan(events: DataFrame, arrival: str = "event_id") -> DataFrame:
+    """Size a streaming watermark from observed event-time lateness.
+
+    ``arrival`` is the ingest-sequence column (arrival-order proxy;
+    ``event_id`` by default, ties broken on event_id), so a row's
+    lateness is how far the event-time high-water mark had already
+    advanced when the row arrived:
+    ``running_max(ts) - ts`` over arrival order, per event type.
+    The per-type lateness quantiles are exactly what
+    ``withWatermark`` needs: a delay of the p99 lateness keeps 99% of
+    late rows inside windowed aggregations; the max is the
+    zero-data-loss bound.
+
+    Distributed shape: one window shuffle on event_type (running max
+    over arrival order), then a per-type aggregate that AQE
+    co-partitions with the window — lateness never leaves the
+    executor that computed it.  A skewed event type bounds the window
+    partition at that type's row count, the same exposure every
+    sessionization window here has (documented in ``sessionize``).
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(arrival, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = events.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("late_frac"),
+        F.round(F.percentile("late_s", F.lit(0.5)), 2).alias("p50_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 2).alias("p99_late_s"),
+        F.max("late_s").alias("max_late_s"),
+        # recommended withWatermark delay: p99 rounded UP to a whole
+        # minute (operators quantize watermark delays coarsely).
+        (F.ceil(F.percentile("late_s", F.lit(0.99)) / 60) * 60).alias(
+            "watermark_delay_s"
+        ),
+    )

@@ -1,8 +1,9 @@
 """Round-8 continuation (batch c): DSIR importance weights, a
-Deequ-style data-quality constraint suite, and the Gopher
-fixed-threshold quality gate.
+Deequ-style data-quality constraint suite, the Gopher fixed-threshold
+quality gate, a join-key skew report, GDPR deletion-vector planning,
+and watermark-delay sizing from observed lateness.
 
-Registered AFTER the round-8 rotation applies, so all three land at
+Registered AFTER the round-8 rotation applies, so all six land at
 the registry TAIL — behind the 50-slot driver window — per the
 rotation policy for brand-new queries (in-repo oracle-checked via the
 pytest ORACLE_CHECKED lists until the round-9 front picks them up).
@@ -11,8 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import curation, dq, text
+from ..operators import curation, dq, sessions, text
 from ..operators.curation import DSIR_BUCKETS
+from ..sources import compaction
 from ..sources.tables import load_table
 from ._base import register
 
@@ -149,3 +151,113 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags (operators/text.py:gopher_rule_gate; Rae et al. 2021,
     arXiv 2112.11446 table A1)."""
     return text.gopher_rule_gate(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB mirror of dq.join_key_skew_report: same two-level aggregate
+# per (table, key); SUM/GREATEST+CEIL cast BIGINT (DuckDB SUM is
+# HUGEINT, CEIL is DOUBLE).
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{key}' AS key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(SUM(c) * 1.0 / COUNT(*), 4) AS avg_key_rows,
+           ROUND(MAX(c) * COUNT(*) * 1.0 / SUM(c), 4) AS skew_ratio,
+           CAST(GREATEST(1, CEIL(MAX(c) / 100000.0)) AS BIGINT) AS salt_factor
+    FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})
+    """
+
+
+JOIN_SKEW_SQL = " UNION ALL ".join(
+    [
+        _skew_sql("orders", "o_custkey"),
+        _skew_sql("lineitem", "l_orderkey"),
+        _skew_sql("events", "user_id"),
+    ]
+)
+
+
+@register("profile_join_skew", JOIN_SKEW_SQL)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Pre-flight join-key skew report: per-key cardinality
+    profile + recommended salt factor for the engine's recurring join
+    keys (operators/dq.py:join_key_skew_report)."""
+    return dq.join_key_skew_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"),
+    )
+
+
+# DuckDB mirror of compaction.plan_delete_vectors with the synthetic
+# user_id % 29 = 3 purge list — same broadcast-shaped mark join, same
+# per-(event_type, day) tally and action thresholds.
+DELETE_PLAN_SQL = """
+    WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 3),
+    m AS (SELECT e.event_type, strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+                 CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS is_del
+          FROM events e LEFT JOIN del d USING (user_id))
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_del) AS BIGINT) AS n_deleted,
+           ROUND(SUM(is_del) * 1.0 / COUNT(*), 4) AS delete_frac,
+           CASE WHEN SUM(is_del) = 0 THEN 'skip'
+                WHEN SUM(is_del) * 1.0 / COUNT(*) > 0.2 THEN 'rewrite'
+                ELSE 'deletion_vector' END AS action
+    FROM m GROUP BY 1, 2
+"""
+
+
+@register("events_delete_plan", DELETE_PLAN_SQL)
+def events_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GDPR-purge planning: per-partition rewrite vs
+    deletion-vector vs skip decision for a broadcast delete-list
+    (sources/compaction.py:plan_delete_vectors)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    delete_users = (
+        events.select("user_id").where(F.col("user_id") % 29 == 3).distinct()
+    )
+    return compaction.plan_delete_vectors(events, delete_users)
+
+
+# DuckDB mirror of sessions.watermark_delay_plan over the jittered
+# arrival sequence: identical window frame (ties broken on event_id),
+# identical quantile interpolation (quantile_cont == F.percentile).
+WATERMARK_PLAN_SQL = """
+    WITH e AS (SELECT *, event_id + (event_id % 13) * 40 AS arrival_seq
+               FROM events),
+    l AS (SELECT event_type,
+                 CAST(date_diff('second', ts,
+                      MAX(ts) OVER (PARTITION BY event_type
+                                    ORDER BY arrival_seq, event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+                     AS late_s
+          FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS late_frac,
+           ROUND(quantile_cont(late_s, 0.5), 2) AS p50_late_s,
+           ROUND(quantile_cont(late_s, 0.99), 2) AS p99_late_s,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(CEIL(quantile_cont(late_s, 0.99) / 60) * 60 AS BIGINT)
+               AS watermark_delay_s
+    FROM l GROUP BY 1
+"""
+
+
+@register("events_watermark_plan", WATERMARK_PLAN_SQL)
+def events_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Watermark sizing from observed lateness quantiles over a
+    deterministic jittered arrival sequence (fixture events arrive in
+    event-time order, so the jitter simulates network reordering;
+    operators/sessions.py:watermark_delay_plan)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "arrival_seq", F.col("event_id") + (F.col("event_id") % 13) * 40
+    )
+    return sessions.watermark_delay_plan(events, arrival="arrival_seq")

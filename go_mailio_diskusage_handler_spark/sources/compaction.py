@@ -202,3 +202,57 @@ def zone_map_skipping_audit(
         F.count(F.lit(1)).alias("n_shards"),
         F.sum(scanned).cast("bigint").alias("n_scanned"),
     )
+
+
+#: Partition rewrite threshold: delete fraction above which rewriting
+#: the partition's files beats carrying a deletion vector.
+DELETE_REWRITE_FRAC = 0.2
+
+
+def plan_delete_vectors(events: DataFrame, delete_users: DataFrame) -> DataFrame:
+    """Row-deletion planning for a GDPR-style user purge: per
+    (event_type, day) partition, how many rows the delete-list hits
+    and whether to REWRITE the partition, attach a DELETION VECTOR,
+    or SKIP it untouched.
+
+    This is the modern-lakehouse delete decision (public Delta
+    Lake/Iceberg merge-on-read design): small hit fractions are
+    cheaper as position-delete bitmaps applied at read time; heavy
+    hits amortize better as a copy-on-write rewrite; untouched
+    partitions must not be rewritten at all (that turns a targeted
+    purge into a full-table rewrite).
+
+    Distributed shape: the delete-list is dimension-sized (a legal
+    request queue, thousands of users — never fact-scale), so the
+    mark join BROADCASTS it; the per-partition tally is one hash
+    aggregate with map-side combine.  One scan, one shuffle,
+    decision rows bounded by partition count.
+    """
+    marked = events.join(
+        F.broadcast(delete_users.withColumn("is_del", F.lit(1))),
+        "user_id",
+        "left",
+    )
+    frac = F.col("n_deleted") / F.col("n_rows")
+    # day rendered as 'yyyy-MM-dd' string (repo-wide cross-engine
+    # date-key convention — see events_dau_wau).
+    return (
+        marked.groupBy(
+            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("is_del"), F.lit(0))).alias("n_deleted"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_rows",
+            "n_deleted",
+            F.round(frac, 4).alias("delete_frac"),
+            F.when(F.col("n_deleted") == 0, F.lit("skip"))
+            .when(frac > DELETE_REWRITE_FRAC, F.lit("rewrite"))
+            .otherwise(F.lit("deletion_vector"))
+            .alias("action"),
+        )
+    )

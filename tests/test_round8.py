@@ -36,6 +36,9 @@ ORACLE_CHECKED = [
     "curation_dsir_weights",
     "dq_orders_constraints",
     "text_gopher_rules",
+    "profile_join_skew",
+    "events_delete_plan",
+    "events_watermark_plan",
 ]
 
 
@@ -599,3 +602,72 @@ def test_dsir_weights_prefer_target_language(spark):
         .collect()
     }
     assert means[True] > means[False], means
+
+
+# ---------------------------------------------------------------------------
+# Round-8c batch 2: skew report / delete planning / watermark sizing
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_salt_factor_and_ratio(spark):
+    """A key with one 6-row heavy hitter among singletons must report
+    max_key_rows=6 and skew_ratio = max*keys/rows; salt stays 1 below
+    TARGET_ROWS_PER_TASK."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(k,) for k in range(2, 6)], "k bigint"
+    )
+    row = dq.join_key_skew(df, "t", "k").collect()[0]
+    assert row["n_rows"] == 10 and row["n_keys"] == 5
+    assert row["max_key_rows"] == 6
+    assert row["skew_ratio"] == 3.0  # 6 * 5 / 10
+    assert row["salt_factor"] == 1
+
+
+def test_delete_plan_action_thresholds(spark):
+    """skip when untouched, deletion_vector under 20%, rewrite above."""
+    from go_mailio_diskusage_handler_spark.sources import compaction
+
+    rows = []
+    # partition A: 10 rows, 0 deleted -> skip
+    rows += [(i, "a", "2024-01-01 00:00:00", 100 + i) for i in range(10)]
+    # partition B: 10 rows, 1 deleted (10%) -> deletion_vector
+    rows += [(100 + i, "b", "2024-01-01 00:00:00", 200 + i) for i in range(9)]
+    rows += [(199, "b", "2024-01-01 00:00:00", 1)]
+    # partition C: 4 rows, 2 deleted (50%) -> rewrite
+    rows += [(200, "c", "2024-01-01 00:00:00", 1),
+             (201, "c", "2024-01-01 00:00:00", 2),
+             (202, "c", "2024-01-01 00:00:00", 300),
+             (203, "c", "2024-01-01 00:00:00", 301)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts_s string, user_id bigint"
+    ).select("event_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id")
+    dels = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    got = {r["event_type"]: r for r in
+           compaction.plan_delete_vectors(ev, dels).collect()}
+    assert got["a"]["action"] == "skip" and got["a"]["n_deleted"] == 0
+    assert got["b"]["action"] == "deletion_vector" and got["b"]["n_deleted"] == 1
+    assert got["c"]["action"] == "rewrite" and got["c"]["delete_frac"] == 0.5
+
+
+def test_watermark_plan_measures_reordering(spark):
+    """An event arriving after a later-timestamped event is late by
+    exactly the high-water-mark gap; in-order streams report zero."""
+    from go_mailio_diskusage_handler_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        # arrival order = event_id; type x: t=0, t=100, then t=40 (60s late)
+        [(1, "x", "2024-01-01 00:00:00"),
+         (2, "x", "2024-01-01 00:01:40"),
+         (3, "x", "2024-01-01 00:00:40"),
+         # type y: strictly in order
+         (4, "y", "2024-01-01 00:00:00"),
+         (5, "y", "2024-01-01 00:00:10")],
+        "event_id bigint, event_type string, ts_s string",
+    ).select("event_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["event_type"]: r for r in
+           sessions.watermark_delay_plan(ev).collect()}
+    assert got["x"]["max_late_s"] == 60 and got["x"]["late_frac"] == 0.3333
+    assert got["y"]["max_late_s"] == 0 and got["y"]["watermark_delay_s"] == 0
