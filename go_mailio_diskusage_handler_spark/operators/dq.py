@@ -171,3 +171,184 @@ def join_key_skew_report(
         .unionByName(join_key_skew(lineitem, "lineitem", "l_orderkey"))
         .unionByName(join_key_skew(events, "events", "user_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# AGMS sketch join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+#: AGMS sketch geometry: bucket count per estimator and number of
+#: independent (hash, sign) estimator pairs the median is taken over.
+AGMS_BUCKETS = 256
+AGMS_ESTIMATORS = 5
+
+
+def _agms_sketch(df: DataFrame, key: str, side: str) -> DataFrame:
+    """Per-(estimator, bucket) signed counts for one join side.
+
+    The AGMS/tug-of-war construction (Alon-Gianella-Matias-Szegedy,
+    public STOC'96 / PODS'99 line of work): bucket ``h_i(k)`` and sign
+    ``s_i(k) in {-1,+1}`` both derive from salted md5 — the repo's
+    portable deterministic hash — so the sketch is reproducible on any
+    engine.  One pass over the rows, aggregate output bounded at
+    ESTIMATORS x BUCKETS rows regardless of fact size.
+    """
+    i = F.explode(F.sequence(F.lit(0), F.lit(AGMS_ESTIMATORS - 1))).alias("i")
+    rows = df.select(F.col(key).cast("string").alias("k")).select("k", i)
+    salted = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k")))
+    bucket = (
+        F.conv(F.substring(salted, 1, 8), 16, 10).cast("long") % AGMS_BUCKETS
+    )
+    sign = 1 - 2 * (F.conv(F.substring(salted, 9, 1), 16, 10).cast("long") % 2)
+    return (
+        rows.select("i", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("s").alias(f"s_{side}"))
+    )
+
+
+def join_cardinality_estimate(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """Estimate |left ⋈ right| on an equi-key WITHOUT running the join,
+    and report it against the exact answer.
+
+    The estimator is the classic sketch inner product: for each of
+    AGMS_ESTIMATORS independent (hash, sign) pairs,
+    ``est_i = sum_b S_left[i][b] * S_right[i][b]`` is an unbiased
+    estimate of ``sum_k c_left(k) * c_right(k)`` (the exact equi-join
+    cardinality); the median over estimators tames the variance.  This
+    is what a cost-based planner consults before choosing a join
+    strategy at 100 TB — the sketches are one scan per side with
+    ESTIMATORS x BUCKETS-row state, and the exact check here is the
+    oracle-sized validation tier (per-key count join), not part of the
+    production estimate path.
+
+    Output: one row — exact join rows, median sketch estimate, and
+    relative error (rounded).
+    """
+    ls = _agms_sketch(left, left_key, "l")
+    rs = _agms_sketch(right, right_key, "r")
+    per_est = (
+        ls.join(rs, ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("s_l") * F.col("s_r")).alias("est"))
+    )
+    est = per_est.agg(
+        F.percentile("est", F.lit(0.5)).cast("long").alias("est_rows")
+    )
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    actual = lc.join(rc, "k").agg(
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0)).alias(
+            "actual_rows"
+        )
+    )
+    return actual.crossJoin(F.broadcast(est)).select(
+        "actual_rows",
+        "est_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("actual_rows"))
+            / F.greatest(F.col("actual_rows"), F.lit(1)),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution-drift detection
+# ---------------------------------------------------------------------------
+
+#: PSI decision thresholds (industry-standard banding) and the share
+#: floor that keeps ln(p/q) finite for empty bins.
+PSI_DRIFT_THRESHOLD = 0.1
+PSI_SHARE_FLOOR = 1e-6
+PSI_BINS = 10
+
+
+def value_drift_psi(events: DataFrame) -> DataFrame:
+    """Population Stability Index of ``value`` per event type between
+    the first and second half of the observed time range.
+
+    The standard production drift monitor: bin the REFERENCE window
+    into deciles, compute each bin's share in reference vs current,
+    and sum ``(p - q) * ln(p / q)`` (shares floored at
+    PSI_SHARE_FLOOR so empty bins stay finite).  PSI < 0.1 is stable,
+    0.1-0.25 moderate drift, > 0.25 action.
+
+    Distributed shape: the split point is a 1-row min/max aggregate
+    cross-joined back (broadcast); the 9 decile boundaries per type
+    come from ONE percentile aggregate over the reference rows
+    (types x 9 doubles — broadcast back as a map-side join); binning
+    is a per-row comparison fold; the final tally is one hash
+    aggregate on (type, bin) with map-side combine.  Nothing scales
+    with more than the fact scan.
+    """
+    span = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    tagged = events.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        (
+            F.unix_timestamp("ts")
+            < (F.col("t0") + (F.col("t1") - F.col("t0")) / 2)
+        ).alias("is_ref"),
+    )
+    probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    bounds = (
+        tagged.where("is_ref")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", F.lit(p)).alias(f"b{i}")
+                for i, p in enumerate(probs, start=1)
+            ]
+        )
+    )
+    binned = tagged.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "is_ref",
+        sum(
+            [F.lit(1)]
+            + [
+                F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(1, PSI_BINS)
+            ]
+        ).alias("bin"),
+    )
+    shares = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    p = F.greatest(
+        F.col("n_ref") / F.sum("n_ref").over(_type_window()),
+        F.lit(PSI_SHARE_FLOOR),
+    )
+    q = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(_type_window()),
+        F.lit(PSI_SHARE_FLOOR),
+    )
+    per_bin = shares.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )
+    return per_bin.groupBy("event_type").agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("psi_term"), 4).alias("psi"),
+        (F.sum("psi_term") > PSI_DRIFT_THRESHOLD).alias("drifted"),
+    )
+
+
+def _type_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("event_type")

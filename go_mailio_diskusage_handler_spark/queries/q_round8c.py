@@ -261,3 +261,115 @@ def events_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arrival_seq", F.col("event_id") + (F.col("event_id") % 13) * 40
     )
     return sessions.watermark_delay_plan(events, arrival="arrival_seq")
+
+
+# DuckDB mirror of dq.join_cardinality_estimate over orders x events
+# on custkey = user_id: same salted-md5 bucket/sign derivation, same
+# 5-estimator median (odd count -> quantile_cont picks an exact
+# element, so the BIGINT casts agree), counts CAST BIGINT.
+AGMS_JOIN_EST_SQL = """
+    WITH li AS (SELECT CAST(o_custkey AS VARCHAR) AS k, t.i
+                FROM orders CROSS JOIN range(0, 5) t(i)),
+    ri AS (SELECT CAST(user_id AS VARCHAR) AS k, t.i
+           FROM events CROSS JOIN range(0, 5) t(i)),
+    ls AS (SELECT i,
+                  ('0x' || substr(md5(i || ':' || k), 1, 8))::BIGINT % 256
+                      AS bucket,
+                  SUM(1 - 2 * (('0x' || substr(md5(i || ':' || k), 9, 1))::BIGINT
+                               % 2)) AS s_l
+           FROM li GROUP BY 1, 2),
+    rs AS (SELECT i,
+                  ('0x' || substr(md5(i || ':' || k), 1, 8))::BIGINT % 256
+                      AS bucket,
+                  SUM(1 - 2 * (('0x' || substr(md5(i || ':' || k), 9, 1))::BIGINT
+                               % 2)) AS s_r
+           FROM ri GROUP BY 1, 2),
+    per_est AS (SELECT i, SUM(s_l * s_r) AS est
+                FROM ls JOIN rs USING (i, bucket) GROUP BY i),
+    est AS (SELECT CAST(quantile_cont(est, 0.5) AS BIGINT) AS est_rows
+            FROM per_est),
+    lc AS (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1),
+    rc AS (SELECT user_id AS k, COUNT(*) AS cr FROM events GROUP BY 1),
+    act AS (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS actual_rows
+            FROM lc JOIN rc USING (k))
+    SELECT actual_rows, est_rows,
+           ROUND(ABS(est_rows - actual_rows) * 1.0
+                 / GREATEST(actual_rows, 1), 4) AS rel_err
+    FROM act CROSS JOIN est
+"""
+
+
+@register("join_cardinality_sketch", AGMS_JOIN_EST_SQL)
+def join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] AGMS sketch join-cardinality estimate (orders x events on
+    custkey = user_id) vs the exact per-key-count answer
+    (operators/dq.py:join_cardinality_estimate) — the CBO-style
+    pre-join size probe."""
+    return dq.join_cardinality_estimate(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+    )
+
+
+# DuckDB mirror of dq.value_drift_psi: same floored-epoch midpoint
+# split, same per-type reference deciles (quantile_cont ==
+# F.percentile), same floored shares and PSI fold.
+DRIFT_PSI_SQL = """
+    WITH span AS (SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS t0,
+                         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS t1
+                  FROM events),
+    tagged AS (SELECT event_type, value,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          < (t0 + (t1 - t0) / 2.0) AS is_ref
+               FROM events CROSS JOIN span),
+    bounds AS (SELECT event_type,
+                      quantile_cont(value, 0.1) AS b1,
+                      quantile_cont(value, 0.2) AS b2,
+                      quantile_cont(value, 0.3) AS b3,
+                      quantile_cont(value, 0.4) AS b4,
+                      quantile_cont(value, 0.5) AS b5,
+                      quantile_cont(value, 0.6) AS b6,
+                      quantile_cont(value, 0.7) AS b7,
+                      quantile_cont(value, 0.8) AS b8,
+                      quantile_cont(value, 0.9) AS b9
+               FROM tagged WHERE is_ref GROUP BY event_type),
+    binned AS (SELECT t.event_type, t.is_ref,
+                      1 + CASE WHEN value > b1 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b2 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b3 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b4 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b5 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b6 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b7 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b8 THEN 1 ELSE 0 END
+                        + CASE WHEN value > b9 THEN 1 ELSE 0 END AS bin
+               FROM tagged t JOIN bounds USING (event_type)),
+    shares AS (SELECT event_type, bin,
+                      SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                      SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+               FROM binned GROUP BY 1, 2),
+    terms AS (SELECT event_type, n_ref, n_cur,
+                     (GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY event_type), 1e-6)
+                      - GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (PARTITION BY event_type), 1e-6))
+                     * ln(GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY event_type), 1e-6)
+                          / GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (PARTITION BY event_type), 1e-6))
+                         AS psi_term
+              FROM shares)
+    SELECT event_type,
+           CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+           ROUND(SUM(psi_term), 4) AS psi,
+           (SUM(psi_term) > 0.1) AS drifted
+    FROM terms GROUP BY 1
+"""
+
+
+@register("events_drift_psi", DRIFT_PSI_SQL)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Population Stability Index drift monitor: per-type value
+    distribution of the second half of the time range vs
+    reference-decile bins from the first half
+    (operators/dq.py:value_drift_psi)."""
+    return dq.value_drift_psi(load_table(spark, sf_dir, "events"))

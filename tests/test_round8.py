@@ -39,6 +39,8 @@ ORACLE_CHECKED = [
     "profile_join_skew",
     "events_delete_plan",
     "events_watermark_plan",
+    "join_cardinality_sketch",
+    "events_drift_psi",
 ]
 
 
@@ -671,3 +673,46 @@ def test_watermark_plan_measures_reordering(spark):
            sessions.watermark_delay_plan(ev).collect()}
     assert got["x"]["max_late_s"] == 60 and got["x"]["late_frac"] == 0.3333
     assert got["y"]["max_late_s"] == 0 and got["y"]["watermark_delay_s"] == 0
+
+
+def test_agms_estimate_is_usefully_accurate(spark):
+    """The median-of-5 sketch estimate must land within 50% of the
+    exact join cardinality at fixture scale — far tighter than the
+    order-of-magnitude a planner needs, loose enough to never flake
+    (the construction is deterministic: fixed hashes, no RNG)."""
+    row = registry.QUERIES["join_cardinality_sketch"](spark, SF_CORRECT).collect()[0]
+    assert row["actual_rows"] > 0
+    assert row["rel_err"] <= 0.5, row
+
+
+def test_agms_sketch_state_is_bounded(spark):
+    """Each side's sketch must aggregate to at most
+    ESTIMATORS x BUCKETS rows no matter the input size."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    sk = dq._agms_sketch(
+        load_table(spark, SF_CORRECT, "events"), "user_id", "l"
+    )
+    assert sk.count() <= dq.AGMS_ESTIMATORS * dq.AGMS_BUCKETS
+
+
+def test_psi_detects_injected_shift(spark):
+    """A deliberate mean shift in the second half must push PSI past
+    the drift threshold, while an unshifted stream stays below it."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    n = 400
+    rows = []
+    for i in range(n):
+        ts = f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00"
+        rows.append((i, "stable", ts, float(i % 100)))
+        # drifted: same values in the first half, +300 in the second
+        shift = 300.0 if i >= n // 2 else 0.0
+        rows.append((n + i, "shifty", ts, float(i % 100) + shift))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts_s string, value double"
+    ).select("event_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {r["event_type"]: r for r in dq.value_drift_psi(ev).collect()}
+    assert got["shifty"]["drifted"] is True and got["shifty"]["psi"] > 1.0
+    assert got["stable"]["drifted"] is False and got["stable"]["psi"] < 0.1
