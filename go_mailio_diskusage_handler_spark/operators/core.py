@@ -111,6 +111,10 @@ def disk_usage_observed(inventory: DataFrame, *, round_to: int | None = 2):
         obs,
         F.count(F.lit(1)).alias("total_rows"),
         F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
+        # Deequ-style completeness/bounds counters for the swap gate
+        # (refresh.py quality_gate) — same scan, zero extra passes.
+        F.sum(F.col("size").isNull().cast("long")).alias("null_size_rows"),
+        F.sum((F.col("size") < 0).cast("long")).alias("negative_size_rows"),
     )
     return disk_usage(observed, round_to=round_to), obs
 

@@ -81,6 +81,7 @@ class DiskUsageHandler:
         clock: Callable[[], datetime] = lambda: datetime.now(timezone.utc),
         eager: bool = True,
         autostart: bool = True,
+        quality_gate: dict | None = None,
     ) -> None:
         self._spark = spark
         self._inventory_path = inventory_path
@@ -92,12 +93,20 @@ class DiskUsageHandler:
         self._lock = threading.Lock()
         self._timer: threading.Timer | None = None
         self._stopped = threading.Event()
+        # Optional Deequ-posture swap gate (thresholds over the
+        # in-flight observed metrics; see _gate_violations).  None
+        # keeps the reference's always-swap behavior.
+        self._quality_gate = quality_gate
         # Published snapshots (atomically rebound, never mutated):
         self._map: dict[str, DiskUsage] = {}
         self._df: DataFrame | None = None
-        # Per-refresh quality counters (total_rows, malformed_keys)
-        # observed in-flight on the refresh aggregation's own scan.
+        # Per-refresh quality counters (total_rows, malformed_keys,
+        # null/negative sizes) observed in-flight on the refresh
+        # aggregation's own scan.
         self.last_refresh_metrics: dict[str, int] | None = None
+        # Set when the gate refused the most recent candidate snapshot
+        # ({"metrics": ..., "violations": [...]}); None after a swap.
+        self.last_rejection: dict | None = None
 
         if eager:
             self.execute_job()  # synchronous first run, handler.go:58
@@ -142,6 +151,11 @@ class DiskUsageHandler:
         # The quality counters ride the aggregation's own scan
         # (df.observe) — per-refresh metrics with zero extra passes
         # over the inventory, the O9 invariant running in-flight.
+        # They double as the swap gate's evidence: the candidate
+        # snapshot is fully materialized FIRST, the gate reads the
+        # observed metrics, and only a passing candidate is published
+        # (a failing one is discarded, keeping the previous snapshot —
+        # the Deequ-posture upgrade of the reference's log.Fatalf).
         agg, obs = disk_usage_observed(inv, round_to=None)
         if self._serving == "map":
             # collect(), not toLocalIterator(): the serving map is
@@ -154,19 +168,72 @@ class DiskUsageHandler:
                 r["address"]: DiskUsage(r["address"], r["size_bytes"], r["number_files"])
                 for r in agg.collect()
             }
+            metrics = dict(obs.get)
+            if self._reject(metrics):
+                return
             with self._lock:
                 self._map = snapshot  # atomic swap, handler.go:252
+                self.last_refresh_metrics = metrics
+                self.last_rejection = None
         else:
             new_df = agg.cache()
             new_df.count()  # materialize before publishing
+            metrics = dict(obs.get)
+            if self._reject(metrics):
+                new_df.unpersist()
+                return
             with self._lock:
                 old, self._df = self._df, new_df
+                self.last_refresh_metrics = metrics
+                self.last_rejection = None
             if old is not None:
                 old.unpersist()
-        # Observation.get blocks until the action above completes; the
-        # dict swap is atomic under the same lock as the snapshot.
+
+    def _gate_violations(self, metrics: dict[str, int]) -> list[str]:
+        """Evaluate the declared swap-gate thresholds over one
+        refresh's observed metrics.  Supported keys (all optional):
+        ``max_malformed_frac`` (malformed / total), ``max_null_size_rows``,
+        ``max_negative_size_rows``, ``min_rows``.  Sums observe as None
+        on an empty scan — treated as 0.
+        """
+        gate = self._quality_gate or {}
+        total = metrics.get("total_rows") or 0
+        malformed = metrics.get("malformed_keys") or 0
+        null_size = metrics.get("null_size_rows") or 0
+        neg_size = metrics.get("negative_size_rows") or 0
+        out = []
+        if "min_rows" in gate and total < gate["min_rows"]:
+            out.append(f"min_rows: {total} < {gate['min_rows']}")
+        if "max_malformed_frac" in gate:
+            frac = malformed / max(total, 1)
+            if frac > gate["max_malformed_frac"]:
+                out.append(
+                    f"max_malformed_frac: {frac:.4f} > {gate['max_malformed_frac']}"
+                )
+        if null_size > gate.get("max_null_size_rows", float("inf")):
+            out.append(
+                f"max_null_size_rows: {null_size} > {gate['max_null_size_rows']}"
+            )
+        if neg_size > gate.get("max_negative_size_rows", float("inf")):
+            out.append(
+                f"max_negative_size_rows: {neg_size} > "
+                f"{gate['max_negative_size_rows']}"
+            )
+        return out
+
+    def _reject(self, metrics: dict[str, int]) -> bool:
+        if self._quality_gate is None:
+            return False
+        violations = self._gate_violations(metrics)
+        if not violations:
+            return False
+        log.warning(
+            "quality gate refused snapshot swap (%s); keeping previous",
+            "; ".join(violations),
+        )
         with self._lock:
-            self.last_refresh_metrics = dict(obs.get)
+            self.last_rejection = {"metrics": metrics, "violations": violations}
+        return True
 
     # -- read path (O11) ----------------------------------------------------
     def get_disk_usage(self, address: str) -> DiskUsage:

@@ -135,7 +135,10 @@ def test_refresh_aggregates_across_all_files(spark, inventory_dir):
         h.get_disk_usage("nobody")
     # O9 in-flight: the refresh scan itself observed 6 inventory rows,
     # one of which ("noslash") the O7 guard dropped as malformed.
-    assert h.last_refresh_metrics == {"total_rows": 6, "malformed_keys": 1}
+    assert h.last_refresh_metrics == {
+        "total_rows": 6, "malformed_keys": 1,
+        "null_size_rows": 0, "negative_size_rows": 0,
+    }
     h.stop()
 
 
@@ -144,7 +147,10 @@ def test_dataframe_serving_mode(spark, inventory_dir):
     assert h.get_disk_usage("bob").size_bytes == 7
     with pytest.raises(NotFoundError):
         h.get_disk_usage("nobody")
-    assert h.last_refresh_metrics == {"total_rows": 6, "malformed_keys": 1}
+    assert h.last_refresh_metrics == {
+        "total_rows": 6, "malformed_keys": 1,
+        "null_size_rows": 0, "negative_size_rows": 0,
+    }
     h.stop()
 
 
@@ -300,3 +306,72 @@ def test_enforce_file_schema_detects_drift(spark):
 
     with pytest.raises(SchemaDriftError, match="fileSchema"):
         enforce_file_schema(good, "")
+
+
+# ---------------------------------------------------------------------------
+# Quality-gated snapshot swap (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_gate_passes_clean_refresh(spark, inventory_dir):
+    """With a gate configured, a healthy inventory still swaps and
+    records no rejection."""
+    h = make_handler(
+        spark,
+        inventory_dir,
+        quality_gate={"max_malformed_frac": 0.5, "max_negative_size_rows": 0,
+                      "min_rows": 1},
+    )
+    assert h.get_disk_usage("alice").number_files == 3
+    assert h.last_rejection is None
+    h.stop()
+
+
+def test_quality_gate_refuses_bad_refresh_keeps_snapshot(spark, tmp_path):
+    """A refresh whose inventory violates the gate must NOT replace
+    the served snapshot: the handler keeps answering from the previous
+    good data and records the violations — the posture upgrade over
+    the reference's log.Fatalf (handler.go:176)."""
+    import json as _json
+
+    good = tmp_path / "good.parquet"
+    bad = tmp_path / "bad.parquet"
+    spark.createDataFrame(
+        [("alice/a", 10), ("bob/b", 5)], "key string, size long"
+    ).write.parquet(str(good))
+    spark.createDataFrame(
+        [("nos1", 1), ("nos2", 2), ("carol/c", -7)], "key string, size long"
+    ).write.parquet(str(bad))
+    state = {"file": "good.parquet"}
+
+    def download(bucket, key):
+        return _json.dumps(
+            {"sourceBucket": str(tmp_path), "files": [{"key": state["file"]}]}
+        )
+
+    h = DiskUsageHandler(
+        spark,
+        "s3://bkt/pfx",
+        refresh_period_seconds=3600,
+        download=download,
+        path_scheme="file",
+        autostart=False,
+        quality_gate={"max_malformed_frac": 0.5, "max_negative_size_rows": 0},
+    )
+    assert h.get_disk_usage("alice").size_bytes == 10
+    # second refresh: 2/3 malformed keys AND a negative size
+    state["file"] = "bad.parquet"
+    h.execute_job()
+    assert h.last_rejection is not None
+    v = "; ".join(h.last_rejection["violations"])
+    assert "max_malformed_frac" in v and "max_negative_size_rows" in v
+    # previous snapshot still serves; carol never appeared
+    assert h.get_disk_usage("alice").size_bytes == 10
+    with pytest.raises(NotFoundError):
+        h.get_disk_usage("carol")
+    # a subsequent good refresh clears the rejection and swaps again
+    state["file"] = "good.parquet"
+    h.execute_job()
+    assert h.last_rejection is None
+    assert h.get_disk_usage("bob").size_bytes == 5
+    h.stop()
