@@ -395,3 +395,149 @@ def arrow_optimized_tokens(documents: DataFrame) -> DataFrame:
         n_tokens("text").alias("n_tokens"),
         head_token("text").alias("head_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map Pandas (round 8): as-of attribution via merge_asof
+# ---------------------------------------------------------------------------
+
+
+def _asof_attribute(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """Per-user cogroup fold: attribute each purchase to the LAST
+    click strictly before it (ties on click ts broken by max
+    event_id — sort order makes merge_asof pick the later row)."""
+    # A key present on only one side arrives as an EMPTY frame with no
+    # columns — guard before touching column labels.
+    if purchases.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="Int64"),
+                "event_id": pd.array([], dtype="Int64"),
+                "click_event_id": pd.array([], dtype="Int64"),
+                "gap_s": pd.array([], dtype="Float64"),
+            }
+        )
+    p = purchases.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if clicks.empty:
+        out = p[["user_id", "event_id"]].copy()
+        out["click_event_id"] = -1
+        out["gap_s"] = -1.0
+        return out
+    c = (
+        clicks.sort_values(["c_ts", "c_eid"])
+        .rename(columns={"c_eid": "click_event_id", "c_ts": "click_ts"})
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        p, c[["click_ts", "click_event_id"]],
+        left_on="ts", right_on="click_ts",
+        direction="backward", allow_exact_matches=False,
+    )
+    out = merged[["user_id", "event_id"]].copy()
+    # -1 sentinel for "no prior click" (hash-stable across engines,
+    # where a NULL would be NaN on one side and None on the other)
+    out["click_event_id"] = (
+        merged["click_event_id"].fillna(-1).astype("int64")
+    )
+    out["gap_s"] = (
+        (merged["ts"] - merged["click_ts"]).dt.total_seconds().fillna(-1.0)
+    )
+    return out
+
+
+def asof_attribution_cogrouped(
+    events: DataFrame, max_user_id: int | None = None
+) -> DataFrame:
+    """``cogroup(...).applyInPandas`` as-of join: purchases and clicks
+    are cogrouped PER USER and merged with ``pd.merge_asof`` inside one
+    Arrow batch pair — the API for custom two-sided per-key logic that
+    neither a join condition nor a single-input grouped map expresses.
+
+    Scale shape: both sides shuffle once on ``user_id`` (the cogroup
+    key) and each user's pair of frames meets in one task — state is
+    per-user-bounded, never corpus-sized.  The SEMANTICS are the same
+    as the JVM-side interval join (``events_attribution_join``); this
+    exists to cover the cogroup surface, and the fixture keeps it
+    honest against the SQL oracle.  Purchases with no prior click
+    report the -1 sentinel, not NULL.
+
+    ``max_user_id`` bounds the demo subset (same policy as
+    ``path_segments``'s 100-key cap): per-GROUP Python dispatch is the
+    linear term (measured 1.5 s → 10 s for 10× the users), so the
+    registered query pins a determinate user slice and leaves the
+    full-corpus path to the JVM interval join.
+    """
+    if max_user_id is not None:
+        events = events.where(F.col("user_id") < max_user_id)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # Self-cogroup trap: both sides derive from the SAME parent frame,
+    # and identically-named non-key columns get mis-pruned — the right
+    # side arrives with only the grouping key (observed on Spark
+    # 4.1: c=['user_id'] while p kept all three).  Distinct aliases on
+    # the right side keep the attributes resolvable.
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_eid"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda p, c: _asof_attribute(p, c),
+            "user_id bigint, event_id bigint, click_event_id bigint, gap_s double",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (round 8): zero-copy batch math over list columns
+# ---------------------------------------------------------------------------
+
+
+def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
+    """``mapInArrow`` over the embedding column: per-row L2 norm and
+    dimension, computed on the raw Arrow buffers (offsets +
+    ``np.add.reduceat`` over the flat value buffer) — no pandas
+    conversion, no per-row Python.
+
+    This is the API tier below ``mapInPandas``: when the operation is
+    pure buffer math, skipping the pandas Block construction removes
+    the remaining serialization cost.  Values are upcast float32 →
+    float64 BEFORE squaring (both engines), summed per segment, and
+    rounded to 6 (numpy reduceat folds sequentially like DuckDB's
+    list fold, but the upcast point is the contract to keep pinned).
+    """
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):  # defensive; batches are flat
+                emb = emb.combine_chunks()
+            offsets = emb.offsets.to_numpy()
+            values = emb.values.to_numpy().astype(np.float64)
+            sq = values * values
+            # row sums between consecutive offsets; reduceat needs the
+            # start index of every segment
+            starts = offsets[:-1]
+            sums = np.add.reduceat(sq, starts) if len(sq) else np.array([])
+            # reduceat quirk: an empty segment copies the next element;
+            # fixture embeddings are fixed-dim non-empty, but guard.
+            dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            sums = np.where(dims == 0, 0.0, sums)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(np.round(np.sqrt(sums), 6), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id bigint, dim int, l2_norm double"
+    )

@@ -373,3 +373,57 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference-decile bins from the first half
     (operators/dq.py:value_drift_psi)."""
     return dq.value_drift_psi(load_table(spark, sf_dir, "events"))
+
+
+# DuckDB mirror of udfs.asof_attribution_cogrouped: for each purchase
+# the last click strictly before it per user (ties on click ts break
+# to max event_id); gap in exact microsecond-resolution seconds;
+# -1 sentinels for purchases with no prior click.
+COGROUP_ASOF_SQL = """
+    WITH p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id < 200),
+    c AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click' AND user_id < 200),
+    best AS (SELECT p.event_id,
+                    MAX(struct_pack(ts := c.ts, eid := c.event_id)) AS b
+             FROM p JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
+             GROUP BY p.event_id)
+    SELECT p.user_id, p.event_id,
+           COALESCE(b.eid, -1) AS click_event_id,
+           COALESCE(date_diff('microsecond', b.ts, p.ts) / 1000000.0, -1.0)
+               AS gap_s
+    FROM p LEFT JOIN best ON p.event_id = best.event_id
+"""
+
+
+@register("udf_cogroup_asof", COGROUP_ASOF_SQL)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cogroup().applyInPandas as-of attribution: per-user
+    purchase/click frames merged with pd.merge_asof in one Arrow batch
+    pair (functions/udfs.py:asof_attribution_cogrouped)."""
+    from ..functions import udfs
+
+    return udfs.asof_attribution_cogrouped(
+        load_table(spark, sf_dir, "events"), max_user_id=200
+    )
+
+
+# DuckDB mirror of udfs.embedding_norms_arrow: float32 -> double
+# upcast BEFORE squaring, sequential fold, round 6.
+ARROW_NORMS_SQL = """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+"""
+
+
+@register("udf_arrow_norms", ARROW_NORMS_SQL)
+def udf_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] mapInArrow L2 norms over the raw Arrow buffers — offsets +
+    np.add.reduceat on the flat value buffer, no pandas conversion
+    (functions/udfs.py:embedding_norms_arrow)."""
+    from ..functions import udfs
+
+    return udfs.embedding_norms_arrow(load_table(spark, sf_dir, "embeddings"))

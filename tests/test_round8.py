@@ -41,6 +41,8 @@ ORACLE_CHECKED = [
     "events_watermark_plan",
     "join_cardinality_sketch",
     "events_drift_psi",
+    "udf_cogroup_asof",
+    "udf_arrow_norms",
 ]
 
 
@@ -716,3 +718,38 @@ def test_psi_detects_injected_shift(spark):
     got = {r["event_type"]: r for r in dq.value_drift_psi(ev).collect()}
     assert got["shifty"]["drifted"] is True and got["shifty"]["psi"] > 1.0
     assert got["stable"]["drifted"] is False and got["stable"]["psi"] < 0.1
+
+
+def test_cogroup_asof_semantics(spark):
+    """Strictly-before attribution with tie-break on event_id, and the
+    -1 sentinel for purchases with no prior click; a click at exactly
+    the purchase timestamp must NOT attribute."""
+    from go_mailio_diskusage_handler_spark.functions import udfs
+
+    rows = [
+        # user 1: clicks at t1 (two: ids 10, 11), purchase at t2 and
+        # a purchase at exactly t1 (no strictly-earlier click)
+        (10, 1, "click", "2024-01-01 00:00:01"),
+        (11, 1, "click", "2024-01-01 00:00:01"),
+        (20, 1, "purchase", "2024-01-01 00:00:05"),
+        (21, 1, "purchase", "2024-01-01 00:00:01"),
+        # user 2: purchase with no clicks at all
+        (30, 2, "purchase", "2024-01-01 00:00:09"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["event_id"]: r for r in
+           udfs.asof_attribution_cogrouped(ev).collect()}
+    assert got[20]["click_event_id"] == 11 and got[20]["gap_s"] == 4.0
+    assert got[21]["click_event_id"] == -1 and got[21]["gap_s"] == -1.0
+    assert got[30]["click_event_id"] == -1
+
+
+def test_arrow_norms_plan_uses_arrow_eval(spark):
+    """mapInArrow must plan as the Arrow map partitions node — no
+    pandas conversion layer."""
+    df = registry.QUERIES["udf_arrow_norms"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
