@@ -44,6 +44,7 @@ from go_mailio_diskusage_handler_spark.operators.dedup import (
     novelty_fraction,
     shingles,
 )
+from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
 
 _HEX = "0123456789abcdef"
 
@@ -980,7 +981,10 @@ def dsir_importance_weights(
     from pyspark import StorageLevel
 
     grams, bucket = _hashed_gram_buckets(n_buckets)
-    g = documents.select(
+    # md5-per-gram is the dominant cost and sits below the first
+    # shuffle — widen a single-split local scan so it parallelizes
+    # (no-op at scale; see sources.tables.widen_for_compute).
+    g = widen_for_compute(documents).select(
         "doc_id", "lang", F.explode(grams).alias("gram")
     ).select("doc_id", "lang", bucket.alias("bucket"))
     # per_doc feeds BOTH the bucket-model estimation and the scoring

@@ -193,8 +193,15 @@ def _agms_sketch(df: DataFrame, key: str, side: str) -> DataFrame:
     engine.  One pass over the rows, aggregate output bounded at
     ESTIMATORS x BUCKETS rows regardless of fact size.
     """
+    from ..sources.tables import widen_for_compute
+
     i = F.explode(F.sequence(F.lit(0), F.lit(AGMS_ESTIMATORS - 1))).alias("i")
-    rows = df.select(F.col(key).cast("string").alias("k")).select("k", i)
+    # ESTIMATORS x rows salted-md5 evaluations sit below the first
+    # shuffle — widen a single-split local scan so they parallelize
+    # (no-op at scale).
+    rows = widen_for_compute(
+        df.select(F.col(key).cast("string").alias("k"))
+    ).select("k", i)
     salted = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k")))
     bucket = (
         F.conv(F.substring(salted, 1, 8), 16, 10).cast("long") % AGMS_BUCKETS

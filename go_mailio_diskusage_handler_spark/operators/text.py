@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from go_mailio_diskusage_handler_spark.sources.tables import widen_for_compute
+
 # Tiny per-language stopword profiles for the n-gram/stopword
 # heuristic.  Deliberately small and deterministic — the point is the
 # distributed scoring pattern (argmax over per-language hit counts),
@@ -787,7 +789,11 @@ def cdc_chunk_stats(documents: DataFrame) -> DataFrame:
     relational form is kept because the oracle mirrors it clause for
     clause.
     """
-    d = documents.select(
+    # The per-position polynomial hash is O(chars x CDC_WIDTH) of pure
+    # expression work rooted in the scan — widen a single-split local
+    # scan first or it runs on one core (measured 14 s -> 1.6 s at
+    # sf0.1/local[32]; no-op when the scan already parallelizes).
+    d = widen_for_compute(documents).select(
         "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("t")
     )
     gram = _cdc_gram_hash_sql("t", "i")
