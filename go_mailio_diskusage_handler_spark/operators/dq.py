@@ -307,20 +307,33 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
             < (F.col("t0") + (F.col("t1") - F.col("t0")) / 2)
         ).alias("is_ref"),
     )
-    probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
-    bounds = (
-        tagged.where("is_ref")
-        .groupBy("event_type")
-        .agg(
-            *[
-                F.percentile("value", F.lit(p)).alias(f"b{i}")
-                for i, p in enumerate(probs, start=1)
-            ]
-        )
+    bounds = reference_decile_bounds(tagged.where("is_ref"))
+    binned = assign_psi_bins(tagged, bounds)
+    shares = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
-    binned = tagged.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "is_ref",
+    return psi_from_bin_counts(shares)
+
+
+def reference_decile_bounds(ref: DataFrame) -> DataFrame:
+    """Per-type decile boundaries of ``value`` over the REFERENCE rows
+    — the frozen calibration table both the batch monitor and the
+    streaming twin bin against (types x 9 doubles, broadcastable)."""
+    probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    return ref.groupBy("event_type").agg(
+        *[
+            F.percentile("value", F.lit(p)).alias(f"b{i}")
+            for i, p in enumerate(probs, start=1)
+        ]
+    )
+
+
+def assign_psi_bins(df: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Join the broadcast bounds and fold ``value`` into its decile
+    bin (1..PSI_BINS) — a pure per-row comparison chain."""
+    return df.join(F.broadcast(bounds), "event_type").select(
+        *[c for c in df.columns if c != "value"],
         sum(
             [F.lit(1)]
             + [
@@ -329,10 +342,14 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
             ]
         ).alias("bin"),
     )
-    shares = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-    )
+
+
+def psi_from_bin_counts(shares: DataFrame) -> DataFrame:
+    """PSI fold over a (event_type, bin, n_ref, n_cur) counts table —
+    the serving-layer tail shared by the batch monitor and the
+    streaming sink twin.  The input is types x bins rows, so the
+    unbounded-over-type window here is dimension-sized, never
+    fact-sized."""
     p = F.greatest(
         F.col("n_ref") / F.sum("n_ref").over(_type_window()),
         F.lit(PSI_SHARE_FLOOR),

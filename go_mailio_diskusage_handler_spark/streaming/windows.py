@@ -485,3 +485,50 @@ def quantiles_over_sketch_sink(sink_df: DataFrame) -> DataFrame:
             for p, t in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
         ],
     )
+
+
+def binned_psi_counts(
+    events: DataFrame,
+    bounds: DataFrame,
+    split_epoch: float,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming value-distribution counts for the PSI drift monitor:
+    additive (event_type, is_ref, bin) counts over a FROZEN reference
+    decile table and a frozen reference/current split point.
+
+    The split of responsibilities is the rank-in-sink family's
+    (``topk_over_counts_sink``): the STREAM maintains only additive
+    counts — state bounded at types x 2 x PSI_BINS rows no matter how
+    long it runs — while the PSI fold (NOT incremental-safe: one late
+    row shifts every bin's share) happens at serve time over the
+    dimension-sized sink (:func:`psi_over_binned_sink`).  ``bounds``
+    and ``split_epoch`` come from a calibration batch
+    (``dq.reference_decile_bounds``) — freezing them is what makes the
+    streaming counts additive at all.
+    """
+    from go_mailio_diskusage_handler_spark.operators.dq import assign_psi_bins
+
+    tagged = events.withWatermark("ts", watermark).select(
+        "event_type",
+        "value",
+        (F.unix_timestamp("ts") < F.lit(split_epoch)).alias("is_ref"),
+    )
+    return assign_psi_bins(tagged, bounds).groupBy(
+        "event_type", "is_ref", "bin"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def psi_over_binned_sink(sink_df: DataFrame) -> DataFrame:
+    """Serve-time PSI over the streamed (type, is_ref, bin) counts sink
+    — equals the batch ``dq.value_drift_psi`` exactly once the stream
+    drains (same bounds, same split, same fold; asserted in tests)."""
+    from go_mailio_diskusage_handler_spark.operators.dq import (
+        psi_from_bin_counts,
+    )
+
+    counts = sink_df.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n"))).alias("n_cur"),
+    )
+    return psi_from_bin_counts(counts)

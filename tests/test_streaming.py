@@ -793,3 +793,38 @@ def test_streaming_novelty_ingest_equals_full_batch(spark, tmp_path):
     # the global-min formulation)
     idx = spark.read.parquet(str(tmp_path / "work" / "gram_index"))
     assert idx.groupBy("g").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_psi_equals_batch(spark, events_stream_dir):
+    """Drift monitoring as a stream: frozen reference deciles + frozen
+    split point make the per-(type, is_ref, bin) counts additive; the
+    serve-time PSI over the drained sink must equal the batch
+    dq.value_drift_psi row-for-row (same bounds, split, and fold)."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    t0, t1 = batch.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    split = t0 + (t1 - t0) / 2
+    bounds = dq.reference_decile_bounds(
+        batch.select(
+            "event_type",
+            "value",
+            (F.unix_timestamp("ts") < F.lit(split)).alias("is_ref"),
+        ).where("is_ref")
+    )
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    sink = windows.run_to_memory(
+        windows.binned_psi_counts(stream, bounds, split),
+        output_mode="complete",
+    )
+    got = {
+        (r.event_type, r.n_ref, r.n_cur, r.psi, r.drifted)
+        for r in windows.psi_over_binned_sink(sink).collect()
+    }
+    want = {
+        (r.event_type, r.n_ref, r.n_cur, r.psi, r.drifted)
+        for r in dq.value_drift_psi(batch).collect()
+    }
+    assert got == want and len(got) > 0
