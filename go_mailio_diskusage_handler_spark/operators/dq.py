@@ -376,3 +376,62 @@ def _type_window():
     from pyspark.sql import Window
 
     return Window.partitionBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Inventory ingest constraint suite (the swap gate's rule set as a query)
+# ---------------------------------------------------------------------------
+
+#: Malformed-key fraction above which an inventory refresh is refused
+#: (mirrors streaming.refresh's quality_gate default posture).
+MAX_MALFORMED_FRAC = 0.5
+
+
+def inventory_constraint_suite(
+    inventory: DataFrame, max_malformed_frac: float = MAX_MALFORMED_FRAC
+) -> DataFrame:
+    """The refresher's swap-gate rules over an inventory(key, size)
+    table, as an inspectable (rule, metric, status) report — the same
+    thresholds ``streaming.refresh.DiskUsageHandler(quality_gate=...)``
+    enforces in-flight, evaluated here as one aggregation pass so the
+    decision is reproducible offline (and oracle-checkable).
+
+    Rules: key completeness (NULL keys), size completeness, size
+    non-negativity, and the malformed-key fraction (reference O7
+    guard, handler.go:235-238) against ``max_malformed_frac``.
+    """
+    from .core import well_formed_key
+
+    one_pass = inventory.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("null_keys"),
+        F.sum(F.col("size").isNull().cast("long")).alias("null_sizes"),
+        F.sum((F.col("size") < 0).cast("long")).alias("neg_sizes"),
+        F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
+    )
+
+    def rule(name: str, metric, passed):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            F.round(metric.cast("double"), 6).alias("metric"),
+            F.when(passed, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("status"),
+        )
+
+    n = F.greatest(F.col("n_rows"), F.lit(1))
+    malformed_frac = F.col("malformed_keys") / n
+    return one_pass.select(
+        F.inline(
+            F.array(
+                rule("completeness:key", F.col("null_keys"), F.col("null_keys") == 0),
+                rule(
+                    "completeness:size", F.col("null_sizes"), F.col("null_sizes") == 0
+                ),
+                rule("non_negative:size", F.col("neg_sizes"), F.col("neg_sizes") == 0),
+                rule(
+                    "malformed_frac:key",
+                    malformed_frac,
+                    malformed_frac <= max_malformed_frac,
+                ),
+            )
+        )
+    )

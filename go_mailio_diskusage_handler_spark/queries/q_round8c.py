@@ -427,3 +427,56 @@ def udf_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import udfs
 
     return udfs.embedding_norms_arrow(load_table(spark, sf_dir, "embeddings"))
+
+
+# DuckDB mirror of dq.inventory_constraint_suite over the same derived
+# inventory every du_* oracle uses: one aggregation pass, one row per
+# rule, NULL-safe via the same CASE arms.
+DU_INGEST_CONSTRAINTS_SQL = """
+    WITH inventory AS (
+        SELECT CASE WHEN l_linenumber = 7 THEN CAST(l_orderkey AS VARCHAR)
+                    ELSE CAST(l_orderkey AS VARCHAR) || '/' ||
+                         CAST(l_linenumber AS VARCHAR)
+               END AS key,
+               l_extendedprice AS size
+        FROM lineitem),
+    a AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS null_keys,
+               SUM(CASE WHEN size IS NULL THEN 1 ELSE 0 END) AS null_sizes,
+               SUM(CASE WHEN size < 0 THEN 1 ELSE 0 END) AS neg_sizes,
+               SUM(CASE WHEN len(string_split(key, '/')) >= 2 THEN 0 ELSE 1 END)
+                   AS malformed_keys
+        FROM inventory)
+    SELECT 'completeness:key' AS rule,
+           ROUND(CAST(null_keys AS DOUBLE), 6) AS metric,
+           CASE WHEN null_keys = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM a
+    UNION ALL
+    SELECT 'completeness:size', ROUND(CAST(null_sizes AS DOUBLE), 6),
+           CASE WHEN null_sizes = 0 THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+    UNION ALL
+    SELECT 'non_negative:size', ROUND(CAST(neg_sizes AS DOUBLE), 6),
+           CASE WHEN neg_sizes = 0 THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+    UNION ALL
+    SELECT 'malformed_frac:key',
+           ROUND(CAST(malformed_keys * 1.0 / GREATEST(n_rows, 1) AS DOUBLE), 6),
+           CASE WHEN malformed_keys * 1.0 / GREATEST(n_rows, 1) <= 0.5
+                THEN 'PASS' ELSE 'FAIL' END
+    FROM a
+"""
+
+
+@register("du_ingest_constraints", DU_INGEST_CONSTRAINTS_SQL)
+def du_ingest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The refresher's swap-gate rule set over the reference-
+    shaped inventory, as an oracle-checked report
+    (operators/dq.py:inventory_constraint_suite; gate enforcement in
+    streaming/refresh.py:DiskUsageHandler)."""
+    from ..operators.core import inventory_from_lineitem
+
+    return dq.inventory_constraint_suite(
+        inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    )

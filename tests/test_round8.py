@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "events_drift_psi",
     "udf_cogroup_asof",
     "udf_arrow_norms",
+    "du_ingest_constraints",
 ]
 
 
