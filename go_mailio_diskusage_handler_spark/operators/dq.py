@@ -435,3 +435,43 @@ def inventory_constraint_suite(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AQP: deterministic-sample estimation with error report
+# ---------------------------------------------------------------------------
+
+#: 1-in-AQP_RATE hash sample (BlinkDB-style uniform sample, but keyed
+#: on a deterministic md5 bucket so both engines draw the SAME rows).
+AQP_RATE = 16
+
+
+def sampled_group_estimate(orders: DataFrame) -> DataFrame:
+    """Approximate-query-processing estimator: per order priority, the
+    revenue SUM/AVG estimated from a deterministic 1/AQP_RATE hash
+    sample, reported against the exact answer.
+
+    The public BlinkDB/AQP idea — answer aggregates from a small
+    stored sample with known scale-up — made reproducible by sampling
+    on an md5 bucket of the row key instead of an RNG: the sample is
+    a pure row predicate, so it pushes into the scan, re-runs
+    identically on any engine, and at 100 TB the sample TABLE would be
+    materialized once and reused by every exploratory query.  One
+    pass computes both tiers (conditional aggregates), so the report
+    itself costs one scan.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % AQP_RATE
+    )
+    in_sample = bucket == 0
+    est_sum = F.sum(F.when(in_sample, F.col("o_totalprice"))) * AQP_RATE
+    exact_sum = F.sum("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(in_sample.cast("long")).alias("n_sampled"),
+        F.round(exact_sum, 2).alias("exact_sum"),
+        F.round(est_sum, 2).alias("est_sum"),
+        F.round(F.abs(est_sum - exact_sum) / exact_sum, 4).alias("rel_err"),
+    )

@@ -480,3 +480,32 @@ def du_ingest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.inventory_constraint_suite(
         inventory_from_lineitem(load_table(spark, sf_dir, "lineitem"))
     )
+
+
+# DuckDB mirror of dq.sampled_group_estimate: identical md5-bucket
+# sample predicate, identical scale-up, SUMs of counts CAST BIGINT.
+AQP_SAMPLED_SQL = """
+    WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                % 16 = 0) AS in_sample
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS exact_sum,
+           ROUND(SUM(CASE WHEN in_sample THEN o_totalprice END) * 16, 2)
+               AS est_sum,
+           ROUND(ABS(SUM(CASE WHEN in_sample THEN o_totalprice END) * 16
+                     - SUM(o_totalprice)) / SUM(o_totalprice), 4) AS rel_err
+    FROM t GROUP BY 1
+"""
+
+
+@register("aqp_sampled_revenue", AQP_SAMPLED_SQL)
+def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BlinkDB-style AQP: per-priority revenue estimated from a
+    deterministic 1/16 md5-bucket sample, reported against the exact
+    answer in the same pass (operators/dq.py:sampled_group_estimate)."""
+    return dq.sampled_group_estimate(load_table(spark, sf_dir, "orders"))

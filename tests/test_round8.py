@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "udf_cogroup_asof",
     "udf_arrow_norms",
     "du_ingest_constraints",
+    "aqp_sampled_revenue",
 ]
 
 
