@@ -546,3 +546,29 @@ def theta_retained_users(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
             ok("est_new", exact_new).alias("new_ok"),
         )
     )
+
+
+def collation_distinct_labels(documents: DataFrame) -> DataFrame:
+    """Spark 4 collation surface: per-source distinct label counts
+    under the default binary collation vs UNICODE_CI.
+
+    The label is each document's first word, upper-cased on even
+    doc_ids — a deterministic mixed-case derivation, so the two
+    counts MUST differ wherever both casings occur.  Collated
+    comparison happens inside the aggregate (``F.collate``): no
+    normalize-then-group rewrite, which is the point of engine-level
+    collations — the optimizer sees the semantics instead of a
+    ``lower()`` black box.  For the ASCII fixture, UNICODE_CI
+    equivalence classes coincide with ``lower()`` classes, which is
+    what the DuckDB oracle mirrors.
+
+    One hash aggregate; distinct pre-aggregates map-side per group.
+    """
+    first_word = F.element_at(F.split(F.col("text"), " "), 1)
+    label = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(first_word)
+    ).otherwise(first_word)
+    return documents.select("source", label.alias("label")).groupBy("source").agg(
+        F.countDistinct("label").alias("distinct_binary"),
+        F.countDistinct(F.collate("label", "UNICODE_CI")).alias("distinct_ci"),
+    )

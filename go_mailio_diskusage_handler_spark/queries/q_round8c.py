@@ -509,3 +509,28 @@ def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 1/16 md5-bucket sample, reported against the exact
     answer in the same pass (operators/dq.py:sampled_group_estimate)."""
     return dq.sampled_group_estimate(load_table(spark, sf_dir, "orders"))
+
+
+# DuckDB mirror of scalars.collation_distinct_labels: UNICODE_CI
+# equivalence == lower() classes on the ASCII fixture.
+COLLATION_CI_SQL = """
+    WITH t AS (SELECT source,
+                      CASE WHEN doc_id % 2 = 0
+                           THEN upper(string_split(text, ' ')[1])
+                           ELSE string_split(text, ' ')[1] END AS label
+               FROM documents)
+    SELECT source,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS distinct_binary,
+           CAST(COUNT(DISTINCT lower(label)) AS BIGINT) AS distinct_ci
+    FROM t GROUP BY 1
+"""
+
+
+@register("scalar_collation_ci", COLLATION_CI_SQL)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spark 4 collations: distinct counts under binary vs
+    UNICODE_CI collation over a deterministic mixed-case label
+    (functions/scalars.py:collation_distinct_labels)."""
+    from ..functions import scalars
+
+    return scalars.collation_distinct_labels(load_table(spark, sf_dir, "documents"))

@@ -41,10 +41,10 @@ from .rotation_r45 import _rotate_front
 #     at r6 — rounds 9-10 finish the drain.
 #
 # Round-9 front (precomputed from CORRECTNESS_r01-r07 + this window;
-# the 26 round-8 additions first (10 from q_round8 + 4 from
-# q_round8b + 12 from q_round8c), then du_lookup (deferred from this
+# the 27 round-8 additions first (10 from q_round8 + 4 from
+# q_round8b + 13 from q_round8c), then du_lookup (deferred from this
 # window) and the 8 remaining r4-stale rows (du_core took this
-# round's 50th slot), then the 15 oldest r5-stale rows in
+# round's 50th slot), then the 14 oldest r5-stale rows in
 # registration order — 50 exactly):
 # udtf_widen_segments, sql_bloom_probe_revenue, udtf_table_arg_changes,
 # dedup_novelty, sql_scripting_threshold, curation_novelty_gate,
@@ -56,7 +56,7 @@ from .rotation_r45 import _rotate_front
 # profile_join_skew, events_delete_plan, events_watermark_plan,
 # join_cardinality_sketch, events_drift_psi,
 # udf_cogroup_asof, udf_arrow_norms, du_ingest_constraints,
-# aqp_sampled_revenue,
+# aqp_sampled_revenue, scalar_collation_ci,
 # du_lookup,
 # du_multifile, topk_addresses, window_top_orders,
 # window_running_total, join_revenue_by_region,
@@ -66,10 +66,11 @@ from .rotation_r45 import _rotate_front
 # scalar_monthly_orders, scalar_math_buckets, scalar_json_events,
 # scalar_map_props, scalar_embedding_arrays, events_tumbling_window,
 # text_token_stats, text_quality_scores, text_unigram_logprob,
-# text_language_ngram, text_language_id, text_fingerprints
+# text_language_ngram, text_language_id
 # — adjusted first for any round-9 engine changes (changed queries
 # front first, per the round-4 advisory) and for any r8 driver reds.
-# The 34 r5-stale names that overflow to round 10:
+# The 35 r5-stale names that overflow to round 10:
+# text_fingerprints,
 # text_repetition, dedup_exact, dedup_minhash, dedup_incremental_minhash,
 # dedup_ngram_jaccard, curation_split_assign,
 # curation_mixture, curation_pack_sequences, curation_contaminated,

@@ -45,6 +45,7 @@ ORACLE_CHECKED = [
     "udf_arrow_norms",
     "du_ingest_constraints",
     "aqp_sampled_revenue",
+    "scalar_collation_ci",
 ]
 
 
