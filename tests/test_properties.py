@@ -607,3 +607,92 @@ def test_novelty_matches_brute_force(spark, texts):
         for r in dedup.novelty_fraction(docs).collect()
     }
     assert got == _ref_novelty(texts)
+
+
+@settings(**_SETTINGS)
+@given(
+    key=st.text(alphabet="abcxyz", min_size=1, max_size=6),
+    a=st.integers(min_value=1, max_value=50),
+    b=st.integers(min_value=1, max_value=50),
+)
+def test_agms_estimate_exact_for_single_shared_key(spark, key, a, b):
+    """With exactly one join key on both sides, every AGMS estimator
+    gives (s·a)(s·b) = ab regardless of the sign hash — the estimate
+    must equal the exact join size for ANY key string and counts."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    left = spark.createDataFrame([(key,)] * a, "k string")
+    right = spark.createDataFrame([(key,)] * b, "k string")
+    row = dq.join_cardinality_estimate(left, "k", right, "k").collect()[0]
+    assert row["actual_rows"] == a * b
+    assert row["est_rows"] == a * b
+    assert row["rel_err"] == 0.0
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=6)
+)
+def test_skew_profile_arithmetic_invariants(spark, counts):
+    """n_rows = sum(counts), n_keys = len(counts), max = max(counts),
+    and skew_ratio*avg == max within rounding — for arbitrary key
+    multiplicities."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    rows = [(i,) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = dq.join_key_skew(df, "t", "k").collect()[0]
+    assert r["n_rows"] == sum(counts)
+    assert r["n_keys"] == len(counts)
+    assert r["max_key_rows"] == max(counts)
+    # avg is rounded to 4 digits, so the identity holds to rounding
+    assert abs(r["avg_key_rows"] * r["n_keys"] - r["n_rows"]) <= 1e-4 * r["n_keys"]
+    assert r["salt_factor"] == 1
+
+
+def _psi_events(spark, ref_vals, cur_vals):
+    rows = []
+    for i, v in enumerate(ref_vals):
+        rows.append((i, "t", f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", float(v)))
+    for i, v in enumerate(cur_vals):
+        rows.append(
+            (10_000 + i, "t", f"2024-01-03 00:{i // 60:02d}:{i % 60:02d}", float(v))
+        )
+    return spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=99), min_size=20, max_size=60
+    )
+)
+def test_psi_zero_when_halves_identical(spark, vals):
+    """PSI must be exactly 0 when the reference and current value
+    multisets coincide: every bin gets n_ref == n_cur, totals match,
+    so every (p-q)ln(p/q) term is exactly 0.0 in double arithmetic."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    r = dq.value_drift_psi(_psi_events(spark, vals, vals)).collect()[0]
+    assert r["psi"] == 0.0 and r["drifted"] is False
+
+
+@settings(**_SETTINGS)
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=99), min_size=15, max_size=40),
+    cur=st.lists(st.integers(min_value=0, max_value=99), min_size=15, max_size=40),
+)
+def test_psi_is_nonnegative(spark, ref, cur):
+    """Every PSI term (p-q)ln(p/q) is >= 0 (p, q > 0 after the floor),
+    so the total is >= 0 for ARBITRARY half distributions."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    r = dq.value_drift_psi(_psi_events(spark, ref, cur)).collect()[0]
+    assert r["psi"] >= 0.0
