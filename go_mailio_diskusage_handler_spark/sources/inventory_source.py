@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 INVENTORY_SCHEMA = "key string, size long"
@@ -57,6 +59,9 @@ class MailioInventoryDataSource(DataSource):
 
     def reader(self, schema) -> "MailioInventoryReader":
         return MailioInventoryReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "MailioInventoryWriter":
+        return MailioInventoryWriter(self.options, overwrite)
 
 
 class MailioInventoryReader(DataSourceReader):
@@ -199,3 +204,93 @@ class MailioInventoryStreamReader(DataSourceStreamReader):
         # Progress is durable in the checkpoint's offset log; there is
         # no source-side state to clean up for a directory listing.
         pass
+
+
+# ---------------------------------------------------------------------------
+# Writer half (round 8): df.write.format("mailio_inventory")
+# ---------------------------------------------------------------------------
+
+
+class _InventoryCommit(WriterCommitMessage):
+    """One written data file: its manifest entry fields."""
+
+    def __init__(self, key: str, size: int, md5: str) -> None:
+        self.key = key
+        self.size = size
+        self.md5 = md5
+
+
+class MailioInventoryWriter(DataSourceWriter):
+    """Executor-side parquet writes + driver-side ATOMIC manifest
+    commit — the write half of the reference's contract (the manifest
+    JSON of ``types.go:9-27``: ``sourceBucket`` + ``files[]`` with
+    key/size/MD5checksum per object).
+
+    Two-phase exactly like a production sink: each task writes one
+    parquet file and returns its manifest entry as the commit message;
+    only when EVERY task succeeded does the driver write
+    ``manifest.json`` listing exactly the committed files.  Readers go
+    through the manifest, so a half-failed job is invisible (no
+    manifest -> no files listed), and ``abort()`` removes the
+    orphans — the transactionality the reference's hand-rolled loop
+    does not have.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("mailio_inventory writer requires option 'path'")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _InventoryCommit:
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"data-{ctx.partitionId():05d}.parquet"
+        os.makedirs(self._path, exist_ok=True)
+        full = os.path.join(self._path, name)
+        keys, sizes = [], []
+        for row in iterator:
+            keys.append(row["key"])
+            sizes.append(row["size"])
+        tbl = pa.table(
+            {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
+        )
+        pq.write_table(tbl, full)
+        raw = open(full, "rb").read()
+        return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        entries = [
+            {"key": m.key, "size": m.size, "MD5checksum": m.md5}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "sourceBucket": self._path,
+            "fileFormat": "Parquet",
+            "files": entries,
+        }
+        tmp = os.path.join(self._path, ".manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(self._path, "manifest.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self._path, m.key))
+            except OSError:
+                pass

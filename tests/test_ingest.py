@@ -375,3 +375,43 @@ def test_quality_gate_refuses_bad_refresh_keeps_snapshot(spark, tmp_path):
     assert h.last_rejection is None
     assert h.get_disk_usage("bob").size_bytes == 5
     h.stop()
+
+
+def test_python_datasource_write_read_round_trip(spark, tmp_path):
+    """The writer half of the custom format: each task writes one
+    parquet file and returns its manifest entry; the driver commits
+    manifest.json ATOMICALLY only after every task succeeded.  Reading
+    the directory back through the same format must reproduce the
+    rows exactly, and the manifest must describe the real files
+    (size + md5 verified against disk)."""
+    import hashlib
+    import json
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    rows = [("alice/a.txt", 10), ("bob/b.txt", 20), ("alice/c.txt", 5)]
+    out = tmp_path / "inv_out"
+    (
+        spark.createDataFrame(rows, "key string, size long")
+        .repartition(2)
+        .write.format("mailio_inventory")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["sourceBucket"] == str(out)
+    assert len(manifest["files"]) == 2  # one entry per write task
+    for entry in manifest["files"]:
+        raw = (out / entry["key"]).read_bytes()
+        assert entry["size"] == len(raw)
+        assert entry["MD5checksum"] == hashlib.md5(raw).hexdigest()
+    back = (
+        spark.read.format("mailio_inventory")
+        .option("manifest", str(out / "manifest.json"))
+        .load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
