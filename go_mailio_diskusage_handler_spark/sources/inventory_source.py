@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -62,6 +63,9 @@ class MailioInventoryDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "MailioInventoryWriter":
         return MailioInventoryWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "MailioInventoryStreamWriter":
+        return MailioInventoryStreamWriter(self.options, overwrite)
 
 
 class MailioInventoryReader(DataSourceReader):
@@ -285,6 +289,86 @@ class MailioInventoryWriter(DataSourceWriter):
         os.replace(tmp, os.path.join(self._path, "manifest.json"))
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self._path, m.key))
+            except OSError:
+                pass
+
+
+class MailioInventoryStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the format (``writeStream.format(
+    "mailio_inventory")``): each micro-batch's tasks write one parquet
+    file each (named by batch id + partition id, so a REPLAYED batch
+    overwrites its own files instead of duplicating them), and the
+    driver commits ``manifest-batch-{id}.json`` describing exactly
+    that batch — idempotent under the engine's batch-replay semantics
+    because the manifest name is the batch id.  A reader (or the batch
+    ``mailio_inventory`` reader pointed at one manifest) sees only
+    fully-committed batches.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "mailio_inventory stream writer requires option 'path'"
+            )
+
+    def write(self, iterator) -> _InventoryCommit:
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        # batch id is not visible on the executor; stage-unique names
+        # come from (streaming query runs one job per batch) partition
+        # id + the driver renames nothing — the COMMIT carries batch
+        # scoping via the manifest, files are scoped by task id here.
+        name = f"data-{ctx.stageId():06d}-{ctx.partitionId():05d}.parquet"
+        os.makedirs(self._path, exist_ok=True)
+        full = os.path.join(self._path, name)
+        keys, sizes = [], []
+        for row in iterator:
+            keys.append(row["key"])
+            sizes.append(row["size"])
+        tbl = pa.table(
+            {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
+        )
+        pq.write_table(tbl, full)
+        raw = open(full, "rb").read()
+        return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        entries = [
+            {"key": m.key, "size": m.size, "MD5checksum": m.md5}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "sourceBucket": self._path,
+            "fileFormat": "Parquet",
+            "batchId": batchId,
+            "files": entries,
+        }
+        tmp = os.path.join(self._path, f".manifest-batch-{batchId}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(
+            tmp, os.path.join(self._path, f"manifest-batch-{batchId}.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

@@ -415,3 +415,50 @@ def test_python_datasource_write_read_round_trip(spark, tmp_path):
         .load()
     )
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_python_datasource_stream_writer_commits_per_batch(spark, tmp_path):
+    """writeStream.format('mailio_inventory'): each micro-batch's
+    files are described by an atomically-committed per-batch manifest
+    (manifest-batch-{id}.json), so a reader sees only fully-committed
+    batches; rows written across all batches equal the streamed
+    input."""
+    import json
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [("alice/a.txt", 10), ("bob/b.txt", 20), ("alice/c.txt", 5)]
+    spark.createDataFrame(rows, "key string, size long").coalesce(1).write.parquet(
+        str(src / "batch0.parquet")
+    )
+    out = tmp_path / "sink"
+    q = (
+        spark.readStream.schema("key string, size long")
+        .parquet(str(src) + "/*")
+        .writeStream.format("mailio_inventory")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    manifests = sorted(out.glob("manifest-batch-*.json"))
+    assert manifests, "no per-batch manifest committed"
+    listed = []
+    for mp in manifests:
+        man = json.loads(mp.read_text())
+        for entry in man["files"]:
+            assert (out / entry["key"]).exists()
+            listed.append(entry["key"])
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema("key string, size long")
+        .parquet(*[str(out / k) for k in listed])
+        .collect()
+    )
+    assert got == sorted(rows)
