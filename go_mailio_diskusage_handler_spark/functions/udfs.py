@@ -521,14 +521,13 @@ def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
             offsets = emb.offsets.to_numpy()
             values = emb.values.to_numpy().astype(np.float64)
             sq = values * values
-            # row sums between consecutive offsets; reduceat needs the
-            # start index of every segment
-            starts = offsets[:-1]
-            sums = np.add.reduceat(sq, starts) if len(sq) else np.array([])
-            # reduceat quirk: an empty segment copies the next element;
-            # fixture embeddings are fixed-dim non-empty, but guard.
+            # Per-segment sums via cumsum differences: exact for empty
+            # and trailing-empty segments, where np.add.reduceat would
+            # index out of bounds (reduceat requires every start index
+            # < len, which an empty LAST row violates).
+            csum = np.concatenate(([0.0], np.cumsum(sq)))
+            sums = csum[offsets[1:]] - csum[offsets[:-1]]
             dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
-            sums = np.where(dims == 0, 0.0, sums)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,

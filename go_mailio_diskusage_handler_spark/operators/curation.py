@@ -883,7 +883,7 @@ def novelty_gate(
             "n_words"
         ),
     )
-    return (
+    report = (
         dim.join(nv, "doc_id", "left")
         .groupBy("source")
         .agg(
@@ -907,6 +907,11 @@ def novelty_gate(
             ).cast("bigint").alias("kept_tokens"),
         )
     )
+    # Transfer the gram-table cache nv owns to the RETURNED frame —
+    # dropping nv at function exit would otherwise fire its finalizer
+    # and unpersist before any action runs (caching.py's documented
+    # derivation hazard), recomputing the gram subplan per branch.
+    return own_cache(report, absorb=[nv])
 
 
 # ---------------------------------------------------------------------------

@@ -1305,6 +1305,27 @@ def weighted_jaccard_pairs(
     return own_cache(out, sh, sw)
 
 
+def gram_occurrences(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, g) word-n-gram occurrences — the shared
+    subplan of the novelty family (batch, incremental, AND the
+    streaming ingest).  One definition keeps the three paths
+    row-for-row comparable: the stream≡batch equivalence tests depend
+    on all of them tokenizing and slicing identically."""
+    toks = documents.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    return (
+        toks.filter(F.size("t") >= n)
+        .select("doc_id", F.explode(gram_arr).alias("g"))
+        .distinct()
+    )
+
+
 def novelty_fraction(
     documents: DataFrame,
     n: int = 8,
@@ -1337,20 +1358,10 @@ def novelty_fraction(
     int/int double division — bit-identical across engines, no
     rounding needed.
     """
-    toks = documents.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
-    )
-    gram_arr = F.expr(
-        f"transform(sequence(1, size(t) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(t, i, {n})))"
-    )
     from pyspark import StorageLevel
 
     occ = (
-        toks.filter(F.size("t") >= n)
-        .select("doc_id", F.explode(gram_arr).alias("g"))
-        .distinct()
+        gram_occurrences(documents, n)
         # two consumers (the MIN aggregate and the join-back probe)
         # shuffle on DIFFERENT keys, so the exchange can't be reused —
         # persist the gram table once instead of re-running the
@@ -1417,17 +1428,7 @@ def novelty_fraction_incremental(
     """
     from pyspark import StorageLevel
 
-    toks = documents.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
-    )
-    gram_arr = F.expr(
-        f"transform(sequence(1, size(t) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(t, i, {n})))"
-    )
-    occ = toks.filter(F.size("t") >= n).select(
-        "doc_id", F.explode(gram_arr).alias("g")
-    ).distinct()
+    occ = gram_occurrences(documents, n)
     split = documents.agg(
         F.floor(F.lit(history_frac) * F.max("doc_id")).alias("split_id")
     )

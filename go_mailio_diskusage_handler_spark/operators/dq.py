@@ -330,16 +330,25 @@ def reference_decile_bounds(ref: DataFrame) -> DataFrame:
 
 
 def assign_psi_bins(df: DataFrame, bounds: DataFrame) -> DataFrame:
-    """Join the broadcast bounds and fold ``value`` into its decile
-    bin (1..PSI_BINS) — a pure per-row comparison chain."""
-    return df.join(F.broadcast(bounds), "event_type").select(
+    """LEFT-join the broadcast bounds and fold ``value`` into its
+    decile bin (1..PSI_BINS) — a pure per-row comparison chain.
+
+    A type with NO reference rows has no bounds row; its events land
+    in the reserved bin 0 instead of being dropped (an inner join
+    would make the monitor BLIND to brand-new event types — the
+    strongest possible drift).  Bin 0 then carries n_ref = 0, so the
+    floored PSI fold reports such a type as maximally drifted.
+    """
+    return df.join(F.broadcast(bounds), "event_type", "left").select(
         *[c for c in df.columns if c != "value"],
-        sum(
-            [F.lit(1)]
-            + [
-                F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
-                for i in range(1, PSI_BINS)
-            ]
+        F.when(F.col("b1").isNull(), F.lit(0)).otherwise(
+            sum(
+                [F.lit(1)]
+                + [
+                    F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+                    for i in range(1, PSI_BINS)
+                ]
+            )
         ).alias("bin"),
     )
 
@@ -350,12 +359,17 @@ def psi_from_bin_counts(shares: DataFrame) -> DataFrame:
     streaming sink twin.  The input is types x bins rows, so the
     unbounded-over-type window here is dimension-sized, never
     fact-sized."""
+    # denominators floored at 1: a type with zero rows on one side
+    # (e.g. brand-new types in bin 0) must floor to PSI_SHARE_FLOOR,
+    # not divide by zero
     p = F.greatest(
-        F.col("n_ref") / F.sum("n_ref").over(_type_window()),
+        F.col("n_ref")
+        / F.greatest(F.sum("n_ref").over(_type_window()), F.lit(1)),
         F.lit(PSI_SHARE_FLOOR),
     )
     q = F.greatest(
-        F.col("n_cur") / F.sum("n_cur").over(_type_window()),
+        F.col("n_cur")
+        / F.greatest(F.sum("n_cur").over(_type_window()), F.lit(1)),
         F.lit(PSI_SHARE_FLOOR),
     )
     per_bin = shares.select(

@@ -1052,7 +1052,26 @@ def exact_global_median(orders: DataFrame, *, buckets: int = 1024) -> DataFrame:
     """
     v = F.col("o_totalprice")
     lo, hi, n = orders.agg(F.min(v), F.max(v), F.count(F.lit(1))).first()
-    width = (hi - lo) / buckets if hi > lo else 1.0
+    if n == 0:
+        # Empty input: emit the empty report (no median exists) rather
+        # than tripping None arithmetic below.
+        return orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(v).alias("lo_mid"),
+            F.max(v).alias("hi_mid"),
+            F.lit(None).cast("bigint").alias("median_cents_x2"),
+        ).where(F.lit(False))
+    if hi == lo:
+        # Degenerate all-equal column: the refinement slice would be
+        # the WHOLE table through the single-task window this function
+        # exists to avoid — the median is simply the value.
+        return orders.limit(1).agg(
+            F.lit(n).cast("bigint").alias("n_rows"),
+            F.lit(lo).alias("lo_mid"),
+            F.lit(lo).alias("hi_mid"),
+            (F.round(F.lit(lo) * 100) * 2).cast("bigint").alias("median_cents_x2"),
+        )
+    width = (hi - lo) / buckets
     bexpr = F.least(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(buckets - 1))
     hist = dict(
         (r[0], r[1])

@@ -336,6 +336,7 @@ DRIFT_PSI_SQL = """
                       quantile_cont(value, 0.9) AS b9
                FROM tagged WHERE is_ref GROUP BY event_type),
     binned AS (SELECT t.event_type, t.is_ref,
+                      CASE WHEN b1 IS NULL THEN 0 ELSE
                       1 + CASE WHEN value > b1 THEN 1 ELSE 0 END
                         + CASE WHEN value > b2 THEN 1 ELSE 0 END
                         + CASE WHEN value > b3 THEN 1 ELSE 0 END
@@ -344,17 +345,17 @@ DRIFT_PSI_SQL = """
                         + CASE WHEN value > b6 THEN 1 ELSE 0 END
                         + CASE WHEN value > b7 THEN 1 ELSE 0 END
                         + CASE WHEN value > b8 THEN 1 ELSE 0 END
-                        + CASE WHEN value > b9 THEN 1 ELSE 0 END AS bin
-               FROM tagged t JOIN bounds USING (event_type)),
+                        + CASE WHEN value > b9 THEN 1 ELSE 0 END END AS bin
+               FROM tagged t LEFT JOIN bounds USING (event_type)),
     shares AS (SELECT event_type, bin,
                       SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
                       SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
                FROM binned GROUP BY 1, 2),
     terms AS (SELECT event_type, n_ref, n_cur,
-                     (GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY event_type), 1e-6)
-                      - GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (PARTITION BY event_type), 1e-6))
-                     * ln(GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY event_type), 1e-6)
-                          / GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (PARTITION BY event_type), 1e-6))
+                     (GREATEST(n_ref * 1.0 / GREATEST(SUM(n_ref) OVER (PARTITION BY event_type), 1), 1e-6)
+                      - GREATEST(n_cur * 1.0 / GREATEST(SUM(n_cur) OVER (PARTITION BY event_type), 1), 1e-6))
+                     * ln(GREATEST(n_ref * 1.0 / GREATEST(SUM(n_ref) OVER (PARTITION BY event_type), 1), 1e-6)
+                          / GREATEST(n_cur * 1.0 / GREATEST(SUM(n_cur) OVER (PARTITION BY event_type), 1), 1e-6))
                          AS psi_term
               FROM shares)
     SELECT event_type,

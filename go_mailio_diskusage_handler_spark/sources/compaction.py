@@ -228,8 +228,12 @@ def plan_delete_vectors(events: DataFrame, delete_users: DataFrame) -> DataFrame
     aggregate with map-side combine.  One scan, one shuffle,
     decision rows bounded by partition count.
     """
+    # A purge queue can list the same user twice (two requests); a
+    # non-distinct left join would then DUPLICATE that user's event
+    # rows and corrupt every per-partition tally.
+    deletes = delete_users.select("user_id").distinct()
     marked = events.join(
-        F.broadcast(delete_users.withColumn("is_del", F.lit(1))),
+        F.broadcast(deletes.withColumn("is_del", F.lit(1))),
         "user_id",
         "left",
     )

@@ -224,6 +224,30 @@ class _InventoryCommit(WriterCommitMessage):
         self.md5 = md5
 
 
+def _write_inventory_part(path: str, name: str, iterator) -> _InventoryCommit:
+    """Executor-side: drain one task's rows into ONE parquet file and
+    return its manifest entry (key/size/MD5checksum, ``types.go:28-32``)
+    — the write kernel both the batch and stream writers share."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    full = os.path.join(path, name)
+    keys, sizes = [], []
+    for row in iterator:
+        keys.append(row["key"])
+        sizes.append(row["size"])
+    tbl = pa.table(
+        {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
+    )
+    pq.write_table(tbl, full)
+    raw = open(full, "rb").read()
+    return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+
+
 class MailioInventoryWriter(DataSourceWriter):
     """Executor-side parquet writes + driver-side ATOMIC manifest
     commit — the write half of the reference's contract (the manifest
@@ -232,42 +256,37 @@ class MailioInventoryWriter(DataSourceWriter):
 
     Two-phase exactly like a production sink: each task writes one
     parquet file and returns its manifest entry as the commit message;
-    only when EVERY task succeeded does the driver write
-    ``manifest.json`` listing exactly the committed files.  Readers go
-    through the manifest, so a half-failed job is invisible (no
-    manifest -> no files listed), and ``abort()`` removes the
-    orphans — the transactionality the reference's hand-rolled loop
-    does not have.
+    only when EVERY task succeeded does the driver publish
+    ``manifest.json``.  Readers go through the manifest, so a
+    half-failed job is invisible, and ``abort()`` removes the orphans.
+    Save-mode semantics are real: file names carry a per-JOB token so
+    two jobs never collide; ``append`` merges the new entries into the
+    existing manifest; ``overwrite`` deletes the files the PREVIOUS
+    manifest listed and publishes only the new ones.
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("mailio_inventory writer requires option 'path'")
         self._overwrite = overwrite
+        # per-job token: serialized with the writer to every task, so
+        # concurrent/successive jobs never overwrite each other's files
+        self._token = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _InventoryCommit:
-        import hashlib
-        import os
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        name = f"data-{ctx.partitionId():05d}.parquet"
-        os.makedirs(self._path, exist_ok=True)
-        full = os.path.join(self._path, name)
-        keys, sizes = [], []
-        for row in iterator:
-            keys.append(row["key"])
-            sizes.append(row["size"])
-        tbl = pa.table(
-            {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
-        )
-        pq.write_table(tbl, full)
-        raw = open(full, "rb").read()
-        return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+        name = f"data-{self._token}-{ctx.partitionId():05d}.parquet"
+        return _write_inventory_part(self._path, name, iterator)
+
+    def _manifest_file(self) -> str:
+        import os
+
+        return os.path.join(self._path, "manifest.json")
 
     def commit(self, messages) -> None:
         import json
@@ -278,6 +297,18 @@ class MailioInventoryWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
+        prior = []
+        if os.path.exists(self._manifest_file()):
+            with open(self._manifest_file()) as fh:
+                prior = json.load(fh).get("files", [])
+        if self._overwrite:
+            for entry in prior:
+                try:
+                    os.remove(os.path.join(self._path, entry["key"]))
+                except OSError:
+                    pass
+        else:
+            entries = prior + entries
         manifest = {
             "sourceBucket": self._path,
             "fileFormat": "Parquet",
@@ -286,7 +317,7 @@ class MailioInventoryWriter(DataSourceWriter):
         tmp = os.path.join(self._path, ".manifest.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
-        os.replace(tmp, os.path.join(self._path, "manifest.json"))
+        os.replace(tmp, self._manifest_file())
 
     def abort(self, messages) -> None:
         import os
@@ -302,14 +333,20 @@ class MailioInventoryWriter(DataSourceWriter):
 
 class MailioInventoryStreamWriter(DataSourceStreamWriter):
     """Streaming sink half of the format (``writeStream.format(
-    "mailio_inventory")``): each micro-batch's tasks write one parquet
-    file each (named by batch id + partition id, so a REPLAYED batch
-    overwrites its own files instead of duplicating them), and the
-    driver commits ``manifest-batch-{id}.json`` describing exactly
-    that batch — idempotent under the engine's batch-replay semantics
-    because the manifest name is the batch id.  A reader (or the batch
-    ``mailio_inventory`` reader pointed at one manifest) sees only
+    "mailio_inventory")``): the driver commits
+    ``manifest-batch-{id}.json`` atomically per micro-batch, so a
+    REPLAYED batch republishes the SAME manifest name (exactly-once at
+    the manifest level) and readers that go through manifests see only
     fully-committed batches.
+
+    Honesty note on data files: the batch id is not visible on
+    executors, so task files are named by (stage id, partition id) —
+    attempt-unique.  A replayed batch therefore writes NEW files and
+    re-points its manifest at them; the first attempt's files stay on
+    disk UNLISTED.  That is safe for manifest-driven readers (the
+    contract) but means directory-level reads double-count until
+    :func:`vacuum_uncommitted` removes unlisted files — the same
+    vacuum discipline every manifest-committed lake format needs.
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
@@ -320,31 +357,11 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
             )
 
     def write(self, iterator) -> _InventoryCommit:
-        import hashlib
-        import os
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        # batch id is not visible on the executor; stage-unique names
-        # come from (streaming query runs one job per batch) partition
-        # id + the driver renames nothing — the COMMIT carries batch
-        # scoping via the manifest, files are scoped by task id here.
         name = f"data-{ctx.stageId():06d}-{ctx.partitionId():05d}.parquet"
-        os.makedirs(self._path, exist_ok=True)
-        full = os.path.join(self._path, name)
-        keys, sizes = [], []
-        for row in iterator:
-            keys.append(row["key"])
-            sizes.append(row["size"])
-        tbl = pa.table(
-            {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
-        )
-        pq.write_table(tbl, full)
-        raw = open(full, "rb").read()
-        return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+        return _write_inventory_part(self._path, name, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -378,3 +395,27 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
                 os.remove(os.path.join(self._path, m.key))
             except OSError:
                 pass
+
+
+def vacuum_uncommitted(path: str) -> list[str]:
+    """Remove data files no manifest lists — the maintenance pass that
+    cleans orphans left by replayed/aborted-after-write attempts
+    (every manifest-committed format pairs writes with a vacuum).
+    Returns the removed file names.
+    """
+    import glob
+    import json
+    import os
+
+    listed: set[str] = set()
+    for mp in glob.glob(os.path.join(path, "manifest*.json")):
+        with open(mp) as fh:
+            for entry in json.load(fh).get("files", []):
+                listed.add(entry["key"])
+    removed = []
+    for fp in glob.glob(os.path.join(path, "data-*.parquet")):
+        name = os.path.basename(fp)
+        if name not in listed:
+            os.remove(fp)
+            removed.append(name)
+    return sorted(removed)

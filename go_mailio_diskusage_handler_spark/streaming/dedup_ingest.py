@@ -209,22 +209,15 @@ class StreamingNoveltyIngest:
             return
         from pyspark import StorageLevel
 
-        n = self._n
-        toks = batch_df.select(
-            "doc_id",
-            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+        from go_mailio_diskusage_handler_spark.operators.dedup import (
+            gram_occurrences,
         )
-        gram_arr = F.expr(
-            f"transform(sequence(1, size(t) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(t, i, {n})))"
-        )
+
         # three consumers (global-min, rollup, index delta):
-        # materialize once
-        occ = (
-            toks.filter(F.size("t") >= n)
-            .select("doc_id", F.explode(gram_arr).alias("g"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize once.  SAME subplan as the batch novelty tier —
+        # the stream≡batch equivalence depends on it.
+        occ = gram_occurrences(batch_df, self._n).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         # read-time min-merge: the append-only index may hold an
         # improvement CHAIN per gram — collapse it before use

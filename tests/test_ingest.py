@@ -462,3 +462,84 @@ def test_python_datasource_stream_writer_commits_per_batch(spark, tmp_path):
         .collect()
     )
     assert got == sorted(rows)
+
+
+def test_python_datasource_append_accumulates_and_overwrite_replaces(spark, tmp_path):
+    """Save-mode semantics: append merges new manifest entries with
+    the existing ones (per-job file tokens prevent collisions);
+    overwrite removes the previously listed files and publishes only
+    the new job's entries."""
+    import json
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    out = tmp_path / "inv"
+
+    def write(rows, mode):
+        (
+            spark.createDataFrame(rows, "key string, size long")
+            .coalesce(1)
+            .write.format("mailio_inventory")
+            .option("path", str(out))
+            .mode(mode)
+            .save()
+        )
+
+    def read_back():
+        return sorted(
+            tuple(r)
+            for r in spark.read.format("mailio_inventory")
+            .option("manifest", str(out / "manifest.json"))
+            .load()
+            .collect()
+        )
+
+    a = [("alice/a", 1), ("bob/b", 2)]
+    b = [("carol/c", 3)]
+    write(a, "append")
+    write(b, "append")
+    assert read_back() == sorted(a + b)  # append accumulated
+    c = [("dave/d", 4)]
+    write(c, "overwrite")
+    assert read_back() == sorted(c)  # overwrite replaced
+    man = json.loads((out / "manifest.json").read_text())
+    listed = {e["key"] for e in man["files"]}
+    on_disk = {p.name for p in out.glob("data-*.parquet")}
+    assert listed == on_disk, "overwrite left unlisted files behind"
+
+
+def test_stream_writer_vacuum_removes_unlisted_files(spark, tmp_path):
+    """vacuum_uncommitted removes exactly the data files no manifest
+    lists (replay/abort orphans) and leaves committed ones alone."""
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+        vacuum_uncommitted,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("alice/a", 1)], "key string, size long"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    out = tmp_path / "sink"
+    q = (
+        spark.readStream.schema("key string, size long")
+        .parquet(str(src) + "/*")
+        .writeStream.format("mailio_inventory")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    orphan = out / "data-999999-00000.parquet"
+    orphan.write_bytes(b"PAR1 orphan from a failed attempt")
+    committed_before = {p.name for p in out.glob("data-*.parquet")} - {orphan.name}
+    removed = vacuum_uncommitted(str(out))
+    assert removed == [orphan.name]
+    assert not orphan.exists()
+    assert {p.name for p in out.glob("data-*.parquet")} == committed_before

@@ -756,3 +756,27 @@ def test_arrow_norms_plan_uses_arrow_eval(spark):
     df = registry.QUERIES["udf_arrow_norms"](spark, SF_CORRECT)
     plan = plans.executed_plan(df)
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+
+
+def test_psi_flags_brand_new_event_type(spark):
+    """A type that exists ONLY in the current half has no reference
+    decile bounds; it must surface as maximally drifted (reserved
+    bin 0, n_ref = 0), never silently vanish from the report."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "old", f"2024-01-01 00:{i:02d}:00", float(i)))
+        rows.append((100 + i, "old", f"2024-01-03 00:{i:02d}:00", float(i)))
+        # "fresh" emits only in the second half
+        rows.append((200 + i, "fresh", f"2024-01-03 01:{i:02d}:00", float(i)))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts_s string, value double"
+    ).select("event_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {r["event_type"]: r for r in
+           __import__("go_mailio_diskusage_handler_spark.operators.dq",
+                      fromlist=["dq"]).value_drift_psi(ev).collect()}
+    assert "fresh" in got, "new type dropped from the drift report"
+    assert got["fresh"]["n_ref"] == 0 and got["fresh"]["drifted"] is True
+    assert got["old"]["psi"] == 0.0
