@@ -521,13 +521,22 @@ def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
             offsets = emb.offsets.to_numpy()
             values = emb.values.to_numpy().astype(np.float64)
             sq = values * values
-            # Per-segment sums via cumsum differences: exact for empty
-            # and trailing-empty segments, where np.add.reduceat would
-            # index out of bounds (reduceat requires every start index
-            # < len, which an empty LAST row violates).
-            csum = np.concatenate(([0.0], np.cumsum(sq)))
-            sums = csum[offsets[1:]] - csum[offsets[:-1]]
             dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            # Per-SEGMENT sequential fold (reduceat), not a global
+            # cumsum difference: the cumsum accumulates the whole
+            # batch, so late rows would carry rounding error far above
+            # the round-6 contract with DuckDB's per-row list fold.
+            # reduceat is only called with NON-EMPTY segment starts —
+            # an empty LAST row would otherwise index out of bounds,
+            # and an empty middle row contributes no values, so the
+            # preceding non-empty segment (which reduceat runs to the
+            # next passed start) still sums exactly its own values.
+            sums = np.zeros(len(dims), dtype=np.float64)
+            nonempty = dims > 0
+            if nonempty.any():
+                sums[nonempty] = np.add.reduceat(
+                    sq, offsets[:-1][nonempty]
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,

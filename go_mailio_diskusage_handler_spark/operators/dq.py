@@ -299,7 +299,12 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("t0"),
         F.max(F.unix_timestamp("ts")).alias("t1"),
     )
-    tagged = events.crossJoin(F.broadcast(span)).select(
+    # NULL values are not distribution observations: left in, a type
+    # whose REFERENCE rows were all NULL would get NULL bounds yet
+    # nonzero n_ref in the reserved bin, masking real drift as p == q.
+    tagged = events.where(F.col("value").isNotNull()).crossJoin(
+        F.broadcast(span)
+    ).select(
         "event_type",
         "value",
         (

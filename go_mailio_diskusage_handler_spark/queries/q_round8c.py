@@ -323,7 +323,8 @@ DRIFT_PSI_SQL = """
     tagged AS (SELECT event_type, value,
                       CAST(FLOOR(epoch(ts)) AS BIGINT)
                           < (t0 + (t1 - t0) / 2.0) AS is_ref
-               FROM events CROSS JOIN span),
+               FROM events CROSS JOIN span
+               WHERE value IS NOT NULL),
     bounds AS (SELECT event_type,
                       quantile_cont(value, 0.1) AS b1,
                       quantile_cont(value, 0.2) AS b2,

@@ -301,23 +301,29 @@ class MailioInventoryWriter(DataSourceWriter):
         if os.path.exists(self._manifest_file()):
             with open(self._manifest_file()) as fh:
                 prior = json.load(fh).get("files", [])
-        if self._overwrite:
-            for entry in prior:
-                try:
-                    os.remove(os.path.join(self._path, entry["key"]))
-                except OSError:
-                    pass
-        else:
+        if not self._overwrite:
             entries = prior + entries
         manifest = {
             "sourceBucket": self._path,
             "fileFormat": "Parquet",
             "files": entries,
         }
+        # Publish FIRST, clean up after: a crash between the two
+        # leaves stale-but-unlisted files (vacuum's job), never a
+        # manifest pointing at deleted files.
         tmp = os.path.join(self._path, ".manifest.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
         os.replace(tmp, self._manifest_file())
+        if self._overwrite:
+            keep = {e["key"] for e in entries}
+            for entry in prior:
+                if entry["key"] in keep:
+                    continue
+                try:
+                    os.remove(os.path.join(self._path, entry["key"]))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os
@@ -350,17 +356,28 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError(
                 "mailio_inventory stream writer requires option 'path'"
             )
+        # per-QUERY-RUN token: stage ids reset when a restarted
+        # application resumes from the checkpoint, so (stage, partition)
+        # alone could collide with files a previous run committed; the
+        # token (new per writer instance, i.e. per query start) keeps
+        # names globally unique.
+        self._token = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _InventoryCommit:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        name = f"data-{ctx.stageId():06d}-{ctx.partitionId():05d}.parquet"
+        name = (
+            f"data-{self._token}-{ctx.stageId():06d}-"
+            f"{ctx.partitionId():05d}.parquet"
+        )
         return _write_inventory_part(self._path, name, iterator)
 
     def commit(self, messages, batchId: int) -> None:
@@ -397,25 +414,32 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
                 pass
 
 
-def vacuum_uncommitted(path: str) -> list[str]:
+def vacuum_uncommitted(path: str, min_age_seconds: float = 600.0) -> list[str]:
     """Remove data files no manifest lists — the maintenance pass that
     cleans orphans left by replayed/aborted-after-write attempts
     (every manifest-committed format pairs writes with a vacuum).
-    Returns the removed file names.
+
+    ``min_age_seconds`` is the retention guard every lake vacuum has:
+    an IN-FLIGHT job's task files are also unlisted until its driver
+    commits, so only files older than the threshold are candidates
+    (default 10 min — far above any commit window here).  Returns the
+    removed file names.
     """
     import glob
     import json
     import os
+    import time
 
     listed: set[str] = set()
     for mp in glob.glob(os.path.join(path, "manifest*.json")):
         with open(mp) as fh:
             for entry in json.load(fh).get("files", []):
                 listed.add(entry["key"])
+    cutoff = time.time() - min_age_seconds
     removed = []
     for fp in glob.glob(os.path.join(path, "data-*.parquet")):
         name = os.path.basename(fp)
-        if name not in listed:
+        if name not in listed and os.path.getmtime(fp) <= cutoff:
             os.remove(fp)
             removed.append(name)
     return sorted(removed)

@@ -509,7 +509,9 @@ def binned_psi_counts(
     """
     from go_mailio_diskusage_handler_spark.operators.dq import assign_psi_bins
 
-    tagged = events.withWatermark("ts", watermark).select(
+    tagged = events.withWatermark("ts", watermark).where(
+        F.col("value").isNotNull()  # same NULL policy as the batch monitor
+    ).select(
         "event_type",
         "value",
         (F.unix_timestamp("ts") < F.lit(split_epoch)).alias("is_ref"),

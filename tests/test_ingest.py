@@ -536,10 +536,14 @@ def test_stream_writer_vacuum_removes_unlisted_files(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    orphan = out / "data-999999-00000.parquet"
+    orphan = out / "data-deadbeef-999999-00000.parquet"
     orphan.write_bytes(b"PAR1 orphan from a failed attempt")
     committed_before = {p.name for p in out.glob("data-*.parquet")} - {orphan.name}
-    removed = vacuum_uncommitted(str(out))
+    # default retention spares a FRESH unlisted file (it could belong
+    # to an in-flight job whose driver has not committed yet)
+    assert vacuum_uncommitted(str(out)) == []
+    assert orphan.exists()
+    removed = vacuum_uncommitted(str(out), min_age_seconds=0.0)
     assert removed == [orphan.name]
     assert not orphan.exists()
     assert {p.name for p in out.glob("data-*.parquet")} == committed_before
