@@ -43,18 +43,29 @@ def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
     a ratio for completeness/uniqueness, a violation count for the
     rest), ``status`` ('PASS' | 'FAIL').
     """
+    # Every SUM is COALESCEd to 0 so an EMPTY orders table yields
+    # well-defined rows (SUM over zero rows is NULL, which would turn
+    # every status into FAIL-with-NULL-metric); the oracle mirror in
+    # q_round8c.py applies the same COALESCE.
     one_pass = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
-            "null_custkey"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("null_custkey"),
         F.countDistinct("o_orderkey").alias("distinct_orderkey"),
         # NULL IN (...) is NULL -> falls through to the violation arm,
         # matching SQL CASE WHEN ... IN ... THEN 0 ELSE 1 END.
-        F.sum(
-            F.when(F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 0).otherwise(1)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 0
+                ).otherwise(1)
+            ),
+            F.lit(0),
         ).alias("bad_status"),
-        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_price"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)), F.lit(0)
+        ).alias("neg_price"),
     )
     # NULL foreign keys are owned by the completeness rule, not the
     # referential rule (a NULL never matches the anti join and would
@@ -78,7 +89,10 @@ def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.when(passed, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("status"),
         )
 
-    n = F.col("n_rows")
+    # Floor the ratio denominator so the empty table divides by 1 (not
+    # 0 -> NULL metric); with zeroed counters its rules all read PASS
+    # with ratio metrics of 0.0.
+    n = F.greatest(F.col("n_rows"), F.lit(1))
     return facts.select(
         F.inline(
             F.array(
@@ -90,7 +104,7 @@ def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
                 rule(
                     "uniqueness:o_orderkey",
                     F.col("distinct_orderkey") / n,
-                    F.col("distinct_orderkey") == n,
+                    F.col("distinct_orderkey") == F.col("n_rows"),
                 ),
                 rule(
                     "domain:o_orderstatus",
@@ -421,12 +435,27 @@ def inventory_constraint_suite(
     """
     from .core import well_formed_key
 
+    # NULL handling is explicit so Spark and the DuckDB mirror agree:
+    # a NULL key makes well_formed_key() NULL (size(split(NULL)) is
+    # NULL), which a bare SUM would silently DROP while the oracle's
+    # CASE ... ELSE 1 counts it as malformed — coalesce the flag to 1.
+    # The outer COALESCEs keep the empty table well-defined (SUM over
+    # zero rows is NULL).
     one_pass = inventory.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("key").isNull().cast("long")).alias("null_keys"),
-        F.sum(F.col("size").isNull().cast("long")).alias("null_sizes"),
-        F.sum((F.col("size") < 0).cast("long")).alias("neg_sizes"),
-        F.sum((~well_formed_key()).cast("long")).alias("malformed_keys"),
+        F.coalesce(F.sum(F.col("key").isNull().cast("long")), F.lit(0)).alias(
+            "null_keys"
+        ),
+        F.coalesce(F.sum(F.col("size").isNull().cast("long")), F.lit(0)).alias(
+            "null_sizes"
+        ),
+        F.coalesce(F.sum((F.col("size") < 0).cast("long")), F.lit(0)).alias(
+            "neg_sizes"
+        ),
+        F.coalesce(
+            F.sum(F.coalesce((~well_formed_key()).cast("long"), F.lit(1))),
+            F.lit(0),
+        ).alias("malformed_keys"),
     )
 
     def rule(name: str, metric, passed):

@@ -63,15 +63,19 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB mirror of dq.constraint_suite: same one-pass aggregates over
 # orders, same NULL-falls-to-violation CASE arms, same anti-join
-# orphan count, assembled as a UNION ALL of 1-row rules.
+# orphan count, assembled as a UNION ALL of 1-row rules.  The
+# COALESCEd SUMs and GREATEST-floored denominators mirror the Spark
+# side's empty-table hardening (ADVICE r8).
 DQ_CONSTRAINTS_SQL = """
     WITH a AS (
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+               COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                   AS null_ck,
                COUNT(DISTINCT o_orderkey) AS d_ok,
-               SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
-                   AS bad_status,
-               SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price
+               COALESCE(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                                 THEN 0 ELSE 1 END), 0) AS bad_status,
+               COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0)
+                   AS neg_price
         FROM orders),
     o AS (
         SELECT COUNT(*) AS orphan_rows
@@ -79,12 +83,13 @@ DQ_CONSTRAINTS_SQL = """
         LEFT JOIN customer ON o_custkey = c_custkey
         WHERE c_custkey IS NULL)
     SELECT 'completeness:o_custkey' AS rule,
-           ROUND(CAST((n_rows - null_ck) * 1.0 / n_rows AS DOUBLE), 6) AS metric,
+           ROUND(CAST((n_rows - null_ck) * 1.0 / GREATEST(n_rows, 1) AS DOUBLE), 6)
+               AS metric,
            CASE WHEN null_ck = 0 THEN 'PASS' ELSE 'FAIL' END AS status
     FROM a
     UNION ALL
     SELECT 'uniqueness:o_orderkey',
-           ROUND(CAST(d_ok * 1.0 / n_rows AS DOUBLE), 6),
+           ROUND(CAST(d_ok * 1.0 / GREATEST(n_rows, 1) AS DOUBLE), 6),
            CASE WHEN d_ok = n_rows THEN 'PASS' ELSE 'FAIL' END
     FROM a
     UNION ALL
@@ -444,11 +449,14 @@ DU_INGEST_CONSTRAINTS_SQL = """
         FROM lineitem),
     a AS (
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS null_keys,
-               SUM(CASE WHEN size IS NULL THEN 1 ELSE 0 END) AS null_sizes,
-               SUM(CASE WHEN size < 0 THEN 1 ELSE 0 END) AS neg_sizes,
-               SUM(CASE WHEN len(string_split(key, '/')) >= 2 THEN 0 ELSE 1 END)
-                   AS malformed_keys
+               COALESCE(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END), 0)
+                   AS null_keys,
+               COALESCE(SUM(CASE WHEN size IS NULL THEN 1 ELSE 0 END), 0)
+                   AS null_sizes,
+               COALESCE(SUM(CASE WHEN size < 0 THEN 1 ELSE 0 END), 0)
+                   AS neg_sizes,
+               COALESCE(SUM(CASE WHEN len(string_split(key, '/')) >= 2
+                                 THEN 0 ELSE 1 END), 0) AS malformed_keys
         FROM inventory)
     SELECT 'completeness:key' AS rule,
            ROUND(CAST(null_keys AS DOUBLE), 6) AS metric,

@@ -66,3 +66,8 @@ from .queries import rotation_r8  # noqa: E402,F401
 from .queries import q_round8  # noqa: E402,F401
 from .queries import q_round8b  # noqa: E402,F401
 from .queries import q_round8c  # noqa: E402,F401
+
+# Round-9 window rotation (applied on import, last): the 27 round-8
+# additions first (every round-9 engine-changed query is among them),
+# then du_lookup + the r4-stale backlog, then the 15 oldest r5 rows.
+from .queries import rotation_r9  # noqa: E402,F401

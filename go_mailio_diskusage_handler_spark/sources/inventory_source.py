@@ -244,8 +244,20 @@ def _write_inventory_part(path: str, name: str, iterator) -> _InventoryCommit:
         {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
     )
     pq.write_table(tbl, full)
-    raw = open(full, "rb").read()
-    return _InventoryCommit(name, len(raw), hashlib.md5(raw).hexdigest())
+    # Stream the checksum: chunked reads keep the task's memory
+    # high-water mark flat regardless of file size (re-reading the
+    # whole file into one bytes object would double peak memory at
+    # production file sizes).
+    digest = hashlib.md5()
+    size = 0
+    with open(full, "rb") as fh:
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            digest.update(chunk)
+            size += len(chunk)
+    return _InventoryCommit(name, size, digest.hexdigest())
 
 
 class MailioInventoryWriter(DataSourceWriter):
@@ -280,7 +292,17 @@ class MailioInventoryWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        name = f"data-{self._token}-{ctx.partitionId():05d}.parquet"
+        # taskAttemptId is application-unique, so a speculative or
+        # zombie retry of the same partition writes a DISTINCT file:
+        # the attempt whose commit message reaches the driver is the
+        # one the manifest lists; losers are unlisted orphans that
+        # vacuum_uncommitted() reclaims.  Without it, two attempts
+        # would race a non-atomic pq.write_table on the SAME path and
+        # could corrupt a file the manifest already describes.
+        name = (
+            f"data-{self._token}-{ctx.partitionId():05d}-"
+            f"{ctx.taskAttemptId()}.parquet"
+        )
         return _write_inventory_part(self._path, name, iterator)
 
     def _manifest_file(self) -> str:
@@ -289,6 +311,39 @@ class MailioInventoryWriter(DataSourceWriter):
         return os.path.join(self._path, "manifest.json")
 
     def commit(self, messages) -> None:
+        import contextlib
+        import os
+
+        @contextlib.contextmanager
+        def _commit_lock():
+            """Exclusive lock around the manifest read-merge-replace.
+
+            Append mode is a read-modify-write: without mutual
+            exclusion two concurrent append jobs would both read the
+            same prior manifest and the later ``os.replace`` would
+            silently drop the earlier job's entries (orphaning its
+            files for vacuum).  ``flock`` on a sidecar lock file keeps
+            driver-side commits serial on POSIX; where ``fcntl`` is
+            unavailable the constraint degrades to the documented
+            single-concurrent-writer-per-path rule.
+            """
+            try:
+                import fcntl
+            except ImportError:  # non-POSIX: single-writer by contract
+                yield
+                return
+            lock_path = os.path.join(self._path, ".manifest.lock")
+            with open(lock_path, "a") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        with _commit_lock():
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages) -> None:
         import json
         import os
 
@@ -346,8 +401,9 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
     fully-committed batches.
 
     Honesty note on data files: the batch id is not visible on
-    executors, so task files are named by (stage id, partition id) —
-    attempt-unique.  A replayed batch therefore writes NEW files and
+    executors, so task files are named by (stage id, partition id,
+    task attempt id) — unique even across speculative retries of one
+    task.  A replayed batch therefore writes NEW files and
     re-points its manifest at them; the first attempt's files stay on
     disk UNLISTED.  That is safe for manifest-driven readers (the
     contract) but means directory-level reads double-count until
@@ -374,9 +430,13 @@ class MailioInventoryStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
+        # (stage, partition, taskAttemptId): the attempt id makes
+        # speculative/zombie retries of one task write distinct files
+        # (same rationale as the batch writer — the manifest lists the
+        # winning attempt, vacuum reclaims the rest).
         name = (
             f"data-{self._token}-{ctx.stageId():06d}-"
-            f"{ctx.partitionId():05d}.parquet"
+            f"{ctx.partitionId():05d}-{ctx.taskAttemptId()}.parquet"
         )
         return _write_inventory_part(self._path, name, iterator)
 

@@ -491,7 +491,6 @@ def binned_psi_counts(
     events: DataFrame,
     bounds: DataFrame,
     split_epoch: float,
-    watermark: str = "30 minutes",
 ) -> DataFrame:
     """Streaming value-distribution counts for the PSI drift monitor:
     additive (event_type, is_ref, bin) counts over a FROZEN reference
@@ -506,10 +505,19 @@ def binned_psi_counts(
     and ``split_epoch`` come from a calibration batch
     (``dq.reference_decile_bounds``) — freezing them is what makes the
     streaming counts additive at all.
+
+    Deliberately NO ``withWatermark``: the aggregation keys are
+    (event_type, is_ref, bin) with no event-time column, so a
+    watermark would neither bound state (already bounded at
+    types x 2 x bins) nor evict anything — every late row must still
+    land in its bin for the serve-time fold to equal the batch
+    monitor.  Update/complete output mode is the contract (ADVICE r8:
+    an inert watermark here implied late-data semantics the query
+    does not have).
     """
     from go_mailio_diskusage_handler_spark.operators.dq import assign_psi_bins
 
-    tagged = events.withWatermark("ts", watermark).where(
+    tagged = events.where(
         F.col("value").isNotNull()  # same NULL policy as the batch monitor
     ).select(
         "event_type",
