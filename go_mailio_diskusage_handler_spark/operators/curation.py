@@ -1023,3 +1023,80 @@ def dsir_importance_weights(
         )
     )
     return own_cache(out, per_doc)
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv
+    1911.00359): split each language's documents into head / middle /
+    tail terciles of the corpus-LM quality score and report the
+    composition per (lang, bucket).
+
+    CCNet's curation move is exactly this: score every document with a
+    language model (here the in-repo corpus-unigram log-prob,
+    ``text.unigram_logprob_scores`` — higher mean log p == lower
+    perplexity == cleaner text), cut each LANGUAGE at its own 1/3 and
+    2/3 quantiles, and keep/weight buckets downstream ("head" is the
+    high-quality slice).  Per-language cuts matter for the same reason
+    :func:`adaptive_quality_gate`'s per-source cuts do: one global
+    threshold would grade every non-English language against English's
+    score distribution.
+
+    Distributed shape — NO window ever touches the fact table (a
+    10⁹-doc language in one window partition is the classic scale
+    killer):
+
+    * scores round to 4 decimals → a bounded score domain, so the
+      per-language tercile assignment is computable from an EXACT
+      (lang, score) histogram whose map-side-combined shuffle carries
+      at most |langs|·(domain) rows regardless of corpus size (the
+      same bounded-histogram fence as :func:`mixture_rebalance` and
+      :func:`adaptive_quality_gate`);
+    * cumulative-fraction-from-the-top over the histogram (score DESC)
+      gives each distinct score its bucket: head while cume ≤ 1/3,
+      middle while ≤ 2/3, else tail — whole tie-groups land in one
+      bucket in both engines by construction;
+    * the bucketed histogram is dimension-sized and joins back
+      BROADCAST on (lang, score); the final aggregate is
+      |langs|·3 rows.
+    """
+    from pyspark import StorageLevel
+
+    from .text import unigram_logprob_scores
+
+    # The scored table feeds BOTH the histogram and the final
+    # composition join; persist it so the two-shuffle LM pipeline
+    # (token explode + freq join) runs once, with lifetime tied to the
+    # returned frame (own_cache, same contract as curated_corpus).
+    scored = (
+        unigram_logprob_scores(documents)
+        .join(documents.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("avg_logp").alias("lp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).alias("n"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("lp").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("lang")
+    cd = F.sum("n").over(cum_w) / F.sum("n").over(tot_w)
+    bucketed = hist.select(
+        "lang",
+        "lp",
+        F.when(cd <= 1.0 / 3, F.lit("head"))
+        .when(cd <= 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    out = (
+        scored.join(F.broadcast(bucketed), ["lang", "lp"])
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+            F.round(F.min("lp"), 4).alias("min_logp"),
+            F.round(F.max("lp"), 4).alias("max_logp"),
+        )
+    )
+    return own_cache(out, scored)

@@ -1,0 +1,56 @@
+"""Round-9 addition: CCNet-style perplexity bucketing.
+
+Registered AFTER the round-9 rotation applies, so it lands at the
+registry TAIL — behind the 50-slot driver window — per the rotation
+policy for brand-new queries (in-repo oracle-checked via the pytest
+ORACLE_CHECKED list until the round-10 front picks it up).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation
+from ..sources.tables import load_table
+from ._base import register
+
+# DuckDB mirror of curation.perplexity_buckets: identical corpus-LM
+# score (the text_unigram_logprob pipeline), identical
+# histogram-with-cumulative-fraction tercile assignment (score DESC,
+# tie-groups whole), identical composition aggregate.  COUNTs CAST
+# BIGINT for dtype parity.
+PPL_BUCKETS_SQL = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM freq),
+    scores AS (SELECT doc_id, ROUND(AVG(ln(tf / total)), 4) AS lp
+               FROM toks JOIN freq USING (tok) CROSS JOIN tot
+               GROUP BY doc_id),
+    sc AS (SELECT s.doc_id, d.lang, s.lp
+           FROM scores s JOIN documents d USING (doc_id)),
+    hist AS (SELECT lang, lp, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+    cd AS (SELECT lang, lp,
+                  SUM(n) OVER (PARTITION BY lang ORDER BY lp DESC)
+                      * 1.0 / SUM(n) OVER (PARTITION BY lang) AS cf
+           FROM hist),
+    b AS (SELECT lang, lp,
+                 CASE WHEN cf <= 1.0 / 3 THEN 'head'
+                      WHEN cf <= 2.0 / 3 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM cd)
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(lp), 4) AS avg_logp,
+           ROUND(MIN(lp), 4) AS min_logp,
+           ROUND(MAX(lp), 4) AS max_logp
+    FROM sc JOIN b USING (lang, lp)
+    GROUP BY 1, 2
+"""
+
+
+@register("curation_ppl_buckets", PPL_BUCKETS_SQL)
+def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CCNet head/middle/tail perplexity terciles per language
+    (operators/curation.py:perplexity_buckets; Wenzek et al. 2020,
+    arXiv 1911.00359)."""
+    return curation.perplexity_buckets(load_table(spark, sf_dir, "documents"))

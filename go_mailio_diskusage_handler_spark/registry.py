@@ -71,3 +71,7 @@ from .queries import q_round8c  # noqa: E402,F401
 # additions first (every round-9 engine-changed query is among them),
 # then du_lookup + the r4-stale backlog, then the 15 oldest r5 rows.
 from .queries import rotation_r9  # noqa: E402,F401
+
+# Round-9 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round9  # noqa: E402,F401
