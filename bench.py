@@ -195,14 +195,18 @@ def main() -> None:
     # BENCH_SUMMARY.json carries the FULL record of the latest run
     # (per-query map + headline scalars + n + sf) so the committed
     # artifact never depends on the driver's tail window.
+    # Written only at the headline config (sf0.1): an ad-hoc sf0.001/
+    # sf0.01 iteration probe must not clobber the committed sf0.1 run
+    # evidence — the same hazard the PIN_BASELINE gate closes below.
     summary = dict(out)
     summary["n_queries"] = len(timings)
-    try:
-        with open(os.path.join(repo_dir, "BENCH_SUMMARY.json"), "w") as fh:
-            json.dump(summary, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout line still records
+    if float(sf) == 0.1:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_SUMMARY.json"), "w") as fh:
+                json.dump(summary, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line still records
     # Per-query regression baseline (round-5 verdict task 7), compared
     # NUMERICALLY so "0.10"/".1" spellings match (ADVICE r7).  The pin
     # is OPT-IN (round-8 verdict task 5): refreshing the committed

@@ -83,7 +83,11 @@ DQ_CONSTRAINTS_SQL = """
         LEFT JOIN customer ON o_custkey = c_custkey
         WHERE c_custkey IS NULL)
     SELECT 'completeness:o_custkey' AS rule,
-           ROUND(CAST((n_rows - null_ck) * 1.0 / GREATEST(n_rows, 1) AS DOUBLE), 6)
+           -- numerator floors n_rows too, matching the Spark side's
+           -- (greatest(n_rows,1) - null_ck) / greatest(n_rows,1): an
+           -- empty table reads vacuously complete (1.0) in BOTH engines
+           ROUND(CAST((GREATEST(n_rows, 1) - null_ck) * 1.0
+                      / GREATEST(n_rows, 1) AS DOUBLE), 6)
                AS metric,
            CASE WHEN null_ck = 0 THEN 'PASS' ELSE 'FAIL' END AS status
     FROM a
