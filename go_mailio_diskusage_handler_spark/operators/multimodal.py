@@ -255,3 +255,44 @@ def payload_dedup(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def ingest_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
+    """Real file ingestion for the multimodal tier: Spark's built-in
+    ``binaryFile`` source reads each object as ONE row of (path,
+    modificationTime, length, content) — the layer that turns a bucket
+    of images/audio/video into the opaque-payload table every operator
+    above consumes (payload column + typed metadata, same shape as
+    :func:`media_table`).
+
+    Scale notes: the source parallelizes at file granularity (one row
+    per file, files assigned to tasks by size via
+    ``maxPartitionBytes``), predicate pushdown on ``length`` and
+    ``path`` prunes at the LISTING, and content bytes never transit
+    the driver.  Media type derives from the file extension; doc_id
+    from the file stem when numeric (deterministic re-ingest), else a
+    stable hash of the path.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    doc_id = F.when(
+        stem.rlike("^[0-9]+$"), stem.cast("long")
+    ).otherwise(F.abs(F.xxhash64(F.col("path"))))
+    media_type = (
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), F.lit("image"))
+        .when(ext.isin("wav", "mp3", "flac", "pcm"), F.lit("audio"))
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), F.lit("video"))
+        .otherwise(F.lit("binary"))
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        media_type.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("path").alias("source_path"),
+    )

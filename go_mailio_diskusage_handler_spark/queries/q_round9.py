@@ -1,9 +1,11 @@
-"""Round-9 addition: CCNet-style perplexity bucketing.
+"""Round-9 additions: CCNet-style perplexity bucketing and the
+parameterized-SQL + IDENTIFIER surface.
 
-Registered AFTER the round-9 rotation applies, so it lands at the
+Registered AFTER the round-9 rotation applies, so both land at the
 registry TAIL — behind the 50-slot driver window — per the rotation
 policy for brand-new queries (in-repo oracle-checked via the pytest
-ORACLE_CHECKED list until the round-10 front picks it up).
+parity tests in test_round9.py until the round-10 front picks them
+up).
 """
 from __future__ import annotations
 
@@ -54,3 +56,26 @@ def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:perplexity_buckets; Wenzek et al. 2020,
     arXiv 1911.00359)."""
     return curation.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB mirror of sql.parameterized_revenue with the bound values
+# inlined textually (parse-time binding makes the Spark plan identical
+# to this literal form; DuckDB has no IDENTIFIER clause to mirror).
+PARAMETERIZED_REVENUE_ORACLE_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized_revenue", PARAMETERIZED_REVENUE_ORACLE_SQL)
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Parameterized SQL + IDENTIFIER clause: named :marker args
+    bound as typed literals at parse time (sql.py:parameterized_revenue)."""
+    from .. import sql as sqlmod
+
+    return sqlmod.parameterized_revenue(spark, sf_dir)

@@ -41,13 +41,13 @@ from .rotation_r45 import _rotate_front
 #     27 + 8 + 15 = 50 exactly.
 #
 # Round-10 front (precomputed from CORRECTNESS_r01-r08 + this window):
-# after round 9 the histogram is 1 never-checked (the round-9 tail
-# addition curation_ppl_buckets, registered behind this window per
-# the deferral policy) / 0 r4 / 35 r5 / 42 r6 / 50 r7 / 50 r8 /
-# 50 r9.  The r10 window fronts curation_ppl_buckets, then the 35
-# remaining r5-stale rows, then the 14 oldest r6-stale rows, in
-# registration order — 50 exactly:
-# curation_ppl_buckets,
+# after round 9 the histogram is 2 never-checked (the round-9 tail
+# additions curation_ppl_buckets and sql_parameterized_revenue,
+# registered behind this window per the deferral policy) / 0 r4 /
+# 35 r5 / 42 r6 / 50 r7 / 50 r8 / 50 r9.  The r10 window fronts the
+# two additions, then the 35 remaining r5-stale rows, then the 13
+# oldest r6-stale rows, in registration order — 50 exactly:
+# curation_ppl_buckets, sql_parameterized_revenue,
 # text_fingerprints, text_repetition, dedup_exact, dedup_minhash,
 # dedup_incremental_minhash, dedup_ngram_jaccard, curation_split_assign,
 # curation_mixture, curation_pack_sequences, curation_contaminated,
@@ -64,12 +64,12 @@ from .rotation_r45 import _rotate_front
 # part_affinity_lift, dedup_triangles, dedup_minhash_estimate,
 # dedup_prefix_jaccard, curation_dedup_report, dedup_semantic,
 # sim_kmeans_train, sim_kmeans_stats, sim_kmeans_ivf_topk,
-# sim_rrf_hybrid_topk, dedup_pair_editdist
+# sim_rrf_hybrid_topk
 # — adjusted first for any round-10 engine changes (changed queries
 # front first) and for any r9 driver reds.  After round 10 the oldest
-# freshness anywhere is r6 (28 rows, dedup_ngram_containment first),
+# freshness anywhere is r6 (29 rows, dedup_pair_editdist first),
 # satisfying the round-8 verdict's "nothing older than r5 by round
-# 10" with a round to spare; round 11 drains those 28 plus the 22
+# 10" with a round to spare; round 11 drains those 29 plus the 21
 # oldest r7 rows.
 # ---------------------------------------------------------------------------
 _R9_FRONT = [

@@ -77,3 +77,26 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejected = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, rejected
+
+
+def read_xml_strict(
+    spark: SparkSession, path: str, ddl_schema: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML scan (Spark 4's built-in spark-xml) with explicit schema and
+    corrupt-row quarantine (same contract as :func:`read_csv_strict`).
+
+    The XML reader is record-oriented on ``rowTag``, so a malformed
+    ELEMENT quarantines as one row while the rest of the file parses —
+    the same row-granular degrade the CSV/JSONL readers give.  The
+    splittability caveat in the module docstring applies doubly: XML
+    is also quote/nesting-sensitive, so keep delivery files bounded or
+    re-land as Parquet before heavy processing.
+    """
+    return (
+        spark.read.schema(_schema_with_quarantine(ddl_schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .format("xml")
+        .load(path)
+    )

@@ -777,3 +777,40 @@ def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (analyst SQL ports run unmodified)."""
     register_views(spark, sf_dir)
     return spark.sql(GROUP_BY_ALL_SQL)
+
+
+PARAMETERIZED_REVENUE_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM IDENTIFIER(:tbl)
+    WHERE o_orderdate >= :start_date
+      AND o_totalprice > :min_price
+    GROUP BY o_orderpriority
+"""
+
+
+def parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): named ``:marker`` arguments bound
+    through ``spark.sql(..., args=...)`` plus the ``IDENTIFIER()``
+    clause resolving a TABLE NAME from a parameter — the
+    injection-safe surface for templated reports (values bind as
+    typed literals, never string-spliced; the identifier is validated
+    as a name, so ``tbl="orders; DROP ..."`` cannot parse as SQL).
+
+    Binding happens at PARSE time, so the plan is byte-identical to
+    the literal-inlined query: same pushed filters, same partial
+    aggregate — zero runtime cost for the safety.  The oracle inlines
+    the same literals textually (DuckDB's binder has no IDENTIFIER
+    clause)."""
+    import datetime
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        PARAMETERIZED_REVENUE_SQL,
+        args={
+            "tbl": "orders",
+            "start_date": datetime.date(1995, 1, 1),
+            "min_price": 100000.0,
+        },
+    )

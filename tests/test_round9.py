@@ -359,3 +359,109 @@ def test_aqe_skew_join_splits_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: parameterized SQL, XML source, binaryFile ingest
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_parameterized_revenue(spark, ddb):
+    from conftest import compare_with_oracle
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "sql_parameterized_revenue", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_parameterized_sql_binds_at_parse_time(spark):
+    """args binding happens at parse time, so the parameterized query's
+    optimized plan equals the literal-inlined query's — the safety is
+    free.  And a malicious 'table name' must be rejected by the
+    IDENTIFIER binder, never parsed as SQL."""
+    from go_mailio_diskusage_handler_spark import sql as sqlmod
+
+    param = sqlmod.parameterized_revenue(spark, SF_CORRECT)
+    literal = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice > 100000.0D
+        GROUP BY o_orderpriority
+        """
+    )
+    def norm(df):
+        # expression ids (#123L) differ per-parse; the structure must not
+        return re.sub(
+            r"#\d+L?", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert norm(param) == norm(literal)
+    with pytest.raises(Exception):
+        spark.sql(
+            "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders WHERE 1=0; DROP TABLE orders"},
+        ).collect()
+
+
+def test_xml_roundtrip_and_quarantine(spark, tmp_path):
+    """XML source (Spark 4 built-in): schema-enforced read of rowTag
+    records + corrupt-element quarantine, same contract as CSV/JSONL."""
+    from go_mailio_diskusage_handler_spark.sources import formats
+
+    p = tmp_path / "inv.xml"
+    p.write_text(
+        "<rows>"
+        "<row><key>alice/a.txt</key><size>10</size></row>"
+        "<row><key>bob/b.txt</key><size>20</size></row>"
+        "<row><key>carol/c.txt</key><size>not_a_number</size></row>"
+        "</rows>"
+    )
+    df = formats.read_xml_strict(spark, str(p), "key string, size bigint")
+    clean, rejected = formats.split_quarantine(df)
+    got = sorted(tuple(r) for r in clean.collect())
+    assert got == [("alice/a.txt", 10), ("bob/b.txt", 20)]
+    assert rejected.count() == 1
+
+
+def test_binary_file_ingest_feeds_multimodal_stack(spark, tmp_path):
+    """binaryFile source -> opaque-payload table: per-file rows with
+    exact byte counts, extension-derived media types, numeric-stem doc
+    ids, and payloads identical to disk (md5-checked via the metadata
+    shape); the decoded-feature stack runs on it unchanged."""
+    import hashlib
+
+    from go_mailio_diskusage_handler_spark.operators import multimodal
+
+    payloads = {
+        "1.jpg": b"\xff\xd8fakejpegbytes",
+        "2.wav": b"RIFFfakewav",
+        "3.mp4": b"\x00\x00fakemp4",
+        "notes.txt": b"plain text",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = multimodal.ingest_binary_files(spark, str(tmp_path))
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    assert rows["1.jpg"]["media_type"] == "image"
+    assert rows["2.wav"]["media_type"] == "audio"
+    assert rows["3.mp4"]["media_type"] == "video"
+    assert rows["notes.txt"]["media_type"] == "binary"
+    assert rows["1.jpg"]["doc_id"] == 1 and rows["3.mp4"]["doc_id"] == 3
+    for name, data in payloads.items():
+        assert bytes(rows[name]["payload"]) == data
+        assert rows[name]["n_bytes"] == len(data)
+    # metadata layer over the ingested table: md5 matches disk
+    meta = df.select(
+        "doc_id",
+        "media_type",
+        multimodal.F.octet_length("payload").cast("int").alias("n_bytes"),
+        multimodal.F.md5("payload").alias("checksum"),
+    )
+    sums = {r["doc_id"]: r["checksum"] for r in meta.collect()}
+    assert sums[1] == hashlib.md5(payloads["1.jpg"]).hexdigest()
+    assert sums[2] == hashlib.md5(payloads["2.wav"]).hexdigest()
