@@ -287,6 +287,77 @@ def attributed_purchases(
     )
 
 
+def attributed_purchases_outer(
+    events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched ones with their click, UNMATCHED ones with NULL click
+    columns — the attribution shape that also reports organic
+    purchases.
+
+    The outer side is what makes this a distinct state-machine from
+    :func:`attributed_purchases`: an unmatched purchase cannot emit
+    when it arrives (a matching click may still come), so it sits in
+    state until the CLICK-side watermark passes its join window; the
+    null-padded row emits at state EVICTION time.  Two consequences a
+    consumer must plan for, both inherent to outer stream joins (not
+    engine quirks):
+
+    * **Tail holdback** — purchases within ``watermark + horizon`` of
+      the stream's high-water mark have open join windows and emit
+      only after LATER input advances the watermark.  The query's
+      watermark is the MIN over both ``withWatermark`` nodes, and each
+      node advances only on rows reaching ITS side of the plan — so
+      flushing needs later events on BOTH branches (a later click
+      alone leaves the purchase-side watermark, and therefore the
+      global one, parked).  A drained AvailableNow run withholds the
+      final horizon; the test drives a second batch carrying both a
+      future click and a future purchase to flush it, and only then
+      equals batch.
+    * **Finalization lag** — matched rows emit promptly; null-padded
+      rows are always one horizon late by construction.
+
+    State stays bounded exactly as the inner form: the range bound
+    lets both sides evict anything older than ``watermark + horizon``.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def deduplicated_stream(
     events: DataFrame,
     key: str | list[str] = "event_id",

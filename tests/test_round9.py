@@ -465,3 +465,87 @@ def test_binary_file_ingest_feeds_multimodal_stack(spark, tmp_path):
     sums = {r["doc_id"]: r["checksum"] for r in meta.collect()}
     assert sums[1] == hashlib.md5(payloads["1.jpg"]).hexdigest()
     assert sums[2] == hashlib.md5(payloads["2.wav"]).hexdigest()
+
+
+def test_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows emit
+    promptly; null-padded unmatched purchases emit at state EVICTION,
+    so a drained run withholds the final watermark+horizon of
+    purchases — and a later file advancing the watermark flushes them,
+    after which stream == batch exactly."""
+    import shutil
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_CORRECT}/../sf0.001/events.parquet", d / "b0.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint, and the second phase MUST resume the first
+        # phase's state to flush its held-back outer rows
+        stream = windows.read_event_stream(spark, str(d))
+        q = (
+            windows.attributed_purchases_outer(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            (r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    batch_events = load_table(
+        spark, f"{SF_CORRECT}/../sf0.001", "events"
+    ).withColumn("ts", windows.F.col("ts").cast("timestamp"))
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases_outer(batch_events).collect()
+    }
+
+    got1 = run_once()
+    held_back = want - got1
+    assert got1 <= want  # nothing emits that batch would not produce
+    assert held_back, "expected tail-horizon purchases to be withheld"
+    assert all(c is None for _, c in held_back)  # only unmatched rows wait
+
+    # a later file advances the watermark past the held-back windows.
+    # It must carry BOTH event types: the query watermark is the MIN
+    # over the two withWatermark nodes and each advances only on rows
+    # reaching its branch — a future click alone leaves the
+    # purchase-side (and so the global) watermark parked and nothing
+    # ever flushes (verified empirically before this shape was chosen).
+    max_ts = batch_events.agg(windows.F.max("ts")).collect()[0][0]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    future = pd.DataFrame(
+        {
+            "event_id": [10_000_000, 10_000_001],
+            "ts": [pd.Timestamp(max_ts) + pd.Timedelta(hours=6)] * 2,
+            "user_id": [999_998, 999_999],  # distinct users: no match
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    t = pa.Table.from_pandas(future)
+    pq.write_table(
+        t.set_column(1, "ts", t["ts"].cast(pa.timestamp("us"))),
+        d / "b1.parquet",
+    )
+    got2 = run_once()
+    # every original null-padded row flushed; the future purchase is
+    # the NEW held-back tail (its own join window is still open)
+    assert got2 == want
