@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame, functions as F
 ORDER_STATUS_DOMAIN = ("O", "F", "P")
 
 
+def _nz_sum(flag) -> "F.Column":
+    """SUM of a violation-count expression, COALESCEd to 0 so an EMPTY
+    table yields well-defined counters (SUM over zero rows is NULL,
+    which would turn every PASS/FAIL status into FAIL-with-NULL-metric)
+    — the shared empty-table hardening of both constraint suites; the
+    DuckDB oracle mirrors apply the same COALESCE."""
+    return F.coalesce(F.sum(flag), F.lit(0))
+
+
 def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """Evaluate the declared constraint suite over ``orders`` (with
     ``customer`` as the referential-integrity dimension).
@@ -43,29 +52,20 @@ def constraint_suite(orders: DataFrame, customer: DataFrame) -> DataFrame:
     a ratio for completeness/uniqueness, a violation count for the
     rest), ``status`` ('PASS' | 'FAIL').
     """
-    # Every SUM is COALESCEd to 0 so an EMPTY orders table yields
-    # well-defined rows (SUM over zero rows is NULL, which would turn
-    # every status into FAIL-with-NULL-metric); the oracle mirror in
-    # q_round8c.py applies the same COALESCE.
     one_pass = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
-        ).alias("null_custkey"),
+        _nz_sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
         F.countDistinct("o_orderkey").alias("distinct_orderkey"),
         # NULL IN (...) is NULL -> falls through to the violation arm,
         # matching SQL CASE WHEN ... IN ... THEN 0 ELSE 1 END.
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 0
-                ).otherwise(1)
-            ),
-            F.lit(0),
+        _nz_sum(
+            F.when(F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 0).otherwise(1)
         ).alias("bad_status"),
-        F.coalesce(
-            F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)), F.lit(0)
-        ).alias("neg_price"),
+        _nz_sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "neg_price"
+        ),
     )
     # NULL foreign keys are owned by the completeness rule, not the
     # referential rule (a NULL never matches the anti join and would
@@ -439,22 +439,13 @@ def inventory_constraint_suite(
     # a NULL key makes well_formed_key() NULL (size(split(NULL)) is
     # NULL), which a bare SUM would silently DROP while the oracle's
     # CASE ... ELSE 1 counts it as malformed — coalesce the flag to 1.
-    # The outer COALESCEs keep the empty table well-defined (SUM over
-    # zero rows is NULL).
     one_pass = inventory.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.sum(F.col("key").isNull().cast("long")), F.lit(0)).alias(
-            "null_keys"
-        ),
-        F.coalesce(F.sum(F.col("size").isNull().cast("long")), F.lit(0)).alias(
-            "null_sizes"
-        ),
-        F.coalesce(F.sum((F.col("size") < 0).cast("long")), F.lit(0)).alias(
-            "neg_sizes"
-        ),
-        F.coalesce(
-            F.sum(F.coalesce((~well_formed_key()).cast("long"), F.lit(1))),
-            F.lit(0),
+        _nz_sum(F.col("key").isNull().cast("long")).alias("null_keys"),
+        _nz_sum(F.col("size").isNull().cast("long")).alias("null_sizes"),
+        _nz_sum((F.col("size") < 0).cast("long")).alias("neg_sizes"),
+        _nz_sum(
+            F.coalesce((~well_formed_key()).cast("long"), F.lit(1))
         ).alias("malformed_keys"),
     )
 

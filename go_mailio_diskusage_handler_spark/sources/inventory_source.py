@@ -224,6 +224,37 @@ class _InventoryCommit(WriterCommitMessage):
         self.md5 = md5
 
 
+def _manifest_commit_lock(path: str):
+    """Exclusive lock around a manifest read-merge-replace.
+
+    Append mode is a read-modify-write: without mutual exclusion two
+    concurrent append jobs would both read the same prior manifest and
+    the later ``os.replace`` would silently drop the earlier job's
+    entries (orphaning its files for vacuum).  ``flock`` on a sidecar
+    lock file keeps driver-side commits serial on POSIX; where
+    ``fcntl`` is unavailable the constraint degrades to the documented
+    single-concurrent-writer-per-path rule.
+    """
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _lock():
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: single-writer by contract
+            yield
+            return
+        with open(os.path.join(path, ".manifest.lock"), "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    return _lock()
+
+
 def _write_inventory_part(path: str, name: str, iterator) -> _InventoryCommit:
     """Executor-side: drain one task's rows into ONE parquet file and
     return its manifest entry (key/size/MD5checksum, ``types.go:28-32``)
@@ -311,36 +342,7 @@ class MailioInventoryWriter(DataSourceWriter):
         return os.path.join(self._path, "manifest.json")
 
     def commit(self, messages) -> None:
-        import contextlib
-        import os
-
-        @contextlib.contextmanager
-        def _commit_lock():
-            """Exclusive lock around the manifest read-merge-replace.
-
-            Append mode is a read-modify-write: without mutual
-            exclusion two concurrent append jobs would both read the
-            same prior manifest and the later ``os.replace`` would
-            silently drop the earlier job's entries (orphaning its
-            files for vacuum).  ``flock`` on a sidecar lock file keeps
-            driver-side commits serial on POSIX; where ``fcntl`` is
-            unavailable the constraint degrades to the documented
-            single-concurrent-writer-per-path rule.
-            """
-            try:
-                import fcntl
-            except ImportError:  # non-POSIX: single-writer by contract
-                yield
-                return
-            lock_path = os.path.join(self._path, ".manifest.lock")
-            with open(lock_path, "a") as lk:
-                fcntl.flock(lk, fcntl.LOCK_EX)
-                try:
-                    yield
-                finally:
-                    fcntl.flock(lk, fcntl.LOCK_UN)
-
-        with _commit_lock():
+        with _manifest_commit_lock(self._path):
             self._commit_locked(messages)
 
     def _commit_locked(self, messages) -> None:

@@ -459,8 +459,8 @@ def test_binary_file_ingest_feeds_multimodal_stack(spark, tmp_path):
     meta = df.select(
         "doc_id",
         "media_type",
-        multimodal.F.octet_length("payload").cast("int").alias("n_bytes"),
-        multimodal.F.md5("payload").alias("checksum"),
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
     )
     sums = {r["doc_id"]: r["checksum"] for r in meta.collect()}
     assert sums[1] == hashlib.md5(payloads["1.jpg"]).hexdigest()
@@ -507,7 +507,7 @@ def test_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
 
     batch_events = load_table(
         spark, f"{SF_CORRECT}/../sf0.001", "events"
-    ).withColumn("ts", windows.F.col("ts").cast("timestamp"))
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     want = {
         (r.purchase_id, r.click_id)
         for r in windows.attributed_purchases_outer(batch_events).collect()
@@ -525,7 +525,7 @@ def test_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
     # reaching its branch — a future click alone leaves the
     # purchase-side (and so the global) watermark parked and nothing
     # ever flushes (verified empirically before this shape was chosen).
-    max_ts = batch_events.agg(windows.F.max("ts")).collect()[0][0]
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
