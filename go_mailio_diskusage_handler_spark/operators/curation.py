@@ -1054,7 +1054,11 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     * cumulative-fraction-from-the-top over the histogram (score DESC)
       gives each distinct score its bucket: head while cume ≤ 1/3,
       middle while ≤ 2/3, else tail — whole tie-groups land in one
-      bucket in both engines by construction;
+      bucket in both engines by construction (so bucket OCCUPANCY is
+      data-dependent: a language whose top tie-group already exceeds
+      2/3 of its docs — e.g. a single-document language — reports only
+      a tail bucket; the partition and range-ordering invariants are
+      what always hold, property-tested in test_properties.py);
     * the bucketed histogram is dimension-sized and joins back
       BROADCAST on (lang, score); the final aggregate is
       |langs|·3 rows.

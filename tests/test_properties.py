@@ -696,3 +696,91 @@ def test_psi_is_nonnegative(spark, ref, cur):
 
     r = dq.value_drift_psi(_psi_events(spark, ref, cur)).collect()[0]
     assert r["psi"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round 9: constraint-suite NULL algebra and perplexity-bucket invariants
+# ---------------------------------------------------------------------------
+
+_maybe_key = st.one_of(st.none(), _key)
+_maybe_size = st.one_of(st.none(), st.integers(min_value=-5, max_value=1000))
+_nullable_inventory = st.lists(
+    st.tuples(_maybe_key, _maybe_size), min_size=0, max_size=25
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_nullable_inventory)
+def test_inventory_constraints_match_python_reference(spark, rows):
+    """inventory_constraint_suite == a direct Python fold for arbitrary
+    NULL-laced inventories — pins the explicit NULL policy (NULL key
+    counts as malformed, NULL size is owned by completeness not
+    non-negativity) and the empty-table zeroing, for inputs the
+    fixtures never produce."""
+    from go_mailio_diskusage_handler_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(k, None if s is None else int(s)) for k, s in rows],
+        "key string, size long",
+    )
+    got = {r["rule"]: (r["metric"], r["status"]) for r in
+           dq.inventory_constraint_suite(df).collect()}
+
+    n = len(rows)
+    null_keys = sum(1 for k, _ in rows if k is None)
+    null_sizes = sum(1 for _, s in rows if s is None)
+    neg_sizes = sum(1 for _, s in rows if s is not None and s < 0)
+    malformed = sum(
+        1 for k, _ in rows if k is None or len(k.split("/")) < 2
+    )
+    frac = round(malformed / max(n, 1), 6)
+    want = {
+        "completeness:key": (float(null_keys), "PASS" if null_keys == 0 else "FAIL"),
+        "completeness:size": (
+            float(null_sizes), "PASS" if null_sizes == 0 else "FAIL"
+        ),
+        "non_negative:size": (float(neg_sizes), "PASS" if neg_sizes == 0 else "FAIL"),
+        "malformed_frac:key": (frac, "PASS" if frac <= 0.5 else "FAIL"),
+    }
+    assert got == want
+
+
+_lang = st.sampled_from(["en", "de", "fr"])
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.tuples(_lang, st.lists(_word, min_size=1, max_size=6))
+_corpus = st.lists(_doc, min_size=1, max_size=20)
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus)
+def test_ppl_buckets_partition_each_language(spark, docs):
+    """perplexity_buckets invariants for arbitrary corpora: per-lang
+    bucket counts sum to the lang's doc count (every doc in exactly one
+    bucket) and bucket score ranges are disjoint and ordered head >=
+    middle >= tail.  Tie-groups land whole in ONE bucket by the
+    cumulative rule, so presence is data-dependent (a language whose
+    top tie-group already exceeds 2/3 of its docs — e.g. a single-doc
+    language — has only a tail bucket); what must always hold is the
+    partition + ordering, not per-bucket occupancy."""
+    from go_mailio_diskusage_handler_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), lang, "s0", len(" ".join(ws)))
+         for i, (lang, ws) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = curation.perplexity_buckets(df).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    lang_counts: dict = {}
+    for lang, _ in docs:
+        lang_counts[lang] = lang_counts.get(lang, 0) + 1
+    assert {lang for lang, _ in docs} == set(by_lang)
+    for lang, buckets in by_lang.items():
+        n = lang_counts[lang]
+        assert sum(b["n_docs"] for b in buckets.values()) == n
+        order = [b for b in ("head", "middle", "tail") if b in buckets]
+        assert order  # at least one bucket per present language
+        for hi, lo in zip(order, order[1:]):
+            assert buckets[hi]["min_logp"] >= buckets[lo]["max_logp"]
