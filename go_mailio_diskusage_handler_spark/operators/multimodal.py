@@ -271,7 +271,11 @@ def ingest_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
     ``path`` prunes at the LISTING, and content bytes never transit
     the driver.  Media type derives from the file extension; doc_id
     from the file stem when numeric (deterministic re-ingest), else a
-    stable hash of the path.
+    stable hash of the path.  doc_id uniqueness is therefore the
+    CALLER's naming contract: two numeric stems that collide across
+    directories or extensions (``a/1.jpg`` and ``b/1.wav``) map to the
+    same doc_id — dedup on ``source_path`` (always unique) when the
+    corpus layout does not guarantee stem uniqueness.
     """
     raw = (
         spark.read.format("binaryFile")

@@ -240,6 +240,9 @@ def _manifest_commit_lock(path: str):
 
     @contextlib.contextmanager
     def _lock():
+        # a zero-task job (empty 0-partition frame) reaches commit()
+        # without any executor having created the directory
+        os.makedirs(path, exist_ok=True)
         try:
             import fcntl
         except ImportError:  # non-POSIX: single-writer by contract

@@ -549,3 +549,22 @@ def test_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
     # every original null-padded row flushed; the future purchase is
     # the NEW held-back tail (its own join window is still open)
     assert got2 == want
+
+
+def test_empty_zero_partition_write_commits_empty_manifest(spark, tmp_path):
+    """A zero-task job (empty 0-partition frame) still publishes a
+    well-formed empty manifest: commit() must create the output
+    directory itself rather than rely on an executor having done it."""
+    _register(spark)
+    out = tmp_path / "inv"
+    (
+        spark.createDataFrame([], "key string, size long")
+        .write.format("mailio_inventory")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["files"] == [] or all(
+        (out / e["key"]).exists() for e in manifest["files"]
+    )
