@@ -1062,10 +1062,18 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     * the bucketed histogram is dimension-sized and joins back
       BROADCAST on (lang, score); the final aggregate is
       |langs|·3 rows.
+
+    Documents that receive NO score — exactly those whose tokenizer
+    array is NULL or empty, i.e. NULL text (empty and whitespace-only
+    text still yields the ``\"\"`` token and IS scored) — are not
+    silently dropped from the composition: they report in a dedicated
+    ``unscored`` bucket per language with NULL score stats, found by a
+    narrow filter on the same tokenizer expression (no join, no second
+    pass over the LM pipeline).
     """
     from pyspark import StorageLevel
 
-    from .text import unigram_logprob_scores
+    from .text import tokens as text_tokens, unigram_logprob_scores
 
     # The scored table feeds BOTH the histogram and the final
     # composition join; persist it so the two-shuffle LM pipeline
@@ -1103,4 +1111,23 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
             F.round(F.max("lp"), 4).alias("max_logp"),
         )
     )
-    return own_cache(out, scored)
+    # Docs the LM pipeline never scores: explode emits no rows iff the
+    # token array is NULL or empty (== NULL text under the whitespace
+    # tokenizer).  A narrow filter on the same expression — cheaper
+    # than an anti-join against the corpus-sized score table, and
+    # exact by explode's semantics.
+    toks = text_tokens()
+    unscored = (
+        documents.filter(toks.isNull() | (F.size(toks) == 0))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            F.lit("unscored").alias("bucket"),
+            "n_docs",
+            F.lit(None).cast("double").alias("avg_logp"),
+            F.lit(None).cast("double").alias("min_logp"),
+            F.lit(None).cast("double").alias("max_logp"),
+        )
+    )
+    return own_cache(out.unionByName(unscored), scored)

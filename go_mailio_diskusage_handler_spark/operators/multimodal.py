@@ -271,11 +271,17 @@ def ingest_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
     ``path`` prunes at the LISTING, and content bytes never transit
     the driver.  Media type derives from the file extension; doc_id
     from the file stem when numeric (deterministic re-ingest), else a
-    stable hash of the path.  doc_id uniqueness is therefore the
-    CALLER's naming contract: two numeric stems that collide across
-    directories or extensions (``a/1.jpg`` and ``b/1.wav``) map to the
-    same doc_id — dedup on ``source_path`` (always unique) when the
-    corpus layout does not guarantee stem uniqueness.
+    stable hash of the path.  The two id sources live in DISJOINT
+    namespaces so a hashed path can never collide with a numeric stem:
+    stems map to non-negative longs, hash-derived ids are strictly
+    negative (xxhash64 folded into [-2^63, -1]).  A numeric stem that
+    overflows bigint (20+-digit names, e.g. epoch-nanos filenames)
+    falls back to the hash namespace via ``try_cast`` instead of
+    killing the job under ANSI mode.  Remaining doc_id uniqueness is
+    the CALLER's naming contract: two numeric stems that collide
+    across directories or extensions (``a/1.jpg`` and ``b/1.wav``)
+    map to the same doc_id — dedup on ``source_path`` (always unique)
+    when the corpus layout does not guarantee stem uniqueness.
     """
     raw = (
         spark.read.format("binaryFile")
@@ -284,9 +290,16 @@ def ingest_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
     )
     stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
-    doc_id = F.when(
-        stem.rlike("^[0-9]+$"), stem.cast("long")
-    ).otherwise(F.abs(F.xxhash64(F.col("path"))))
+    # try_cast, not cast: under Spark 4's default ANSI mode a numeric
+    # stem exceeding Long.MAX would throw CAST_OVERFLOW and fail the
+    # whole ingest from one bad filename; try_cast yields NULL and the
+    # coalesce routes it to the hash namespace.  shiftrightunsigned +
+    # negate (not abs) folds the hash into [-2^63, -1] without the
+    # abs(Long.MIN_VALUE) ANSI overflow hazard.
+    hash_id = -F.shiftrightunsigned(F.xxhash64(F.col("path")), 1) - F.lit(1)
+    doc_id = F.coalesce(
+        F.when(stem.rlike("^[0-9]+$"), stem.try_cast("long")), hash_id
+    )
     media_type = (
         F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), F.lit("image"))
         .when(ext.isin("wav", "mp3", "flac", "pcm"), F.lit("audio"))

@@ -18,8 +18,11 @@ from ._base import register
 # DuckDB mirror of curation.perplexity_buckets: identical corpus-LM
 # score (the text_unigram_logprob pipeline), identical
 # histogram-with-cumulative-fraction tercile assignment (score DESC,
-# tie-groups whole), identical composition aggregate.  COUNTs CAST
-# BIGINT for dtype parity.
+# tie-groups whole), identical composition aggregate, identical
+# 'unscored' bucket for docs the LM never scores (NULL text — the
+# only input whose token unnest emits zero rows; empty/whitespace
+# text yields the '' token and is scored in both engines).  COUNTs
+# CAST BIGINT for dtype parity.
 PPL_BUCKETS_SQL = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents),
@@ -47,6 +50,16 @@ PPL_BUCKETS_SQL = """
            ROUND(MAX(lp), 4) AS max_logp
     FROM sc JOIN b USING (lang, lp)
     GROUP BY 1, 2
+    UNION ALL
+    SELECT lang, 'unscored' AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(NULL AS DOUBLE) AS avg_logp,
+           CAST(NULL AS DOUBLE) AS min_logp,
+           CAST(NULL AS DOUBLE) AS max_logp
+    FROM documents
+    WHERE string_split(text, ' ') IS NULL
+       OR len(string_split(text, ' ')) = 0
+    GROUP BY lang
 """
 
 

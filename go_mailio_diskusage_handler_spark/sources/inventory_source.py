@@ -231,9 +231,13 @@ def _manifest_commit_lock(path: str):
     concurrent append jobs would both read the same prior manifest and
     the later ``os.replace`` would silently drop the earlier job's
     entries (orphaning its files for vacuum).  ``flock`` on a sidecar
-    lock file keeps driver-side commits serial on POSIX; where
-    ``fcntl`` is unavailable the constraint degrades to the documented
-    single-concurrent-writer-per-path rule.
+    lock file keeps driver-side commits serial on POSIX — but only for
+    drivers on the SAME host/kernel: on shared storage where flock is
+    advisory-unreliable (NFS being the classic case) two drivers on
+    different machines can still interleave the read-merge-replace, so
+    the cross-host case remains the documented
+    single-concurrent-writer-per-path rule, same as where ``fcntl`` is
+    unavailable entirely.
     """
     import contextlib
     import os

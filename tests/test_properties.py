@@ -747,7 +747,12 @@ def test_inventory_constraints_match_python_reference(spark, rows):
 
 _lang = st.sampled_from(["en", "de", "fr"])
 _word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
-_doc = st.tuples(_lang, st.lists(_word, min_size=1, max_size=6))
+# None words-list == NULL text: the one input the LM pipeline cannot
+# score (explode of a NULL token array emits no rows) — must land in
+# the 'unscored' bucket, not vanish (ADVICE r9).
+_doc = st.tuples(
+    _lang, st.one_of(st.none(), st.lists(_word, min_size=1, max_size=6))
+)
 _corpus = st.lists(_doc, min_size=1, max_size=20)
 
 
@@ -756,8 +761,9 @@ _corpus = st.lists(_doc, min_size=1, max_size=20)
 def test_ppl_buckets_partition_each_language(spark, docs):
     """perplexity_buckets invariants for arbitrary corpora: per-lang
     bucket counts sum to the lang's doc count (every doc in exactly one
-    bucket) and bucket score ranges are disjoint and ordered head >=
-    middle >= tail.  Tie-groups land whole in ONE bucket by the
+    bucket — NULL-text docs in the dedicated 'unscored' bucket with
+    NULL score stats) and scored-bucket ranges are disjoint and ordered
+    head >= middle >= tail.  Tie-groups land whole in ONE bucket by the
     cumulative rule, so presence is data-dependent (a language whose
     top tie-group already exceeds 2/3 of its docs — e.g. a single-doc
     language — has only a tail bucket); what must always hold is the
@@ -765,7 +771,8 @@ def test_ppl_buckets_partition_each_language(spark, docs):
     from go_mailio_diskusage_handler_spark.operators import curation
 
     df = spark.createDataFrame(
-        [(i, " ".join(ws), lang, "s0", len(" ".join(ws)))
+        [(i, None if ws is None else " ".join(ws), lang, "s0",
+          0 if ws is None else len(" ".join(ws)))
          for i, (lang, ws) in enumerate(docs)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -774,13 +781,24 @@ def test_ppl_buckets_partition_each_language(spark, docs):
     for r in rows:
         by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
     lang_counts: dict = {}
-    for lang, _ in docs:
+    null_counts: dict = {}
+    for lang, ws in docs:
         lang_counts[lang] = lang_counts.get(lang, 0) + 1
+        if ws is None:
+            null_counts[lang] = null_counts.get(lang, 0) + 1
     assert {lang for lang, _ in docs} == set(by_lang)
     for lang, buckets in by_lang.items():
         n = lang_counts[lang]
         assert sum(b["n_docs"] for b in buckets.values()) == n
+        if lang in null_counts:
+            uns = buckets["unscored"]
+            assert uns["n_docs"] == null_counts[lang]
+            assert uns["avg_logp"] is None and uns["min_logp"] is None
+        else:
+            assert "unscored" not in buckets
         order = [b for b in ("head", "middle", "tail") if b in buckets]
-        assert order  # at least one bucket per present language
+        n_scored = n - null_counts.get(lang, 0)
+        assert bool(order) == (n_scored > 0)
+        assert sum(buckets[b]["n_docs"] for b in order) == n_scored
         for hi, lo in zip(order, order[1:]):
             assert buckets[hi]["min_logp"] >= buckets[lo]["max_logp"]

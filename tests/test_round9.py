@@ -441,6 +441,9 @@ def test_binary_file_ingest_feeds_multimodal_stack(spark, tmp_path):
         "2.wav": b"RIFFfakewav",
         "3.mp4": b"\x00\x00fakemp4",
         "notes.txt": b"plain text",
+        # 20-digit numeric stem > Long.MAX: must NOT throw under ANSI
+        # mode (try_cast) and must fall back to the hash namespace
+        "99999999999999999999.png": b"epoch-nanos name",
     }
     for name, data in payloads.items():
         (tmp_path / name).write_bytes(data)
@@ -452,6 +455,11 @@ def test_binary_file_ingest_feeds_multimodal_stack(spark, tmp_path):
     assert rows["3.mp4"]["media_type"] == "video"
     assert rows["notes.txt"]["media_type"] == "binary"
     assert rows["1.jpg"]["doc_id"] == 1 and rows["3.mp4"]["doc_id"] == 3
+    # hash-derived ids live in the strictly-negative namespace, so a
+    # hashed path can never collide with a numeric stem (ADVICE r9)
+    assert rows["notes.txt"]["doc_id"] < 0
+    assert rows["99999999999999999999.png"]["doc_id"] < 0
+    assert rows["notes.txt"]["doc_id"] != rows["99999999999999999999.png"]["doc_id"]
     for name, data in payloads.items():
         assert bytes(rows[name]["payload"]) == data
         assert rows[name]["n_bytes"] == len(data)
