@@ -75,3 +75,14 @@ from .queries import rotation_r9  # noqa: E402,F401
 # Round-9 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round9  # noqa: E402,F401
+
+# Round-10 window rotation (applied on import, last): the 2 round-9
+# tail additions first (curation_ppl_buckets is also round 10's
+# engine-changed query), then the 35 r5-stale rows, then the 13
+# oldest r6 rows.  This front is derivation-checked by
+# tests/test_rotation.py against queries/freshness.py.
+from .queries import rotation_r10  # noqa: E402,F401
+
+# Round-10 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round10  # noqa: E402,F401

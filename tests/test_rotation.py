@@ -1,0 +1,81 @@
+"""The rotation front is now derivation-checked (round-9 verdict #7):
+the hand-written ``_R10_FRONT`` literal must equal the mechanical
+derivation of the rotation policy from the driver's CORRECTNESS
+record, and the staleness bookkeeping the rotation comments maintain
+by hand must match the files on disk.
+"""
+from __future__ import annotations
+
+import os
+
+# registry MUST be imported before any queries.rotation_* module:
+# importing a rotation module directly would execute its
+# _rotate_front against a not-yet-populated registry and turn the
+# real rotation (inside registry's import sequence) into a no-op.
+from go_mailio_diskusage_handler_spark.registry import ORACLE_SQL, QUERIES
+from go_mailio_diskusage_handler_spark.queries import freshness  # noqa: E402
+from go_mailio_diskusage_handler_spark.queries.rotation_r10 import (  # noqa: E402
+    _R10_FRONT,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Round-10 engine-changed queries (the round-4 advisory's front-first
+# rule).  Both already sit in the staleness-ordered front, so listing
+# them changes nothing — but keeping the list HERE, next to the
+# assertion, is what makes a future desync fail loudly.
+_R10_CHANGED = ["curation_ppl_buckets"]
+
+
+def test_r10_front_matches_mechanical_derivation():
+    """The literal _R10_FRONT == derive_front(registry, CORRECTNESS
+    r01–r09).  through_round=9 pins the derivation to the record that
+    existed when the front was computed, so this stays green after the
+    driver writes CORRECTNESS_r10."""
+    last = freshness.last_checked(REPO_ROOT, through_round=9)
+    derived = freshness.derive_front(
+        list(QUERIES), last, window=freshness.WINDOW, changed=_R10_CHANGED
+    )
+    assert derived == _R10_FRONT
+    # and the rotation was actually applied: the registry's first
+    # window IS the front, for both the queries and their oracles.
+    assert list(QUERIES)[: len(_R10_FRONT)] == _R10_FRONT
+    assert list(ORACLE_SQL)[: len(_R10_FRONT)] == _R10_FRONT
+
+
+def test_derivation_is_idempotent_under_its_own_rotation():
+    """Fronting the derived list preserves relative order within every
+    staleness group, so re-deriving from the rotated registry yields
+    the same front — the property that lets the test run AFTER the
+    rotation is applied."""
+    last = freshness.last_checked(REPO_ROOT, through_round=9)
+    names = list(QUERIES)  # already rotated by rotation_r10
+    assert (
+        freshness.derive_front(names, last, changed=_R10_CHANGED)
+        == _R10_FRONT
+    )
+
+
+def test_no_query_left_behind():
+    """Freshness floor: every registry query either has a CORRECTNESS
+    row within the last 4 driver rounds or sits inside the upcoming
+    window — the invariant the rotation policy exists to maintain
+    (never-checked queries MUST be in the front; nothing may go stale
+    indefinitely while the window rotates past it)."""
+    last = freshness.last_checked(REPO_ROOT)
+    latest_round = max(last.values())
+    window = set(list(QUERIES)[: freshness.WINDOW])
+    violations = [
+        n
+        for n in QUERIES
+        if last.get(n, -1) < latest_round - 3 and n not in window
+    ]
+    assert violations == []
+
+
+def test_stale_histogram_matches_rotation_comment():
+    """The bookkeeping in rotation_r10.py's comment: entering round 10
+    the histogram is 2 never / 35 r5 / 42 r6 / 50 r7 / 50 r8 / 50 r9."""
+    last = freshness.last_checked(REPO_ROOT, through_round=9)
+    hist = freshness.stale_histogram(list(QUERIES), last)
+    assert hist == {-1: 2, 5: 35, 6: 42, 7: 50, 8: 50, 9: 50}
