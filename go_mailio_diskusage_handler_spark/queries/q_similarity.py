@@ -18,10 +18,13 @@ from ..operators import similarity  # noqa: E402
 
 
 def _ddb_dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
+    # Native list_dot_product on DOUBLE[] — bit-identical to the former
+    # list_sum(list_transform(range, i -> a[i]*b[i])) form (A/B-checked
+    # at max-abs-diff 0.0 over all sf0.1 self/cross/plane dots, round
+    # 10) but ~100x faster: the interpreted per-element lambda made the
+    # similarity oracles the slowest in the registry (the
+    # dedup_embedding_cosine DuckDB twin alone was 48 s at sf0.1).
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
 
 
 def _ddb_cosine(a: str, b: str) -> str:
@@ -37,10 +40,7 @@ def _ddb_bucket(col: str, table: int = 0) -> str:
             str(int(w))
             for w in similarity.hyperplane(table * similarity.N_PLANES + p)
         ) + "]"
-        d = (
-            f"list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}),"
-            f" i -> CAST({col}[i] AS DOUBLE) * CAST(({plane})[i] AS DOUBLE)))"
-        )
+        d = _ddb_dot(col, plane)
         terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
 
@@ -147,24 +147,36 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
+    # Candidate pairs are DISTINCT-ed BEFORE any cosine math (round-9
+    # verdict: the old form evaluated the O(dim) cosine expression
+    # twice per (table, mask)-duplicated joined row, making this the
+    # slowest oracle in the registry — 48 s at sf0.1).  Same bucket
+    # recipe, same pairs, same threshold, same output contract; the
+    # cosine now runs exactly once per distinct candidate pair.
     f"""
-    WITH withb AS (SELECT vec_id, embedding,
+    WITH withb AS (SELECT vec_id,
                           {", ".join(f"{_ddb_bucket('embedding', t)} AS b{t}"
                                      for t in range(similarity.N_TABLES))}
                    FROM embeddings),
     ms AS (SELECT unnest([{", ".join(str(m) for m in similarity.PROBE_MASKS_H1)}])
                AS mask),
     ts AS (SELECT unnest(range({similarity.N_TABLES})) AS t),
-    probed AS (SELECT vec_id, embedding, t,
+    probed AS (SELECT vec_id, t,
                       xor({_DDB_TBUCKET}, CAST(mask AS INTEGER)) AS probe_bucket
-               FROM withb CROSS JOIN ts CROSS JOIN ms)
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM probed a JOIN withb b
-      ON (CASE {" ".join(f"WHEN a.t = {t} THEN b.b{t}"
-                         for t in range(similarity.N_TABLES))} END) = a.probe_bucket
-     AND a.vec_id < b.vec_id
-    WHERE ROUND({_ddb_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+               FROM withb CROSS JOIN ts CROSS JOIN ms),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM probed a JOIN withb b
+               ON (CASE {" ".join(f"WHEN a.t = {t} THEN b.b{t}"
+                                  for t in range(similarity.N_TABLES))} END)
+                  = a.probe_bucket
+              AND a.vec_id < b.vec_id),
+    scored AS (SELECT c.vec_a, c.vec_b,
+                      ROUND({_ddb_cosine('ea.embedding', 'eb.embedding')}, 6)
+                          AS cos_sim
+               FROM cand c
+               JOIN embeddings ea ON ea.vec_id = c.vec_a
+               JOIN embeddings eb ON eb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
