@@ -7,3 +7,53 @@ parity tests in test_round10.py until the round-11 front picks them
 up).
 """
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from ._base import register
+
+# DuckDB mirror of streaming.windows.attributed_purchases_full_outer
+# run as a batch frame: FULL OUTER interval self-join — every purchase
+# and every click reported once, matched or null-padded, user_id
+# coalesced across sides.  epoch_us for NTZ-proof timestamp compare,
+# ROUND(value, 4) for float parity (same conventions as the inner twin
+# events_attribution_join).
+ATTRIBUTION_FULL_OUTER_SQL = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           ROUND(p.value, 4) AS purchase_value,
+           c.click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM p FULL OUTER JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("events_attribution_full_outer", ATTRIBUTION_FULL_OUTER_SQL)
+def events_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER interval self-join (purchases ⋈ preceding clicks
+    within 30 min, unmatched rows of BOTH sides null-padded).  Same
+    expression runs as a bounded-state full-outer stream-stream join
+    in streaming.windows.attributed_purchases_full_outer; stream ≡
+    batch asserted in tests/test_round10.py."""
+    from ..streaming import windows as streaming_windows
+
+    df = streaming_windows.attributed_purchases_full_outer(
+        load_table(spark, sf_dir, "events")
+    )
+    return df.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )

@@ -358,6 +358,69 @@ def attributed_purchases_outer(
     )
 
 
+def attributed_purchases_full_outer(
+    events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the last cell of the
+    join matrix next to :func:`attributed_purchases` (inner) and
+    :func:`attributed_purchases_outer` (left): every purchase AND
+    every click emits exactly once as matched or null-padded, the
+    attribution shape that also reports clicks which never converted.
+
+    The state machine adds the click-side eviction emit to the left
+    join's purchase-side one: a click that attached to no purchase
+    sits in state until the watermark passes ``click_ts + horizon``
+    (no future purchase's look-back window can reach it), then emits
+    with NULL purchase columns.  Both outer directions therefore share
+    the left join's two consumer-visible consequences — tail holdback
+    (rows within ``watermark + horizon`` of the high-water mark flush
+    only after later input on BOTH branches advances the min-of-sides
+    query watermark) and finalization lag (null-padded rows are one
+    horizon late by construction).  State stays bounded exactly as the
+    inner form: the range bound lets both sides evict anything older
+    than ``watermark + horizon``.
+
+    ``user_id`` is coalesced across the two sides so unmatched rows of
+    either direction still carry their key.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def deduplicated_stream(
     events: DataFrame,
     key: str | list[str] = "event_id",

@@ -46,6 +46,12 @@ def normalize(rows, ndigits: int = 6):
         if hasattr(v, "tolist"):
             v = v.tolist()
         if isinstance(v, float):
+            # NaN != NaN would flag every null-padded numeric cell
+            # (outer joins): both engines surface SQL NULL as float64
+            # NaN through pandas, so canonicalize to a sentinel the
+            # same way the contract-verify harness does.
+            if v != v:
+                return "nan"
             return round(v, ndigits)
         if isinstance(v, (list, tuple)):
             return tuple(norm(x) for x in v)

@@ -1,0 +1,147 @@
+"""Round-10 regression tests: the full-outer stream-stream interval
+join (the last cell of the join matrix next to round 9's left-outer),
+its batch registry twin, and the cheapened similarity-oracle helpers.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT, compare_with_oracle  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: full-outer interval join (batch twin parity)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_attribution_full_outer(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark,
+        ddb,
+        "events_attribution_full_outer",
+        registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_full_outer_join_covers_both_sides(spark):
+    """Every purchase and every click appears at least once; matched
+    rows agree with the inner join; unmatched rows are null-padded on
+    exactly one side and carry the coalesced user_id."""
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    events = load_table(spark, f"{SF_CORRECT}/../sf0.001", "events")
+    rows = windows.attributed_purchases_full_outer(events).collect()
+    inner = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases(events).collect()
+    }
+    purchases = {
+        r.event_id
+        for r in events.filter(F.col("event_type") == "purchase").collect()
+    }
+    clicks = {
+        r.event_id
+        for r in events.filter(F.col("event_type") == "click").collect()
+    }
+    assert {(r.purchase_id, r.click_id) for r in rows if r.click_id is not None
+            and r.purchase_id is not None} == inner
+    assert {r.purchase_id for r in rows if r.purchase_id is not None} == purchases
+    assert {r.click_id for r in rows if r.click_id is not None} == clicks
+    for r in rows:
+        assert r.user_id is not None  # coalesced key survives both directions
+        if r.purchase_id is None:
+            assert r.click_id is not None and r.purchase_ts is None
+        if r.click_id is None:
+            assert r.purchase_id is not None and r.click_ts is None
+
+
+def test_full_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: matched rows emit
+    promptly; null-padded rows of BOTH directions (organic purchases
+    AND never-converted clicks) emit at state EVICTION, so a drained
+    run withholds the final watermark+horizon on both sides — and a
+    later file advancing the watermark flushes them, after which
+    stream == batch exactly."""
+    import shutil
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_CORRECT}/../sf0.001/events.parquet", d / "b0.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint, and the second phase MUST resume the first
+        # phase's state to flush its held-back outer rows
+        stream = windows.read_event_stream(spark, str(d))
+        q = (
+            windows.attributed_purchases_full_outer(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            (r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    batch_events = load_table(
+        spark, f"{SF_CORRECT}/../sf0.001", "events"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases_full_outer(batch_events).collect()
+    }
+
+    got1 = run_once()
+    held_back = want - got1
+    assert got1 <= want  # nothing emits that batch would not produce
+    assert held_back, "expected tail-horizon rows to be withheld"
+    # only null-padded rows wait, and BOTH outer directions are present
+    assert all(p is None or c is None for p, c in held_back)
+    assert any(c is None for _, c in held_back), "no held-back purchase"
+    assert any(p is None for p, _ in held_back), "no held-back click"
+
+    # a later file advances the watermark past the held-back windows.
+    # It must carry BOTH event types: the query watermark is the MIN
+    # over the two withWatermark nodes and each advances only on rows
+    # reaching its branch (same shape as the left-outer test).  The
+    # future pair uses distinct users so it cannot match anything.
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    future = pd.DataFrame(
+        {
+            "event_id": [10_000_000, 10_000_001],
+            "ts": [pd.Timestamp(max_ts) + pd.Timedelta(hours=6)] * 2,
+            "user_id": [999_998, 999_999],  # distinct users: no match
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    t = pa.Table.from_pandas(future)
+    pq.write_table(
+        t.set_column(1, "ts", t["ts"].cast(pa.timestamp("us"))),
+        d / "b1.parquet",
+    )
+    got2 = run_once()
+    # every original null-padded row flushed; the future click and
+    # purchase are the NEW held-back tail (their join windows are
+    # still open), so the sink now equals batch over the original file
+    assert got2 == want
