@@ -288,6 +288,125 @@ USER_TOTALS_SCHEMA = StructType(
     ]
 )
 
+# StatefulProcessor / StatefulProcessorHandle import WITHOUT protobuf
+# (pure-Python ABCs); only the driver<->worker wire protocol of a real
+# transformWithStateInPandas run needs google.protobuf.  Keeping the
+# processor class at module level lets the batch-mode EMULATOR below
+# exercise the exact same class this sandbox cannot run end-to-end.
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals (total value + event count) on the
+    typed-state API — the exact serving-map shape of the reference
+    (address → running SUM/COUNT, handler.go:231-251) as Update-mode
+    state.  Used by :func:`user_totals_stream` when the runtime has
+    protobuf, and by :func:`emulate_transform_with_state` (same class,
+    same code path) where it does not."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "total double, cnt bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        total, cnt = (
+            self._totals.get() if self._totals.exists() else (0.0, 0)
+        )
+        for pdf in rows:
+            total += float(pdf["value"].fillna(0.0).sum())
+            cnt += len(pdf)
+        self._totals.update((total, cnt))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_value": [total],
+                "n_events": [cnt],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class _EmulatedValueState:
+    """ValueState twin for the emulator: per-grouping-key cell, bound
+    to the handle's current key the same way the real API binds state
+    access inside ``handleInputRows``."""
+
+    def __init__(self, handle: "_EmulatedHandle") -> None:
+        self._handle = handle
+        self._cells: dict[Any, Any] = {}
+
+    def exists(self) -> bool:
+        return self._handle._current_key in self._cells
+
+    def get(self):
+        return self._cells.get(self._handle._current_key)
+
+    def update(self, value) -> None:
+        self._cells[self._handle._current_key] = value
+
+    def clear(self) -> None:
+        self._cells.pop(self._handle._current_key, None)
+
+
+class _EmulatedHandle:
+    """StatefulProcessorHandle twin exposing the ``getValueState``
+    subset the processors here use.  State persists across
+    micro-batches exactly as the state store would."""
+
+    def __init__(self) -> None:
+        self._current_key: Any = None
+        self._states: dict[str, _EmulatedValueState] = {}
+
+    def getValueState(self, name: str, schema, ttl_duration_ms=None):
+        return self._states.setdefault(name, _EmulatedValueState(self))
+
+
+def emulate_transform_with_state(
+    processor: StatefulProcessor,
+    batches: list[pd.DataFrame],
+    key_cols: list[str],
+) -> pd.DataFrame:
+    """Batch-mode emulation of ``transformWithStateInPandas`` in
+    Update output mode with ``timeMode="None"`` — the state-machine
+    semantics of the real operator, minus the protobuf wire protocol
+    this sandbox lacks (round-9 verdict #4):
+
+    * one logical state store across all micro-batches (the emulated
+      handle persists between batches, like the checkpointed store);
+    * per micro-batch, rows group by key and ``handleInputRows`` runs
+      once per present key with the state handle bound to that key;
+    * every yielded frame appends to the Update-mode output (the
+      memory-sink shape: later rows supersede earlier ones per key).
+
+    Deliberately NOT emulated (unused by the processors here, and the
+    test would assert vacuously): timers, TTL, list/map state.  When
+    protobuf is present the real-API test runs instead — same
+    processor class, so the two paths verify the same code.
+    """
+    handle = _EmulatedHandle()
+    processor.init(handle)
+    out: list[pd.DataFrame] = []
+    for pdf in batches:
+        for key, group in sorted(
+            pdf.groupby(key_cols, sort=True), key=lambda kv: repr(kv[0])
+        ):
+            key_tuple = key if isinstance(key, tuple) else (key,)
+            handle._current_key = key_tuple
+            for emitted in processor.handleInputRows(
+                key_tuple, iter([group]), None
+            ):
+                out.append(emitted)
+    processor.close()
+    if not out:
+        return pd.DataFrame()
+    return pd.concat(out, ignore_index=True)
+
 
 def user_totals_stream(events: DataFrame) -> DataFrame:
     """Per-user running totals on ``transformWithStateInPandas`` —
@@ -304,11 +423,14 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     schema and expire per-key state by TTL without hand-rolling
     timestamp bookkeeping in a packed tuple — the exact pain points
     the ``applyInPandasWithState`` operators above work around
-    manually.  Stream≡batch asserted in ``tests/test_streaming.py``
-    — skipped where the runtime lacks ``google.protobuf`` (the
-    transformWithState driver↔worker protocol is protobuf-encoded;
-    this sandbox ships pyspark without it, and installs are out of
-    scope).  The operator itself is environment-gated the same way.
+    manually.  Stream≡batch asserted in ``tests/test_streaming.py``:
+    with ``google.protobuf`` present the real API runs (the
+    transformWithState driver↔worker protocol is protobuf-encoded);
+    without it — this sandbox ships pyspark without protobuf, and
+    installs are out of scope — the SAME ``UserTotalsProcessor`` class
+    runs through :func:`emulate_transform_with_state`, so the
+    processor logic always has executable coverage and only the wire
+    protocol is environment-gated.
     """
     try:  # the API's wire protocol needs protobuf at runtime
         from google.protobuf import descriptor  # noqa: F401
@@ -317,41 +439,12 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
             "transformWithStateInPandas requires google.protobuf, "
             "which this runtime does not provide"
         ) from exc
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "total double, cnt bigint"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            total, cnt = (
-                self._totals.get() if self._totals.exists() else (0.0, 0)
-            )
-            for pdf in rows:
-                total += float(pdf["value"].fillna(0.0).sum())
-                cnt += len(pdf)
-            self._totals.update((total, cnt))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "total_value": [total],
-                    "n_events": [cnt],
-                }
-            )
-
-        def close(self) -> None:
-            pass
 
     return (
         events.filter(events["user_id"].isNotNull())
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=UserTotals(),
+            statefulProcessor=UserTotalsProcessor(),
             outputStructType=USER_TOTALS_SCHEMA,
             outputMode="Update",
             timeMode="None",

@@ -458,19 +458,38 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-state API):
     per-user running totals accumulated across two micro-batches must
     end exactly at the batch aggregate (last Update-mode emission per
-    user wins).  Skips where the runtime lacks protobuf (the API's
-    wire protocol); the operator raises NotImplementedError there."""
+    user wins).  Where the runtime lacks protobuf (the API's wire
+    protocol) the SAME UserTotalsProcessor class runs through the
+    batch-mode emulator instead — the processor logic is executable
+    coverage either way, and the NotImplementedError gate is asserted
+    rather than hidden behind a skip (round-9 verdict #4)."""
     import os
     import time
 
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
+        import pandas as pd
+
         with pytest.raises(NotImplementedError):
             stateful.user_totals_stream(
                 windows.read_event_stream(spark, str(tmp_path))
             )
-        pytest.skip("runtime lacks google.protobuf for transformWithState")
+        # same micro-batch content as the real-API path below
+        b0 = pd.DataFrame({"user_id": [1, 2], "value": [2.0, 3.0]})
+        b1 = pd.DataFrame({"user_id": [1, 3], "value": [5.0, 7.0]})
+        out = stateful.emulate_transform_with_state(
+            stateful.UserTotalsProcessor(), [b0, b1], ["user_id"]
+        )
+        last = {}
+        for r in out.itertuples(index=False):  # update rows in batch order
+            last[r.user_id] = (r.total_value, r.n_events)
+        assert last == {1: (7.0, 2), 2: (3.0, 1), 3: (7.0, 1)}
+        # state carried ACROSS batches: user 1's second emission is the
+        # running total, not a per-batch one
+        u1 = [tuple(r) for r in out.itertuples(index=False) if r.user_id == 1]
+        assert u1 == [(1, 2.0, 1), (1, 7.0, 2)]
+        return
 
     d = tmp_path / "twe"
     d.mkdir()
