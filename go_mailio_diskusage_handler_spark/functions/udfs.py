@@ -549,3 +549,85 @@ def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInArrow(
         norms, "vec_id bigint, dim int, l2_norm double"
     )
+
+
+# ---------------------------------------------------------------------------
+# cogroup(...).applyInArrow (round 10): the last public Arrow UDF
+# surface — two keyed tables merged per key on raw Arrow buffers
+# ---------------------------------------------------------------------------
+
+
+def _user_value_stats_arrow(key, clicks_tbl, purchases_tbl):
+    """Arrow cogroup kernel: per-user click/purchase counts, value
+    sums, and conversion ratio, computed with pyarrow.compute on the
+    two key-aligned tables — no pandas conversion.  One side may be an
+    EMPTY table (user with clicks but no purchases or vice versa);
+    ``pc.sum`` of an empty/all-null column is null, coalesced to 0 to
+    match the oracle's COALESCE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _sum(tbl, col):
+        if tbl.num_rows == 0:
+            return 0.0
+        s = pc.sum(tbl.column(col)).as_py()
+        return 0.0 if s is None else float(s)
+
+    cv = _sum(clicks_tbl, "value")
+    pv = _sum(purchases_tbl, "p_value")
+    ratio = round(pv / cv, 4) if cv > 0 else None
+    return pa.table(
+        {
+            "user_id": pa.array([key[0].as_py()], pa.int64()),
+            "n_clicks": pa.array([clicks_tbl.num_rows], pa.int64()),
+            "n_purchases": pa.array([purchases_tbl.num_rows], pa.int64()),
+            "click_value": pa.array([round(cv, 4)], pa.float64()),
+            "purchase_value": pa.array([round(pv, 4)], pa.float64()),
+            "conv_ratio": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
+def user_value_stats_cogrouped_arrow(events: DataFrame) -> DataFrame:
+    """``cogroup(...).applyInArrow`` (Spark 4): per-user click vs
+    purchase value statistics merged from two keyed frames in one
+    Arrow kernel — covering the cogrouped-map Arrow tier next to
+    ``cogroup(...).applyInPandas`` (:func:`asof_attribution_cogrouped`)
+    and ``groupBy().applyInArrow`` (:func:`per_user_zscores`).
+
+    Scale shape: both sides shuffle ONCE on ``user_id`` and cogroup
+    into per-key Arrow tables; executor memory bounds at the largest
+    single user's events, not the corpus.  The aggregate itself is of
+    course expressible as a join of two groupBys (the oracle does
+    exactly that) — the query exists to pin the API surface the way
+    ``udf_cogroup_asof`` pins the pandas one, with a kernel that never
+    leaves Arrow.
+
+    Self-cogroup trap (same as :func:`asof_attribution_cogrouped`):
+    both sides derive from the SAME parent frame, and identically-named
+    non-key columns get mis-pruned — the analyzer deduplicates the
+    attribute ids and the right side's ``value`` arrives missing
+    (observed on Spark 4.1: the plan showed ``probe(user_id#2, value#4,
+    user_id#2, value#4)`` with the right table reduced to the grouping
+    key).  A distinct alias on the right side's payload column keeps
+    the attributes resolvable.
+    """
+    clicks = (
+        events.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "value")
+    )
+    purchases = (
+        events.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").alias("p_value"))
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInArrow(
+            _user_value_stats_arrow,
+            "user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "click_value double, purchase_value double, conv_ratio double",
+        )
+    )

@@ -37,6 +37,47 @@ ATTRIBUTION_FULL_OUTER_SQL = """
 """
 
 
+# DuckDB mirror of udfs.user_value_stats_cogrouped_arrow: the Arrow
+# cogroup kernel IS a full-outer merge of two per-user aggregates, so
+# the oracle states it relationally.  CASTs/COALESCEs pin the dtype
+# contract (BIGINT counts, DOUBLE sums coalesced to 0, NULL ratio when
+# the user has no click value).
+COGROUP_ARROW_SQL = """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks,
+                      COALESCE(SUM(value), 0) AS cv
+               FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL
+               GROUP BY user_id),
+    p AS (SELECT user_id, COUNT(*) AS n_purchases,
+                 COALESCE(SUM(value), 0) AS pv
+          FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(cv, 0), 4) AS click_value,
+           ROUND(COALESCE(pv, 0), 4) AS purchase_value,
+           CASE WHEN COALESCE(cv, 0) > 0
+                THEN ROUND(COALESCE(pv, 0) / cv, 4) END AS conv_ratio
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+@register("udf_cogroup_arrow_stats", COGROUP_ARROW_SQL)
+def udf_cogroup_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cogroup(...).applyInArrow (Spark 4) — per-user click vs
+    purchase value stats merged in one Arrow kernel
+    (functions/udfs.py:user_value_stats_cogrouped_arrow), completing
+    the Arrow UDF tier beside mapInArrow, groupBy().applyInArrow and
+    cogroup().applyInPandas."""
+    from ..functions import udfs
+
+    return udfs.user_value_stats_cogrouped_arrow(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 @register("events_attribution_full_outer", ATTRIBUTION_FULL_OUTER_SQL)
 def events_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER interval self-join (purchases ⋈ preceding clicks

@@ -145,3 +145,42 @@ def test_full_outer_stream_join_emits_unmatched_after_watermark(spark, tmp_path)
     # purchase are the NEW held-back tail (their join windows are
     # still open), so the sink now equals batch over the original file
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: cogroup(...).applyInArrow tier
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_cogroup_arrow_stats(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "udf_cogroup_arrow_stats", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_cogroup_arrow_covers_one_sided_users(spark):
+    """Users present on only ONE cogroup side still emit a row with
+    the other side zeroed, and a zero-click user has a NULL ratio."""
+    from go_mailio_diskusage_handler_spark.functions import udfs
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, "click", 2.0),
+            (2, 10, "purchase", 6.0),
+            (3, 20, "click", 4.0),   # clicks only
+            (4, 30, "purchase", 8.0),  # purchases only -> NULL ratio
+            (5, None, "click", 1.0),  # null user dropped
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    rows = {r.user_id: r for r in
+            udfs.user_value_stats_cogrouped_arrow(events).collect()}
+    assert set(rows) == {10, 20, 30}
+    assert (rows[10].n_clicks, rows[10].n_purchases,
+            rows[10].conv_ratio) == (1, 1, 3.0)
+    assert (rows[20].n_clicks, rows[20].purchase_value,
+            rows[20].conv_ratio) == (1, 0.0, 0.0)
+    assert rows[30].n_clicks == 0 and rows[30].conv_ratio is None
