@@ -37,6 +37,44 @@ ATTRIBUTION_FULL_OUTER_SQL = """
 """
 
 
+# DuckDB mirror of streaming.windows.attributed_purchases_semi: LEFT
+# SEMI == EXISTS — purchases with at least one click in the horizon,
+# emitted once, no click columns.
+ATTRIBUTION_SEMI_SQL = """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events c
+                  WHERE c.event_type = 'click'
+                    AND c.user_id = p.user_id
+                    AND c.ts <= p.ts
+                    AND c.ts >= p.ts - INTERVAL 30 MINUTE)
+"""
+
+
+@register("events_attribution_semi", ATTRIBUTION_SEMI_SQL)
+def events_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI interval self-join (purchases with >=1 preceding
+    click within 30 min — existence filter, no fan-out).  Same
+    expression runs as a bounded-state leftSemi stream-stream join in
+    streaming.windows.attributed_purchases_semi; stream ≡ batch
+    asserted in tests/test_round10.py."""
+    from ..streaming import windows as streaming_windows
+
+    df = streaming_windows.attributed_purchases_semi(
+        load_table(spark, sf_dir, "events")
+    )
+    return df.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 # DuckDB mirror of udfs.user_value_stats_cogrouped_arrow: the Arrow
 # cogroup kernel IS a full-outer merge of two per-user aggregates, so
 # the oracle states it relationally.  CASTs/COALESCEs pin the dtype

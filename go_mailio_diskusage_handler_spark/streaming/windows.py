@@ -358,6 +358,88 @@ def attributed_purchases_outer(
     )
 
 
+def _attribution_sides(
+    events: DataFrame, watermark: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared click/purchase split + watermarks of the attribution
+    join matrix (inner / leftOuter / rightOuter / fullOuter /
+    leftSemi — every stream-stream join type Spark supports)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases, clicks
+
+
+def _attribution_cond(horizon_minutes: int):
+    return (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+
+
+def attributed_purchases_semi(
+    events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: purchases that had at
+    least one click in the preceding horizon — existence filtering
+    without duplicating the purchase per matching click (the inner
+    join's fan-out) and without shipping any click columns.
+
+    Semi is the cheapest cell of the join matrix at scale: the click
+    side contributes only its key+timestamp to state, each purchase
+    emits AT MOST once, and output volume is bounded by the purchase
+    stream regardless of click density — the right shape for "only
+    attributed purchases" pipelines that do not need which click.
+    Emission is prompt on match (no eviction wait); state bounds are
+    the inner join's.
+    """
+    purchases, clicks = _attribution_sides(events, watermark)
+    return purchases.join(
+        clicks, _attribution_cond(horizon_minutes), "leftSemi"
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value")
+
+
+def attributed_clicks_right_outer(
+    events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """RIGHT OUTER stream-stream interval join: every click emits —
+    matched ones with their purchase, never-converted ones null-padded
+    at click-state eviction — the click-funnel mirror of
+    :func:`attributed_purchases_outer` (same state machine with the
+    outer direction flipped to the build side)."""
+    purchases, clicks = _attribution_sides(events, watermark)
+    return purchases.join(
+        clicks, _attribution_cond(horizon_minutes), "rightOuter"
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def attributed_purchases_full_outer(
     events: DataFrame, *, horizon_minutes: int = 30, watermark: str = "60 minutes"
 ) -> DataFrame:

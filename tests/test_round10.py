@@ -184,3 +184,84 @@ def test_cogroup_arrow_covers_one_sided_users(spark):
     assert (rows[20].n_clicks, rows[20].purchase_value,
             rows[20].conv_ratio) == (1, 0.0, 0.0)
     assert rows[30].n_clicks == 0 and rows[30].conv_ratio is None
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: the remaining stream-join-matrix cells
+# (leftSemi + rightOuter; Spark supports exactly these five types
+# for stream-stream joins)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_attribution_semi(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "events_attribution_semi", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_semi_join_is_deduplicated_inner_left_side(spark):
+    """leftSemi == DISTINCT purchase side of the inner join — each
+    attributed purchase exactly once, never-attributed ones absent."""
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    events = load_table(spark, f"{SF_CORRECT}/../sf0.001", "events")
+    semi = [r.purchase_id for r in
+            windows.attributed_purchases_semi(events).collect()]
+    inner = {r.purchase_id for r in
+             windows.attributed_purchases(events).collect()}
+    assert sorted(semi) == sorted(set(semi))  # no fan-out duplicates
+    assert set(semi) == inner
+
+
+def test_right_outer_is_full_outer_minus_organic_purchases(spark):
+    """rightOuter == fullOuter restricted to rows with a click side —
+    the click-funnel mirror of the left join."""
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    events = load_table(spark, f"{SF_CORRECT}/../sf0.001", "events")
+    right = {(r.purchase_id, r.click_id, r.user_id) for r in
+             windows.attributed_clicks_right_outer(events).collect()}
+    full = {(r.purchase_id, r.click_id, r.user_id) for r in
+            windows.attributed_purchases_full_outer(events).collect()}
+    assert right == {t for t in full if t[1] is not None}
+    assert any(p is None for p, _, _ in right)  # unconverted clicks present
+    assert all(u is not None for _, _, u in right)
+
+
+def test_semi_stream_join_matches_batch_promptly(spark, tmp_path):
+    """leftSemi stream-stream join: matched purchases emit PROMPTLY
+    (no eviction wait), so a single drained run over one file already
+    equals batch — the cheapest cell of the matrix."""
+    import shutil
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_CORRECT}/../sf0.001/events.parquet", d / "b0.parquet")
+    stream = windows.read_event_stream(spark, str(d))
+    q = (
+        windows.attributed_purchases_semi(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.purchase_id
+           for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    batch_events = load_table(
+        spark, f"{SF_CORRECT}/../sf0.001", "events"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {r.purchase_id for r in
+            windows.attributed_purchases_semi(batch_events).collect()}
+    assert got == want
