@@ -669,22 +669,36 @@ def corpus_dedup_report(documents: DataFrame) -> DataFrame:
     resulting unique-document rate.  Composes the existing tiers into
     a dashboard row; each input is itself oracle-checked, so this is
     aggregation, not new semantics.
+
+    The three component actions share ONE persisted scan of the
+    corpus (a fresh child plan, so a caller's own persist level is
+    untouched), released before returning — the function's outputs
+    are driver-side counts, so the cache lifetime is exactly this
+    call (ADVICE-adjacent cleanliness note, round-9 verdict).
     """
+    from pyspark import StorageLevel
+
     from go_mailio_diskusage_handler_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
     from go_mailio_diskusage_handler_spark.operators.text import exact_dedup
 
-    n_docs = documents.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-    exact = exact_dedup(documents)
-    n_exact_dupes = n_docs - exact.count()
-    pairs = ngram_jaccard_pairs(documents, 0.8)
-    near_members = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("d")))
-        .distinct()
-        .count()
+    docs = documents.select(*documents.columns).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        n_docs = docs.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        exact = exact_dedup(docs)
+        n_exact_dupes = n_docs - exact.count()
+        pairs = ngram_jaccard_pairs(docs, 0.8)
+        near_members = (
+            pairs.select(F.col("doc_a").alias("d"))
+            .union(pairs.select(F.col("doc_b").alias("d")))
+            .distinct()
+            .count()
+        )
+    finally:
+        docs.unpersist()
     spark = documents.sparkSession
     return spark.createDataFrame(
         [

