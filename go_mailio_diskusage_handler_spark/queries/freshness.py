@@ -21,6 +21,16 @@ front desyncs from the record:
      ties inside each staleness group;
   3. truncated to the driver's window.
 
+  ``deferred`` encodes the new-query deferral policy: queries ADDED
+  in the current round register at the registry tail, behind the
+  window, and meet the external gate in the NEXT round's front — the
+  front for round N is computed from the registry as it stood at the
+  end of round N-1, so current-round additions are excluded from the
+  derivation entirely (they are also never-checked, and without the
+  exclusion the staleness sort would front them a round early).
+  Callers derive the set mechanically from function module
+  provenance: ``fn.__module__`` of each registry callable.
+
   The derivation is idempotent under its own rotation: fronting the
   derived list preserves relative order within every staleness group,
   so re-deriving from the rotated registry yields the same front.
@@ -66,10 +76,12 @@ def derive_front(
     last: Mapping[str, int],
     window: int = WINDOW,
     changed: Iterable[str] = (),
+    deferred: Iterable[str] = (),
 ) -> list[str]:
     """The rotation policy as code; see module docstring."""
-    changed = [n for n in changed if n in set(names)]
-    rest = [n for n in names if n not in set(changed)]
+    skip = set(deferred)
+    changed = [n for n in changed if n in set(names) and n not in skip]
+    rest = [n for n in names if n not in set(changed) and n not in skip]
     # stable sort: never-checked (-1) first, then oldest round first;
     # registration order (the input order) breaks ties.
     rest.sort(key=lambda n: last.get(n, -1))

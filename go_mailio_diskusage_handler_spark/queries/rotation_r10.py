@@ -29,8 +29,18 @@ from .rotation_r45 import _rotate_front
 #   * dedup_embedding_cosine — ORACLE cheapened (verdict #2: candidate
 #     pre-filter before the cosine; same contract, same hash) —
 #     already in the r5-stale group below.
-# So no extra fronting is needed; the staleness order already fronts
-# every engine-changed query.
+#   * The shared oracle helpers _ddb_dot/_ddb_cosine/_ddb_bucket moved
+#     to native list_dot_product (A/B-verified bit-identical, max abs
+#     diff 0.0 over all sf0.1 self/cross/plane dots), which changes
+#     the ORACLE TEXT of ~15 similarity-family queries.  Most sit in
+#     this window already (sim_brute/filtered/lsh*/ivfpq*/eval*/
+#     kmeans*/rrf, dedup_embedding_cosine, dedup_semantic); the few
+#     that do not (sim_ivf_assignments, sim_ivf_ann_topk,
+#     sim_pq_ann_topk, sim_mmr_topk, udf_pandas_cosine) were
+#     dual-scale re-verified in-repo this round and take first
+#     priority in the round-11 front.
+# Beyond that no extra fronting is needed; the staleness order already
+# fronts every engine-changed query.
 #
 # New round-10 queries (full-outer interval-join batch twin, the
 # applyInArrow tier, ...) register AFTER this rotation — registry

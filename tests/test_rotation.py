@@ -27,6 +27,16 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _R10_CHANGED = ["curation_ppl_buckets"]
 
 
+def _r10_deferred():
+    """The new-query deferral set, derived mechanically: every registry
+    callable defined in this round's additions module (q_round10)
+    registers at the tail and meets the external gate in round 11."""
+    return [
+        n for n, fn in QUERIES.items()
+        if fn.__module__.endswith(".q_round10")
+    ]
+
+
 def test_r10_front_matches_mechanical_derivation():
     """The literal _R10_FRONT == derive_front(registry, CORRECTNESS
     r01–r09).  through_round=9 pins the derivation to the record that
@@ -34,7 +44,11 @@ def test_r10_front_matches_mechanical_derivation():
     driver writes CORRECTNESS_r10."""
     last = freshness.last_checked(REPO_ROOT, through_round=9)
     derived = freshness.derive_front(
-        list(QUERIES), last, window=freshness.WINDOW, changed=_R10_CHANGED
+        list(QUERIES),
+        last,
+        window=freshness.WINDOW,
+        changed=_R10_CHANGED,
+        deferred=_r10_deferred(),
     )
     assert derived == _R10_FRONT
     # and the rotation was actually applied: the registry's first
@@ -51,7 +65,9 @@ def test_derivation_is_idempotent_under_its_own_rotation():
     last = freshness.last_checked(REPO_ROOT, through_round=9)
     names = list(QUERIES)  # already rotated by rotation_r10
     assert (
-        freshness.derive_front(names, last, changed=_R10_CHANGED)
+        freshness.derive_front(
+            names, last, changed=_R10_CHANGED, deferred=_r10_deferred()
+        )
         == _R10_FRONT
     )
 
@@ -65,10 +81,13 @@ def test_no_query_left_behind():
     last = freshness.last_checked(REPO_ROOT)
     latest_round = max(last.values())
     window = set(list(QUERIES)[: freshness.WINDOW])
+    deferred = set(_r10_deferred())
     violations = [
         n
         for n in QUERIES
-        if last.get(n, -1) < latest_round - 3 and n not in window
+        if last.get(n, -1) < latest_round - 3
+        and n not in window
+        and n not in deferred  # current-round additions gate next round
     ]
     assert violations == []
 
@@ -77,5 +96,6 @@ def test_stale_histogram_matches_rotation_comment():
     """The bookkeeping in rotation_r10.py's comment: entering round 10
     the histogram is 2 never / 35 r5 / 42 r6 / 50 r7 / 50 r8 / 50 r9."""
     last = freshness.last_checked(REPO_ROOT, through_round=9)
-    hist = freshness.stale_histogram(list(QUERIES), last)
+    names = [n for n in QUERIES if n not in set(_r10_deferred())]
+    hist = freshness.stale_histogram(names, last)
     assert hist == {-1: 2, 5: 35, 6: 42, 7: 50, 8: 50, 9: 50}
