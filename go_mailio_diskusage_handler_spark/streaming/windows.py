@@ -358,6 +358,25 @@ def attributed_purchases_outer(
     )
 
 
+def with_ingest_observation(events: DataFrame) -> DataFrame:
+    """Attach ``observe`` metrics to a (streaming or batch) event
+    frame: row count, null-key count, and value sum — the zero-extra-
+    pass production monitoring surface.  On a stream the metrics
+    surface per micro-batch in ``StreamingQueryProgress.
+    observedMetrics['ingest']`` and through any registered
+    ``StreamingQueryListener`` — the alerting path that needs no
+    second aggregation job over the input (same motivation as the
+    refresher's in-flight quality gate, operators/core.py:
+    disk_usage_observed, which covers the BATCH Observation API).
+    """
+    return events.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
 def _attribution_sides(
     events: DataFrame, watermark: str
 ) -> tuple[DataFrame, DataFrame]:

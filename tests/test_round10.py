@@ -265,3 +265,89 @@ def test_semi_stream_join_matches_batch_promptly(spark, tmp_path):
     want = {r.purchase_id for r in
             windows.attributed_purchases_semi(batch_events).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: streaming observed metrics + query listener
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_observed_metrics_and_listener(spark, tmp_path):
+    """observe() on a stream: per-micro-batch metrics surface in
+    StreamingQueryProgress.observedMetrics AND through a registered
+    StreamingQueryListener; summed across micro-batches they equal the
+    batch aggregate over the same file — monitoring with zero extra
+    passes over the input."""
+    import shutil
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_CORRECT}/../sf0.001/events.parquet", d / "b0.parquet")
+
+    captured = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            om = event.progress.observedMetrics
+            if "ingest" in om:
+                captured.append(om["ingest"].asDict())
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = windows.with_ingest_observation(
+            windows.read_event_stream(spark, str(d))
+        )
+        q = (
+            windows.windowed_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # lastProgress carries the final batch's observed metrics too
+        last = q.lastProgress
+        q.stop()
+        import time
+
+        deadline = time.time() + 30  # listener events deliver async
+        while not captured and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    events = load_table(spark, f"{SF_CORRECT}/../sf0.001", "events")
+    want = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nu"),
+        F.round(F.sum("value"), 2).alias("vs"),
+    ).collect()[0]
+    # sum() of an all-NULL column observes as None in that micro-batch
+    got_rows = sum(m["n_rows"] or 0 for m in captured)
+    got_nulls = sum(m["null_users"] or 0 for m in captured)
+    got_sum = round(sum(m["value_sum"] or 0.0 for m in captured), 2)
+    assert got_rows == want.n
+    assert got_nulls == (want.nu or 0)
+    assert abs(got_sum - want.vs) < 0.05  # per-batch rounding drift
+    # the progress object exposes the same metrics without a listener
+    if last is not None and "observedMetrics" in last:
+        om = last["observedMetrics"].get("ingest")
+        if om:
+            assert om["n_rows"] <= want.n
