@@ -47,11 +47,17 @@ from .rotation_r45 import _rotate_front
 # tail, behind the window, per the new-query deferral policy; they are
 # in-repo oracle-checked via pytest until the round-11 front.
 #
-# After round 10 the oldest freshness anywhere is r6 (29 rows,
-# dedup_pair_editdist first by registration order) — satisfying the
-# round-8 verdict's "nothing older than r5 by round 10" with a round
-# to spare.  Round 11 drains those 29 plus the 21 oldest r7 rows
-# (derive with freshness.derive_front through_round=10).
+# After round 10 the histogram is 3 never-checked (this round's tail
+# additions events_attribution_full_outer / events_attribution_semi /
+# udf_cogroup_arrow_stats) / 29 r6 / 50 r7 / 50 r8 / 50 r9 / 50 r10 —
+# oldest anywhere r6, satisfying the round-8 verdict's "nothing older
+# than r5 by round 10" with a round to spare.  The round-11 front
+# (derived mechanically: freshness.derive_front with through_round=10,
+# changed = the 5 round-10 oracle-helper queries that sat outside this
+# window [sim_ivf_assignments, sim_ivf_ann_topk, sim_pq_ann_topk,
+# sim_mmr_topk, udf_pandas_cosine], deferred = any round-11 additions)
+# is: those 5, the 3 never-checked additions, the 28 remaining
+# r6-stale rows, then the 14 oldest r7 rows — 50 exactly.
 # ---------------------------------------------------------------------------
 _R10_FRONT = [
     # group 1 — the 2 round-9 tail additions, never driver-checked
