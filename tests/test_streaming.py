@@ -847,3 +847,43 @@ def test_streaming_psi_equals_batch(spark, events_stream_dir):
         for r in dq.value_drift_psi(batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_ann_index_equals_batch_assignments(spark, tmp_path):
+    """StreamingAnnIndexIngest: vectors arriving across micro-batches
+    are assigned against the FROZEN seed codebook; the accumulated
+    index is row-for-row the batch ivf_assignments over the full
+    corpus — the invariant that keeps ANN probes correct mid-ingest."""
+    import os
+    import time
+
+    from go_mailio_diskusage_handler_spark.operators import similarity
+    from go_mailio_diskusage_handler_spark.streaming.ann_ingest import (
+        StreamingAnnIndexIngest,
+    )
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    d = tmp_path / "vecs"
+    d.mkdir()
+    now = time.time()
+    for i, pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        p = d / f"b{i}.parquet"
+        vecs.where(pred).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+    ingest = StreamingAnnIndexIngest(
+        spark,
+        str(d) + "/*/",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "work"),
+        seed=vecs,
+        max_files_per_trigger=1,
+    )
+    ingest.await_drained()
+    got = {(r.vec_id, r.list_id) for r in ingest.assignments().collect()}
+    want = {
+        (r.vec_id, r.list_id)
+        for r in similarity.ivf_assignments(vecs).collect()
+    }
+    assert got == want
+    assert len({l for _, l in want}) > 1  # a real multi-list index
