@@ -32,11 +32,16 @@ from .rotation_r45 import _rotate_front
 #   * The shared oracle helpers _ddb_dot/_ddb_cosine/_ddb_bucket moved
 #     to native list_dot_product (A/B-verified bit-identical, max abs
 #     diff 0.0 over all sf0.1 self/cross/plane dots), which changes
-#     the ORACLE TEXT of ~15 similarity-family queries.  Most sit in
-#     this window already (sim_brute/filtered/lsh*/ivfpq*/eval*/
-#     kmeans*/rrf, dedup_embedding_cosine, dedup_semantic); the few
-#     that do not (sim_ivf_assignments, sim_ivf_ann_topk,
-#     sim_pq_ann_topk, sim_mmr_topk, udf_pandas_cosine) were
+#     the ORACLE TEXT of 20 queries — now MECHANICALLY tracked:
+#     ORACLE_HASHES.json pins every oracle's content hash + the round
+#     it last changed (regenerate with tools_oracle_hashes.py), and
+#     tests/test_rotation.py fails unless every changed-this-round
+#     query is in the window, deferred, or explicitly acknowledged.
+#     12 of the 20 sit in this window; the 8 that do not
+#     (curation_semantic_decontam, sim_embedding_stats,
+#     sim_ivf_ann_topk, sim_ivf_assignments, sim_matryoshka_topk,
+#     sim_mmr_topk, sim_range_search, udf_pandas_cosine — the hand
+#     list this detector replaced had 5 names, one wrong) were
 #     dual-scale re-verified in-repo this round and take first
 #     priority in the round-11 front.
 # Beyond that no extra fronting is needed; the staleness order already
@@ -53,11 +58,12 @@ from .rotation_r45 import _rotate_front
 # oldest anywhere r6, satisfying the round-8 verdict's "nothing older
 # than r5 by round 10" with a round to spare.  The round-11 front
 # (derived mechanically: freshness.derive_front with through_round=10,
-# changed = the 5 round-10 oracle-helper queries that sat outside this
-# window [sim_ivf_assignments, sim_ivf_ann_topk, sim_pq_ann_topk,
-# sim_mmr_topk, udf_pandas_cosine], deferred = any round-11 additions)
-# is: those 5, the 3 never-checked additions, the 28 remaining
-# r6-stale rows, then the 14 oldest r7 rows — 50 exactly.
+# changed = the 8 acknowledged out-of-window oracle changes above —
+# read them from ORACLE_HASHES.json rounds — plus any round-11
+# changes, deferred = any round-11 additions) fronts those 8, then
+# the 3 never-checked additions, then staleness order; by last-checked
+# age the 50 slots split 3 never / 29 r6 / 15 r7 / 3 r8 (the r7/r8
+# entries are the fronted changed queries plus the oldest r7 backlog).
 # ---------------------------------------------------------------------------
 _R10_FRONT = [
     # group 1 — the 2 round-9 tail additions, never driver-checked

@@ -99,3 +99,53 @@ def test_stale_histogram_matches_rotation_comment():
     names = [n for n in QUERIES if n not in set(_r10_deferred())]
     hist = freshness.stale_histogram(names, last)
     assert hist == {-1: 2, 5: 35, 6: 42, 7: 50, 8: 50, 9: 50}
+
+
+# Round-10 oracle-text changes NOT inside the r10 window (mechanically
+# detected via ORACLE_HASHES.json — the hand-maintained list this
+# replaces had 5 names, wrongly included sim_pq_ann_topk, and missed
+# 4): all verified value-identical in the round-10 dual-scale sweeps
+# (.r10/verify_full_r10b.log, .r10/verify_sf01_r10a.log) after the
+# bit-identical native-dot helper conversion, and first in line for
+# the round-11 front.
+_R10_CHANGED_ACKED = [
+    "curation_semantic_decontam",
+    "sim_embedding_stats",
+    "sim_ivf_ann_topk",
+    "sim_ivf_assignments",
+    "sim_matryoshka_topk",
+    "sim_mmr_topk",
+    "sim_range_search",
+    "udf_pandas_cosine",
+]
+
+
+def test_changed_oracles_meet_the_gate_or_are_acknowledged():
+    """Mechanical 'changed queries front first' (the round-4 advisory,
+    previously hand-tracked prose): every query whose oracle text
+    changed THIS round — per ORACLE_HASHES.json, regenerated by
+    tools_oracle_hashes.py — must be in the driver window, in the
+    new-query deferral set, or explicitly acknowledged above with the
+    evidence trail.  An oracle edit can no longer slip past the
+    external gate unnoticed."""
+    import json
+
+    with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
+        hashes = json.load(fh)
+    # the file must cover the registry exactly (regenerate on changes)
+    assert set(hashes) == set(QUERIES)
+    import hashlib
+
+    current_round = max(freshness.last_checked(REPO_ROOT).values()) + 1
+    stale = [
+        n for n, sql in ORACLE_SQL.items()
+        if hashlib.sha256(sql.encode()).hexdigest()[:16] != hashes[n]["hash"]
+    ]
+    assert stale == [], (
+        f"oracle text changed without regenerating ORACLE_HASHES.json "
+        f"(run tools_oracle_hashes.py): {stale}"
+    )
+    changed = {n for n, v in hashes.items() if v["round"] >= current_round}
+    window = set(list(QUERIES)[: freshness.WINDOW])
+    covered = window | set(_r10_deferred()) | set(_R10_CHANGED_ACKED)
+    assert changed <= covered, sorted(changed - covered)
