@@ -136,3 +136,91 @@ def events_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_id",
         F.unix_micros("click_ts").alias("click_ts_us"),
     )
+
+
+# DuckDB mirror of sql_function_bands: the SQL-UDF bodies inlined
+# (DuckDB macros could mirror the indirection, but the CONTRACT under
+# test is Spark resolving CREATE FUNCTION bodies at plan time into
+# exactly this relational form).
+SQL_FUNCTION_BANDS_ORACLE = """
+    SELECT CASE WHEN o_totalprice >= 250000 THEN 'premium'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'base' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_totalprice > 50000.0
+    GROUP BY 1
+"""
+
+
+@register("sql_function_bands", SQL_FUNCTION_BANDS_ORACLE)
+def sql_function_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SQL UDFs (Spark 4.0): a scalar CREATE FUNCTION (price
+    banding) applied over a SQL TABLE FUNCTION (threshold-filtered
+    orders, RETURNS TABLE used in FROM) — declarative reusable logic
+    that Catalyst inlines at plan time, so the physical plan is
+    identical to the hand-inlined query (no UDF call overhead at all,
+    unlike Python UDFs).  A parameterized LIMIT inside a SQL table
+    function is rejected as unfoldable (probed); WHERE predicates on
+    the parameter are the supported shape."""
+    from ..sql import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 250000 THEN 'premium'
+                    WHEN p >= 100000 THEN 'mid'
+                    ELSE 'base' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION hot_orders(threshold DOUBLE)
+        RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_orderkey, o_totalprice
+               FROM orders WHERE o_totalprice > threshold
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM hot_orders(50000.0)
+        GROUP BY 1
+        """
+    )
+
+
+# DuckDB mirror of sql_listagg_nations: string_agg is listagg's
+# standard-SQL twin; both engines order inside the aggregate.
+SQL_LISTAGG_ORACLE = """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@register("sql_listagg_nations", SQL_LISTAGG_ORACLE)
+def sql_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] listagg (Spark 4.0) with WITHIN GROUP ordered
+    concatenation — the ordered string-fold aggregate (ISO/IEC
+    9075-2:2023); deterministic output because the order is part of
+    the aggregate, not the input partitioning."""
+    from ..sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

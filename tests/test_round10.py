@@ -351,3 +351,39 @@ def test_streaming_observed_metrics_and_listener(spark, tmp_path):
         om = last["observedMetrics"].get("ingest")
         if om:
             assert om["n_rows"] <= want.n
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: SQL UDFs (scalar + table function) and listagg
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_sql_function_bands(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "sql_function_bands", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_oracle_parity_sql_listagg_nations(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "sql_listagg_nations", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_sql_function_inlines_to_relational_plan(spark):
+    """CREATE FUNCTION bodies must inline at plan time: the physical
+    plan of the SQL-UDF query contains no Python/eval nodes — just the
+    scan + filter + aggregate the hand-written form would produce,
+    with the table function's predicate pushed to the parquet scan."""
+    from go_mailio_diskusage_handler_spark import plans, registry
+
+    df = registry.QUERIES["sql_function_bands"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,50000.0)" in plan, plan
