@@ -153,7 +153,7 @@ def curation_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN sizes za ON doc_a = za.doc_id
               JOIN sizes zb ON doc_b = zb.doc_id
               WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a AS src, a AS dst FROM edges
               UNION
@@ -181,7 +181,11 @@ def curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared recursive-CTE chain ending in a ``clusters(doc_id,
 #: cluster_id)`` CTE — used by dedup_clusters and the keep-best
-#: composition.
+#: composition.  ``edges AS MATERIALIZED``: DuckDB inlines CTEs
+#: referenced from inside a WITH RECURSIVE scope, re-evaluating the
+#: whole shingle->cand->inter->pairs chain EVERY iteration of the
+#: transitive closure (measured 38.6 s at sf0.1; 13 s with the hint;
+#: results A/B-identical — the hint is evaluation-only).
 _CLUSTERS_CTES = f"""
     WITH RECURSIVE {_CAPPED_SHINGLE_CTES},
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -196,7 +200,7 @@ _CLUSTERS_CTES = f"""
               JOIN sizes za ON doc_a = za.doc_id
               JOIN sizes zb ON doc_b = zb.doc_id
               WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.6),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a AS src, a AS dst FROM edges
               UNION

@@ -117,6 +117,11 @@ _R10_CHANGED_ACKED = [
     "sim_mmr_topk",
     "sim_range_search",
     "udf_pandas_cosine",
+    # late-round oracle cheapening (edges AS MATERIALIZED in the
+    # recursive cluster chains, evaluation-hint only, A/B-identical at
+    # sf0.1 and parity-green at sf0.01): dedup_clusters and
+    # curation_corpus are in the r10 window; keep_best is not.
+    "curation_keep_best",
 ]
 
 
