@@ -802,3 +802,96 @@ def test_ppl_buckets_partition_each_language(spark, docs):
         assert sum(buckets[b]["n_docs"] for b in order) == n_scored
         for hi, lo in zip(order, order[1:]):
             assert buckets[hi]["min_logp"] >= buckets[lo]["max_logp"]
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the attribution join matrix vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+# Minutes offsets force the interesting timing shapes the fixtures
+# rarely hit: EXACTLY-at-horizon boundaries (30), duplicate
+# timestamps, clicks after purchases, multi-match fan-out.
+_ev_minute = st.sampled_from([0, 1, 29, 30, 31, 60])
+_ev_user = st.integers(min_value=1, max_value=3)
+_ev_kind = st.sampled_from(["click", "purchase"])
+_events = st.lists(
+    st.tuples(_ev_user, _ev_minute, _ev_kind), min_size=0, max_size=14
+)
+
+
+@settings(**_SETTINGS)
+@given(evs=_events)
+def test_attribution_join_matrix_matches_python_reference(spark, evs):
+    """inner / leftOuter / rightOuter / fullOuter / leftSemi
+    attribution joins == a direct Python fold over arbitrary event
+    sets, including pairs exactly AT the 30-minute horizon (inclusive
+    by the >= bound), simultaneous click+purchase (click_ts <=
+    purchase_ts admits ties), and users with only one side."""
+    from go_mailio_diskusage_handler_spark.streaming import windows
+
+    base_us = 1_700_000_000_000_000
+    rows = [
+        (i, base_us + m * 60_000_000, u, k, float(i), "{}")
+        for i, (u, m, k) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    clicks = [(i, u, m) for i, (u, m, k) in enumerate(evs) if k == "click"]
+    purchases = [
+        (i, u, m) for i, (u, m, k) in enumerate(evs) if k == "purchase"
+    ]
+    matched = {
+        (pi, ci)
+        for pi, pu, pm in purchases
+        for ci, cu, cm in clicks
+        if cu == pu and cm <= pm and cm >= pm - 30
+    }
+    want_inner = matched
+    want_left = matched | {
+        (pi, None)
+        for pi, _, _ in purchases
+        if not any(p == pi for p, _ in matched)
+    }
+    want_right = matched | {
+        (None, ci)
+        for ci, _, _ in clicks
+        if not any(c == ci for _, c in matched)
+    }
+    want_full = want_left | want_right
+    want_semi = {p for p, _ in matched}
+
+    got_inner = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases(df).collect()
+    }
+    got_left = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases_outer(df).collect()
+    }
+    got_right = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_clicks_right_outer(df).collect()
+    }
+    got_full = {
+        (r.purchase_id, r.click_id)
+        for r in windows.attributed_purchases_full_outer(df).collect()
+    }
+    got_semi = {
+        r.purchase_id for r in windows.attributed_purchases_semi(df).collect()
+    }
+    assert got_inner == want_inner
+    assert got_left == want_left
+    assert got_right == want_right
+    assert got_full == want_full
+    assert got_semi == want_semi
