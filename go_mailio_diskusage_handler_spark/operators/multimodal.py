@@ -361,3 +361,46 @@ def ingest_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
         F.col("length").cast("int").alias("n_bytes"),
         F.col("path").alias("source_path"),
     )
+
+
+def shard_plan(documents: DataFrame, shard_bytes: int = 16_384) -> DataFrame:
+    """WebDataset-style shard planning: pack each modality's assets
+    end-to-end in doc_id order into ~``shard_bytes`` shards and report
+    the plan — one row per (media_type, shard_id) with asset count,
+    byte total, and the doc_id range a shard loader would read.
+
+    Training loaders want media in fixed-size sequential shards (tar
+    files in WebDataset; the plan here is the assignment step that
+    precedes the actual repack write).  Exact bin packing is
+    inherently sequential; the scalable deterministic relaxation is
+    the same as :func:`curation.pack_sequences`: per modality, lay
+    assets end-to-end in doc_id order and shard by START offset —
+    ``shard = floor(start_offset / shard_bytes)`` — one window pass,
+    one shuffle on the modality key, same row → same shard at any
+    partition layout or scale.  Assets larger than the budget still
+    get a shard (split downstream at write).  Per-modality sharding is
+    the natural WebDataset layout (a loader mixes modalities by
+    interleaving shard streams, not by mixing bytes within one tar).
+    """
+    from pyspark.sql import Window
+
+    m = media_table(documents)
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_bytes = F.octet_length("payload").cast("bigint")
+    start = F.coalesce(F.sum(n_bytes).over(w), F.lit(0))
+    assigned = m.select(
+        "doc_id",
+        "media_type",
+        n_bytes.alias("n_bytes"),
+        F.floor(start / shard_bytes).cast("bigint").alias("shard_id"),
+    )
+    return assigned.groupBy("media_type", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

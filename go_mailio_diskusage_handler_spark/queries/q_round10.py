@@ -224,3 +224,38 @@ def sql_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+# DuckDB mirror of multimodal.shard_plan: same payload derivation
+# (media_table's text->utf8 bytes, doc_id%3 modality cycle), same
+# start-offset sharding window, same plan aggregate.
+MEDIA_SHARD_PLAN_SQL = """
+    WITH m AS (SELECT doc_id,
+                      ['image', 'audio', 'video'][(doc_id % 3) + 1]
+                          AS media_type,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents),
+    a AS (SELECT doc_id, media_type, n_bytes,
+                 CAST(FLOOR(COALESCE(SUM(n_bytes) OVER (
+                     PARTITION BY media_type ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 16384) AS BIGINT) AS shard_id
+          FROM m)
+    SELECT media_type, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM a GROUP BY 1, 2
+"""
+
+
+@register("media_shard_plan", MEDIA_SHARD_PLAN_SQL)
+def media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WebDataset-style shard planning: per-modality assets
+    packed end-to-end in doc_id order, sharded by start offset
+    (operators/multimodal.py:shard_plan) — the assignment step before
+    a training-loader repack write."""
+    from ..operators import multimodal
+
+    return multimodal.shard_plan(load_table(spark, sf_dir, "documents"))

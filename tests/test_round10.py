@@ -387,3 +387,47 @@ def test_sql_function_inlines_to_relational_plan(spark):
     plan = plans.executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,50000.0)" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10 addition: WebDataset-style media shard planning
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_parity_media_shard_plan(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "media_shard_plan", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_shard_plan_is_contiguous_and_budgeted(spark):
+    """Shards per modality tile the doc_id order contiguously (next
+    shard starts after the previous ends), every shard except possibly
+    the last holds >= the byte budget's worth once its last asset
+    lands, and no shard but the last is 'underfull by more than one
+    asset' — the start-offset relaxation's contract."""
+    from go_mailio_diskusage_handler_spark.operators import multimodal
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    budget = 16_384
+    rows = multimodal.shard_plan(
+        load_table(spark, SF_CORRECT, "documents"), budget
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, []).append(r)
+    assert set(by_type) == {"image", "audio", "video"}
+    for mt, shards in by_type.items():
+        shards.sort(key=lambda r: r.shard_id)
+        assert [s.shard_id for s in shards] == list(range(len(shards)))
+        assert len(shards) > 1, "fixture should need multiple shards"
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_doc_id < b.first_doc_id  # contiguous tiling
+        # start-offset rule: every shard boundary crosses the budget,
+        # so total_bytes >= budget - (last asset may overhang) for all
+        # but the final shard
+        for s in shards[:-1]:
+            assert s.total_bytes >= budget - 3000  # fixture max asset ~3KB
