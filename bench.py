@@ -82,14 +82,18 @@ moved to the FRONT of the run order — registration position decides
 who pays the JVM/codegen warmup tax, so cross-round per-query
 comparisons must account for rotation moves, not just load.
 
-Round-10 reference: 232 queries, 196.8 s idle (second idle run
-192.6 s — today's band sits BELOW round 9's 207-235 s: the box got
-faster, so idle bands are per-day and need two back-to-back runs
-before judging a pin).  The three round-10 additions (full-outer and
-semi attribution joins, the Arrow cogroup stats) add 1.4 s combined;
-the one >1.5x per-query mover vs the r9 pin is curation_ppl_buckets
-0.86->1.34 s — the documented cost of its new unscored-bucket branch
-(one extra bounded scan+aggregate, plan-pinned).
+Round-10 reference: 235 queries, 234.0 s idle pin.  Idle bands moved
+WITHIN the day: 192-204 s mid-round (232 queries, afternoon) vs
+234-262 s at close (235 queries, evening, load average 0.03 — the
+drift is host-level, invisible to guest load), re-proving that idle
+bands are per-day-per-hour and only >1.5x PER-QUERY movers mean
+anything.  The six round-10 additions (full-outer/semi attribution
+joins, Arrow cogroup stats, SQL-UDF bands, listagg, media shard plan)
+add ~2 s combined; the one structural mover vs the r9 pin is
+curation_ppl_buckets 0.86->1.34 s — the documented cost of its new
+unscored-bucket branch (one extra bounded scan+aggregate,
+plan-pinned); every other >1.5x delta is band noise on sub-second
+queries.
 
 Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
 refresh only from an IDLE run — check nothing else is running (no
