@@ -895,3 +895,87 @@ def test_attribution_join_matrix_matches_python_reference(spark, evs):
     assert got_right == want_right
     assert got_full == want_full
     assert got_semi == want_semi
+
+
+@settings(**_SETTINGS)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(min_value=1, max_value=4),
+                      st.floats(min_value=-100, max_value=100,
+                                allow_nan=False, allow_infinity=False)),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+def test_state_emulator_matches_python_fold(spark, batches):
+    """emulate_transform_with_state(UserTotalsProcessor) == a direct
+    per-user running fold over the same micro-batch sequence: every
+    emission is the running (sum, count) at that batch, state persists
+    across batches, and the LAST emission per user equals the global
+    aggregate — for arbitrary batch shapes including empty batches and
+    users absent from intermediate batches."""
+    import pandas as pd
+
+    from go_mailio_diskusage_handler_spark.streaming import stateful
+
+    pdfs = [
+        pd.DataFrame({"user_id": [u for u, _ in b],
+                      "value": [v for _, v in b]})
+        for b in batches
+    ]
+    out = stateful.emulate_transform_with_state(
+        stateful.UserTotalsProcessor(), pdfs, ["user_id"]
+    )
+    # python reference: running fold, one emission per (batch, user)
+    want = []
+    totals: dict = {}
+    for b in batches:
+        per_batch: dict = {}
+        for u, v in b:
+            s, n = per_batch.get(u, totals.get(u, (0.0, 0)))
+            per_batch[u] = (s + v, n + 1)
+        for u in sorted(per_batch):
+            totals[u] = per_batch[u]
+            want.append((u, *per_batch[u]))
+    got = [tuple(r) for r in out.itertuples(index=False)] if len(out) else []
+    assert [(u, round(s, 6), n) for u, s, n in got] == [
+        (u, round(s, 6), n) for u, s, n in want
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=120),
+                   min_size=1, max_size=25),
+    budget=st.sampled_from([64, 100, 256]),
+)
+def test_media_shard_plan_matches_prefix_sum_reference(spark, sizes, budget):
+    """shard_plan == the sequential layout: asset i's shard within its
+    modality is floor(bytes-before-it / budget); the reported plan's
+    counts/totals/ranges match the python fold for arbitrary payload
+    sizes and budgets."""
+    from go_mailio_diskusage_handler_spark.operators import multimodal
+
+    rows = [
+        (i, "x" * n, "en", "s0", n) for i, n in enumerate(sizes)
+    ]  # media_table: payload = utf8(text) -> n bytes exactly
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.media_type, r.shard_id):
+            (r.n_assets, r.total_bytes, r.first_doc_id, r.last_doc_id)
+        for r in multimodal.shard_plan(docs, budget).collect()
+    }
+    mt = ["image", "audio", "video"]
+    want: dict = {}
+    start: dict = {}
+    for i, n in enumerate(sizes):
+        t = mt[i % 3]
+        sid = start.get(t, 0) // budget
+        na, tb, fd, ld = want.get((t, sid), (0, 0, i, i))
+        want[(t, sid)] = (na + 1, tb + n, min(fd, i), max(ld, i))
+        start[t] = start.get(t, 0) + n
+    assert got == want
