@@ -167,25 +167,60 @@ def main() -> None:
     # stays failure-isolated (one bad query can't abort the recording,
     # as the round-3 events_sessionize crash did).
     ERROR_PENALTY_SEC = 60.0
+    # Median-of-N per query (round-10 verdict #3): one loaded driver
+    # run was costing a whole round of perf signal — the r10 record
+    # showed a UNIFORM 1.17x inflation with zero real movers.  The
+    # repeats run back-to-back per query, so repeats 2..N are warm
+    # (page cache + codegen); the median therefore reads as the
+    # query's warm steady-state, and the committed BASELINE_QUERIES
+    # pin is refreshed with the SAME method so the 2x gate compares
+    # like with like.  Override for quick iteration probes.
+    REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     errors: dict[str, str] = {}
+    per_query_runs: dict[str, list[float]] = {}
     for name, fn in registry.QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            assert n >= 0
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one bad query must not kill the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            timings[name] = ERROR_PENALTY_SEC
-        finally:
-            # Queries that persist intermediates (near-dup, ANN) would
-            # otherwise accumulate executor storage across the run and
-            # pressure later queries; each query is timed self-contained,
-            # including its own materialization.
-            spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                assert n >= 0
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # one bad query must not kill the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                runs.append(ERROR_PENALTY_SEC)
+                break  # a failing query fails every repeat; don't pay 3x
+            finally:
+                # Queries that persist intermediates (near-dup, ANN) would
+                # otherwise accumulate executor storage across the run and
+                # pressure later queries; each query is timed self-contained,
+                # including its own materialization.
+                spark.catalog.clearCache()
+        per_query_runs[name] = runs
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # Spread evidence: how noisy was THIS run?  rel_spread =
+    # (max-min)/median per query; the summary keeps it compact enough
+    # to survive the driver's ~2000-char stdout tail (the full per-run
+    # matrix goes to BENCH_SUMMARY.json only).
+    rel = {
+        n: (max(r) - min(r)) / m if (m := sorted(r)[len(r) // 2]) > 0 else 0.0
+        for n, r in per_query_runs.items()
+    }
+    worst = max(rel, key=rel.get) if rel else None
+    spread = {
+        "repeats": REPEATS,
+        "per_run_totals": [
+            round(sum(r[i] if i < len(r) else r[-1]
+                      for r in per_query_runs.values()), 3)
+            for i in range(REPEATS)
+        ],
+        "median_rel_spread": round(sorted(rel.values())[len(rel) // 2], 3)
+        if rel else 0.0,
+        "max_rel_spread": [worst, round(rel[worst], 3)] if worst else None,
+    }
     # Key ORDER is load-bearing: the driver archives only the final
     # ~2000 chars of this line, so the headline scalars (metric/value/
     # unit/sf) must serialize LAST — after the per-query map — or they
@@ -196,6 +231,7 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     out["queries"] = timings
+    out["spread"] = spread
     out["metric"] = "total_query_sec"
     out["value"] = total
     out["unit"] = "sec"
@@ -213,6 +249,7 @@ def main() -> None:
     # evidence — the same hazard the PIN_BASELINE gate closes below.
     summary = dict(out)
     summary["n_queries"] = len(timings)
+    summary["runs"] = per_query_runs
     if float(sf) == 0.1:
         try:
             with open(os.path.join(repo_dir, "BENCH_SUMMARY.json"), "w") as fh:

@@ -564,6 +564,8 @@ def _user_value_stats_arrow(key, clicks_tbl, purchases_tbl):
     EMPTY table (user with clicks but no purchases or vice versa);
     ``pc.sum`` of an empty/all-null column is null, coalesced to 0 to
     match the oracle's COALESCE."""
+    import math
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -573,16 +575,23 @@ def _user_value_stats_arrow(key, clicks_tbl, purchases_tbl):
         s = pc.sum(tbl.column(col)).as_py()
         return 0.0 if s is None else float(s)
 
+    def _round4(x):
+        # half-away-from-zero, matching Spark F.round and DuckDB ROUND
+        # (python round() and np.round are banker's: a sum landing
+        # exactly on a 4th-decimal tie would mismatch the oracle —
+        # ADVICE r10)
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
     cv = _sum(clicks_tbl, "value")
     pv = _sum(purchases_tbl, "p_value")
-    ratio = round(pv / cv, 4) if cv > 0 else None
+    ratio = _round4(pv / cv) if cv > 0 else None
     return pa.table(
         {
             "user_id": pa.array([key[0].as_py()], pa.int64()),
             "n_clicks": pa.array([clicks_tbl.num_rows], pa.int64()),
             "n_purchases": pa.array([purchases_tbl.num_rows], pa.int64()),
-            "click_value": pa.array([round(cv, 4)], pa.float64()),
-            "purchase_value": pa.array([round(pv, 4)], pa.float64()),
+            "click_value": pa.array([_round4(cv)], pa.float64()),
+            "purchase_value": pa.array([_round4(pv)], pa.float64()),
             "conv_ratio": pa.array([ratio], pa.float64()),
         }
     )

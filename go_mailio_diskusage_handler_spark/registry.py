@@ -86,3 +86,14 @@ from .queries import rotation_r10  # noqa: E402,F401
 # Round-10 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round10  # noqa: E402,F401
+
+# Round-11 window rotation (applied on import, last): the 9
+# acknowledged round-10 oracle-text changes first, then the 6
+# round-10 tail additions (never driver-checked), then the r6-stale
+# backlog and the oldest r7 rows.  Derivation-checked by
+# tests/test_rotation.py against queries/freshness.py.
+from .queries import rotation_r11  # noqa: E402,F401
+
+# Round-11 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round11  # noqa: E402,F401

@@ -76,7 +76,9 @@ def build_session(app_name: str = "diskusage-spark") -> SparkSession:
 
 
 def configure_s3a(spark: SparkSession, *, region: str | None = None,
-                  access_key: str | None = None, secret_key: str | None = None) -> None:
+                  access_key: str | None = None, secret_key: str | None = None,
+                  endpoint: str | None = None,
+                  path_style: bool = False) -> None:
     """Wire the Hadoop S3A connector (reference O1, ``handler.go:146-164``).
 
     The reference downloads whole objects via ``s3manager.Downloader``
@@ -84,11 +86,21 @@ def configure_s3a(spark: SparkSession, *, region: str | None = None,
     1000-executor cluster reads a 100 TB inventory without any single
     node buffering a file.  Credentials fall back to the default AWS
     provider chain when not given (IAM roles on real clusters).
+
+    ``endpoint`` + ``path_style`` point the connector at an
+    S3-compatible deployment (MinIO, moto, on-prem object stores) —
+    such endpoints serve buckets under the path, not a virtual-host
+    subdomain, hence path-style addressing.  Left unset, S3A targets
+    AWS proper.
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
     if region:
         hconf.set("fs.s3a.endpoint.region", region)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    if path_style:
+        hconf.set("fs.s3a.path.style.access", "true")
     if access_key and secret_key:
         hconf.set("fs.s3a.access.key", access_key)
         hconf.set("fs.s3a.secret.key", secret_key)

@@ -43,8 +43,12 @@ INVENTORY_SCHEMA = "key string, size long"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, md5: str | None = None) -> None:
         self.path = path
+        # the manifest's MD5checksum (types.go:29-31), carried so the
+        # executor task can verify-on-read without re-opening the
+        # manifest
+        self.md5 = md5
 
 
 class MailioInventoryDataSource(DataSource):
@@ -79,6 +83,24 @@ class MailioInventoryReader(DataSourceReader):
         # base dir for relative file keys (local stand-in for the
         # reference's destination bucket)
         self._base = options.get("base", "")
+        # MD5checksum verify-on-read (round-10 verdict #5).  The
+        # reference CARRIES the checksum but never verifies it
+        # (types.go:29-31 — written by handler.go, read by nothing),
+        # so "off" is the parity default; "fail" makes a corrupted
+        # file a task error (fail-fast, the reference's fatal-on-error
+        # temperament); "quarantine" skips the file's rows and drops a
+        # marker next to it (or in quarantine_dir) so ingest proceeds
+        # on the healthy partitions — the behavior a 1000-executor
+        # ingest actually wants, where one corrupt object must not
+        # kill a 100 TB job.
+        verify = options.get("verify_md5", "off").lower()
+        if verify not in ("off", "fail", "quarantine"):
+            raise ValueError(
+                "verify_md5 must be one of off|fail|quarantine, "
+                f"got {verify!r}"
+            )
+        self._verify = verify
+        self._quarantine_dir = options.get("quarantine_dir", "")
 
     def partitions(self) -> list[_FilePartition]:
         """One input partition per manifest file entry — planned on
@@ -92,18 +114,57 @@ class MailioInventoryReader(DataSourceReader):
             manifest = json.load(f)
         base = self._base or os.path.dirname(self._manifest_path)
         return [
-            _FilePartition(os.path.join(base, entry["key"]))
+            _FilePartition(
+                os.path.join(base, entry["key"]),
+                entry.get("MD5checksum"),
+            )
             for entry in manifest.get("files", [])
         ]
 
     def read(self, partition: _FilePartition):
         """Executor-side: read ONE listed Parquet file, pruned to the
         declared columns (reference O4/O5's key+size extraction,
-        handler.go:203-221), yielding Arrow batches."""
+        handler.go:203-221), yielding Arrow batches.  With verify_md5
+        on, the file's bytes are checksummed (streamed, flat memory)
+        BEFORE any row is emitted, so a corrupt object contributes
+        either zero rows (quarantine) or a task error (fail) — never
+        partial garbage."""
         import pyarrow.parquet as pq
 
+        if self._verify != "off" and partition.md5:
+            digest, _ = _stream_md5(partition.path)
+            if digest != partition.md5:
+                if self._verify == "quarantine":
+                    self._quarantine(partition, digest)
+                    return
+                raise ValueError(
+                    f"MD5 mismatch for {partition.path}: manifest says "
+                    f"{partition.md5}, file hashes to {digest}"
+                )
         table = pq.read_table(partition.path, columns=["key", "size"])
         yield from table.to_batches()
+
+    def _quarantine(self, partition: _FilePartition, actual: str) -> None:
+        """Drop a ``<file>.md5mismatch`` marker recording expected vs
+        actual, per-task (no coordination: the marker is idempotent —
+        re-running the task rewrites the same content)."""
+        import json
+        import os
+
+        base = self._quarantine_dir or os.path.dirname(partition.path)
+        os.makedirs(base, exist_ok=True)
+        marker = os.path.join(
+            base, os.path.basename(partition.path) + ".md5mismatch"
+        )
+        with open(marker, "w") as fh:
+            json.dump(
+                {
+                    "path": partition.path,
+                    "expected_md5": partition.md5,
+                    "actual_md5": actual,
+                },
+                fh,
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -262,11 +323,30 @@ def _manifest_commit_lock(path: str):
     return _lock()
 
 
+def _stream_md5(path: str) -> tuple[str, int]:
+    """(hexdigest, byte size) of a file via chunked reads: the task's
+    memory high-water mark stays flat regardless of file size
+    (re-reading the whole file into one bytes object would double peak
+    memory at production file sizes).  Shared by the writer's manifest
+    entry computation and the reader's verify-on-read."""
+    import hashlib
+
+    digest = hashlib.md5()
+    size = 0
+    with open(path, "rb") as fh:
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            digest.update(chunk)
+            size += len(chunk)
+    return digest.hexdigest(), size
+
+
 def _write_inventory_part(path: str, name: str, iterator) -> _InventoryCommit:
     """Executor-side: drain one task's rows into ONE parquet file and
     return its manifest entry (key/size/MD5checksum, ``types.go:28-32``)
     — the write kernel both the batch and stream writers share."""
-    import hashlib
     import os
 
     import pyarrow as pa
@@ -282,20 +362,8 @@ def _write_inventory_part(path: str, name: str, iterator) -> _InventoryCommit:
         {"key": pa.array(keys, pa.string()), "size": pa.array(sizes, pa.int64())}
     )
     pq.write_table(tbl, full)
-    # Stream the checksum: chunked reads keep the task's memory
-    # high-water mark flat regardless of file size (re-reading the
-    # whole file into one bytes object would double peak memory at
-    # production file sizes).
-    digest = hashlib.md5()
-    size = 0
-    with open(full, "rb") as fh:
-        while True:
-            chunk = fh.read(1 << 20)
-            if not chunk:
-                break
-            digest.update(chunk)
-            size += len(chunk)
-    return _InventoryCommit(name, size, digest.hexdigest())
+    digest, size = _stream_md5(full)
+    return _InventoryCommit(name, size, digest)
 
 
 class MailioInventoryWriter(DataSourceWriter):

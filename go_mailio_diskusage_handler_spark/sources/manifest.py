@@ -118,6 +118,32 @@ def fetch_manifest(
     return parse_manifest(payload)
 
 
+def boto3_download(client) -> Callable[[str, str], bytes]:
+    """Production ``download`` callable for :func:`fetch_manifest`,
+    backed by a boto3 S3 client: whole-object GET with the reference's
+    NoSuchKey → ErrNotFound mapping (``handler.go:146-164``, which
+    wraps exactly this GetObject + error-translate pair around
+    ``s3manager.Downloader``).
+
+    Driver-side only and manifest-sized (a few KB): the LISTED data
+    files never go through this path — they stream through S3A range
+    reads on executors (``session.configure_s3a``), which is what
+    keeps a 100 TB inventory read off any single node's RAM.
+
+    Gated import: boto3 is not a package dependency; constructing the
+    callable requires a ready client, so environments without AWS
+    tooling never touch this function.
+    """
+
+    def _download(bucket: str, key: str) -> bytes:
+        try:
+            return client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except client.exceptions.NoSuchKey as exc:
+            raise ManifestNotFoundError(f"s3://{bucket}/{key}") from exc
+
+    return _download
+
+
 # ---------------------------------------------------------------------------
 # fileSchema enforcement — the contract the reference DECLARES but
 # never checks (types.go:17 carries the parquet message schema;

@@ -393,9 +393,10 @@ def emulate_transform_with_state(
     processor.init(handle)
     out: list[pd.DataFrame] = []
     for pdf in batches:
-        for key, group in sorted(
-            pdf.groupby(key_cols, sort=True), key=lambda kv: repr(kv[0])
-        ):
+        # groupby(sort=True) already orders keys by VALUE; a repr()
+        # re-sort would put (10,) before (2,) and desync from the real
+        # API's per-key ordering guarantees (ADVICE r10).
+        for key, group in pdf.groupby(key_cols, sort=True):
             key_tuple = key if isinstance(key, tuple) else (key,)
             handle._current_key = key_tuple
             for emitted in processor.handleInputRows(

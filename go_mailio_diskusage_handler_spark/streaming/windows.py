@@ -484,34 +484,9 @@ def attributed_purchases_full_outer(
     ``user_id`` is coalesced across the two sides so unmatched rows of
     either direction still carry their key.
     """
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
+    purchases, clicks = _attribution_sides(events, watermark)
     return purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
-        ),
-        "fullOuter",
+        clicks, _attribution_cond(horizon_minutes), "fullOuter"
     ).select(
         "purchase_id",
         F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),

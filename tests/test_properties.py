@@ -901,7 +901,11 @@ def test_attribution_join_matrix_matches_python_reference(spark, evs):
 @given(
     batches=st.lists(
         st.lists(
-            st.tuples(st.integers(min_value=1, max_value=4),
+            # multi-digit ids on purpose: a repr()-ordered emulator
+            # would emit (10,) before (2,) and fail the value-sorted
+            # python reference below (ADVICE r10 — the old cap of 4
+            # couldn't distinguish the orderings)
+            st.tuples(st.integers(min_value=1, max_value=30),
                       st.floats(min_value=-100, max_value=100,
                                 allow_nan=False, allow_infinity=False)),
             min_size=0, max_size=8,

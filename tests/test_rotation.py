@@ -1,9 +1,16 @@
-"""The rotation front is now derivation-checked (round-9 verdict #7):
-the hand-written ``_R10_FRONT`` literal must equal the mechanical
+"""The rotation front is derivation-checked (round-9 verdict #7):
+the hand-written ``_R11_FRONT`` literal must equal the mechanical
 derivation of the rotation policy from the driver's CORRECTNESS
 record, and the staleness bookkeeping the rotation comments maintain
 by hand must match the files on disk.
-"""
+
+Round-11 rewrite (ADVICE r10): every derivation in this file is
+PINNED to the record the round-11 rotation was computed from
+(``through_round=10`` / ``_ROTATION_ROUND = 11``) instead of "whatever
+CORRECTNESS files exist on disk" — the un-pinned forms broke the
+moment the driver wrote the next round's file (the freshness floor
+went red on the by-then-stale window, and the oracle-change gate went
+vacuously green)."""
 from __future__ import annotations
 
 import os
@@ -14,47 +21,49 @@ import os
 # real rotation (inside registry's import sequence) into a no-op.
 from go_mailio_diskusage_handler_spark.registry import ORACLE_SQL, QUERIES
 from go_mailio_diskusage_handler_spark.queries import freshness  # noqa: E402
-from go_mailio_diskusage_handler_spark.queries.rotation_r10 import (  # noqa: E402
-    _R10_FRONT,
+from go_mailio_diskusage_handler_spark.queries.rotation_r11 import (  # noqa: E402
+    _R11_CHANGED,
+    _R11_FRONT,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Round-10 engine-changed queries (the round-4 advisory's front-first
-# rule).  Both already sit in the staleness-ordered front, so listing
-# them changes nothing — but keeping the list HERE, next to the
-# assertion, is what makes a future desync fail loudly.
-_R10_CHANGED = ["curation_ppl_buckets"]
+# The round this rotation was authored for.  Every assertion below
+# derives from the CORRECTNESS record as it stood ENTERING this round
+# (through_round = _ROTATION_ROUND - 1), so the suite stays green when
+# the driver writes CORRECTNESS_r11.json and only needs revisiting
+# when rotation_r12 is authored.
+_ROTATION_ROUND = 11
 
 
-def _r10_deferred():
+def _r11_deferred():
     """The new-query deferral set, derived mechanically: every registry
-    callable defined in this round's additions module (q_round10)
-    registers at the tail and meets the external gate in round 11."""
+    callable defined in this round's additions module (q_round11)
+    registers at the tail and meets the external gate in round 12."""
     return [
         n for n, fn in QUERIES.items()
-        if fn.__module__.endswith(".q_round10")
+        if fn.__module__.endswith(".q_round11")
     ]
 
 
-def test_r10_front_matches_mechanical_derivation():
-    """The literal _R10_FRONT == derive_front(registry, CORRECTNESS
-    r01–r09).  through_round=9 pins the derivation to the record that
+def test_r11_front_matches_mechanical_derivation():
+    """The literal _R11_FRONT == derive_front(registry, CORRECTNESS
+    r01–r10).  through_round pins the derivation to the record that
     existed when the front was computed, so this stays green after the
-    driver writes CORRECTNESS_r10."""
-    last = freshness.last_checked(REPO_ROOT, through_round=9)
+    driver writes CORRECTNESS_r11."""
+    last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     derived = freshness.derive_front(
         list(QUERIES),
         last,
         window=freshness.WINDOW,
-        changed=_R10_CHANGED,
-        deferred=_r10_deferred(),
+        changed=_R11_CHANGED,
+        deferred=_r11_deferred(),
     )
-    assert derived == _R10_FRONT
+    assert derived == _R11_FRONT
     # and the rotation was actually applied: the registry's first
     # window IS the front, for both the queries and their oracles.
-    assert list(QUERIES)[: len(_R10_FRONT)] == _R10_FRONT
-    assert list(ORACLE_SQL)[: len(_R10_FRONT)] == _R10_FRONT
+    assert list(QUERIES)[: len(_R11_FRONT)] == _R11_FRONT
+    assert list(ORACLE_SQL)[: len(_R11_FRONT)] == _R11_FRONT
 
 
 def test_derivation_is_idempotent_under_its_own_rotation():
@@ -62,13 +71,13 @@ def test_derivation_is_idempotent_under_its_own_rotation():
     staleness group, so re-deriving from the rotated registry yields
     the same front — the property that lets the test run AFTER the
     rotation is applied."""
-    last = freshness.last_checked(REPO_ROOT, through_round=9)
-    names = list(QUERIES)  # already rotated by rotation_r10
+    last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
+    names = list(QUERIES)  # already rotated by rotation_r11
     assert (
         freshness.derive_front(
-            names, last, changed=_R10_CHANGED, deferred=_r10_deferred()
+            names, last, changed=_R11_CHANGED, deferred=_r11_deferred()
         )
-        == _R10_FRONT
+        == _R11_FRONT
     )
 
 
@@ -77,11 +86,14 @@ def test_no_query_left_behind():
     row within the last 4 driver rounds or sits inside the upcoming
     window — the invariant the rotation policy exists to maintain
     (never-checked queries MUST be in the front; nothing may go stale
-    indefinitely while the window rotates past it)."""
-    last = freshness.last_checked(REPO_ROOT)
-    latest_round = max(last.values())
+    indefinitely while the window rotates past it).  Pinned to the
+    record the rotation was built for (ADVICE r10: the un-pinned form
+    went red the moment CORRECTNESS_r10 landed, because the floor
+    advanced while the window was still last round's)."""
+    last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
+    latest_round = _ROTATION_ROUND - 1
     window = set(list(QUERIES)[: freshness.WINDOW])
-    deferred = set(_r10_deferred())
+    deferred = set(_r11_deferred())
     violations = [
         n
         for n in QUERIES
@@ -93,36 +105,20 @@ def test_no_query_left_behind():
 
 
 def test_stale_histogram_matches_rotation_comment():
-    """The bookkeeping in rotation_r10.py's comment: entering round 10
-    the histogram is 2 never / 35 r5 / 42 r6 / 50 r7 / 50 r8 / 50 r9."""
-    last = freshness.last_checked(REPO_ROOT, through_round=9)
-    names = [n for n in QUERIES if n not in set(_r10_deferred())]
+    """The bookkeeping in rotation_r11.py's comment: entering round 11
+    the histogram is 6 never / 29 r6 / 50 r7 / 50 r8 / 50 r9 / 50
+    r10."""
+    last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
+    names = [n for n in QUERIES if n not in set(_r11_deferred())]
     hist = freshness.stale_histogram(names, last)
-    assert hist == {-1: 2, 5: 35, 6: 42, 7: 50, 8: 50, 9: 50}
+    assert hist == {-1: 6, 6: 29, 7: 50, 8: 50, 9: 50, 10: 50}
 
 
-# Round-10 oracle-text changes NOT inside the r10 window (mechanically
-# detected via ORACLE_HASHES.json — the hand-maintained list this
-# replaces had 5 names, wrongly included sim_pq_ann_topk, and missed
-# 4): all verified value-identical in the round-10 dual-scale sweeps
-# (.r10/verify_full_r10b.log, .r10/verify_sf01_r10a.log) after the
-# bit-identical native-dot helper conversion, and first in line for
-# the round-11 front.
-_R10_CHANGED_ACKED = [
-    "curation_semantic_decontam",
-    "sim_embedding_stats",
-    "sim_ivf_ann_topk",
-    "sim_ivf_assignments",
-    "sim_matryoshka_topk",
-    "sim_mmr_topk",
-    "sim_range_search",
-    "udf_pandas_cosine",
-    # late-round oracle cheapening (edges AS MATERIALIZED in the
-    # recursive cluster chains, evaluation-hint only, A/B-identical at
-    # sf0.1 and parity-green at sf0.01): dedup_clusters and
-    # curation_corpus are in the r10 window; keep_best is not.
-    "curation_keep_best",
-]
+# Round-11 oracle-text changes NOT inside the r11 window: none — the
+# only round-11 oracle rows are the q_round11 additions (deferred by
+# policy).  Keep the list explicit so a future out-of-window edit has
+# to be acknowledged HERE, next to the assertion, with its evidence.
+_R11_CHANGED_ACKED: list[str] = []
 
 
 def test_changed_oracles_meet_the_gate_or_are_acknowledged():
@@ -131,8 +127,10 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     changed THIS round — per ORACLE_HASHES.json, regenerated by
     tools_oracle_hashes.py — must be in the driver window, in the
     new-query deferral set, or explicitly acknowledged above with the
-    evidence trail.  An oracle edit can no longer slip past the
-    external gate unnoticed."""
+    evidence trail.  The checked round is PINNED to the round the
+    rotation was authored for (ADVICE r10: deriving it from the
+    CORRECTNESS files on disk made the gate vacuous the moment the
+    driver wrote the current round's file)."""
     import json
 
     with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
@@ -141,7 +139,6 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     assert set(hashes) == set(QUERIES)
     import hashlib
 
-    current_round = max(freshness.last_checked(REPO_ROOT).values()) + 1
     stale = [
         n for n, sql in ORACLE_SQL.items()
         if hashlib.sha256(sql.encode()).hexdigest()[:16] != hashes[n]["hash"]
@@ -150,7 +147,30 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
         f"oracle text changed without regenerating ORACLE_HASHES.json "
         f"(run tools_oracle_hashes.py): {stale}"
     )
-    changed = {n for n, v in hashes.items() if v["round"] >= current_round}
+    changed = {n for n, v in hashes.items() if v["round"] >= _ROTATION_ROUND}
     window = set(list(QUERIES)[: freshness.WINDOW])
-    covered = window | set(_r10_deferred()) | set(_R10_CHANGED_ACKED)
+    covered = window | set(_r11_deferred()) | set(_R11_CHANGED_ACKED)
     assert changed <= covered, sorted(changed - covered)
+
+
+def test_front_external_gate_closure_for_r10_changes():
+    """Closure of the round-10 acknowledgement debt: every oracle that
+    changed in round 10 OUTSIDE the round-10 window (the 9 names the
+    round-10 test acknowledged with in-repo evidence) is fronted in
+    THIS round's window, so its next driver row post-dates the
+    change."""
+    import json
+
+    with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
+        hashes = json.load(fh)
+    last = freshness.last_checked(REPO_ROOT, through_round=10)
+    # round == 10 and a PRE-r10 driver row: an existing oracle that
+    # changed (the brand-new round-10 queries also carry round == 10
+    # but were never checked before — they front as never-checked,
+    # not as changed).
+    r10_changed_unwindowed = {
+        n for n, v in hashes.items()
+        if v["round"] == 10 and 0 <= last.get(n, -1) < 10
+    }
+    assert r10_changed_unwindowed == set(_R11_CHANGED)
+    assert set(_R11_CHANGED) <= set(_R11_FRONT[: len(_R11_CHANGED)])

@@ -1,0 +1,156 @@
+"""Round-11 regression tests: the last Spark-4 public-API surfaces
+with no registry query (round-10 verdict #7) — DataFrame.transpose,
+the VARIANT_EXPLODE lateral TVF, and lateral column aliases — each
+oracle-parity-checked at sf0.01 until the round-12 front picks them
+up, plus shape invariants the oracle hash can't see.
+"""
+from __future__ import annotations
+
+from conftest import SF_CORRECT, compare_with_oracle  # noqa: F401
+
+
+def test_inventory_md5_verify_on_read(spark, tmp_path):
+    """MD5checksum verify-on-read (round-10 verdict #5): the writer's
+    manifest round-trip stays green; a corrupted file is (a) skipped
+    with a marker under verify_md5=quarantine — healthy partitions
+    still ingest — and (b) a task error under verify_md5=fail.  The
+    reference CARRIES the checksum but never verifies (types.go:29-31);
+    'off' remains the parity default."""
+    import json
+
+    import pytest
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    rows = [("alice/a.txt", 10), ("bob/b.txt", 20), ("alice/c.txt", 5)]
+    out = tmp_path / "inv_out"
+    (
+        spark.createDataFrame(rows, "key string, size long")
+        .repartition(2)
+        .write.format("mailio_inventory")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert len(manifest["files"]) == 2
+
+    def read_back(**opts):
+        r = spark.read.format("mailio_inventory").option(
+            "manifest", str(out / "manifest.json")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    # pre-corruption: verified read == plain read == what was written
+    assert sorted(tuple(r) for r in read_back(verify_md5="fail").collect()) \
+        == sorted(rows)
+
+    # corrupt ONE listed file (append a byte: md5 moves, manifest's
+    # recorded checksum goes stale — the torn-object scenario)
+    bad = out / manifest["files"][0]["key"]
+    good = out / manifest["files"][1]["key"]
+    with open(bad, "ab") as fh:
+        fh.write(b"x")
+    good_rows = {
+        tuple(r)
+        for r in spark.read.parquet(str(good)).select("key", "size").collect()
+    }
+
+    # quarantine: healthy file's rows survive, marker records the drift
+    qdir = tmp_path / "quarantine"
+    got = {
+        tuple(r)
+        for r in read_back(
+            verify_md5="quarantine", quarantine_dir=str(qdir)
+        ).collect()
+    }
+    assert got == good_rows
+    marker = qdir / (bad.name + ".md5mismatch")
+    rec = json.loads(marker.read_text())
+    assert rec["expected_md5"] == manifest["files"][0]["MD5checksum"]
+    assert rec["actual_md5"] != rec["expected_md5"]
+
+    # fail: the corrupt partition is a task error, not silent data
+    with pytest.raises(Exception, match="MD5 mismatch"):
+        read_back(verify_md5="fail").collect()
+    # (verify_md5='off', the reference-parity default, is what every
+    # pre-existing round-trip test in test_ingest.py reads with)
+
+
+def test_oracle_parity_lateral_alias(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "sql_lateral_alias_margin",
+        registry.QUERIES, registry.ORACLE_SQL,
+    )
+
+
+def test_oracle_parity_transpose(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "scalar_transpose_metrics",
+        registry.QUERIES, registry.ORACLE_SQL,
+    )
+
+
+def test_oracle_parity_variant_explode(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "scalar_variant_explode",
+        registry.QUERIES, registry.ORACLE_SQL,
+    )
+
+
+def test_transpose_column_order_is_flag_sorted(spark):
+    """transpose mints result columns from the index column's values in
+    the input's row order; the orderBy before it pins A < N < R, so the
+    schema is deterministic across partitionings (the property the
+    driver's stable-schema check rests on)."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    df = registry.QUERIES["scalar_transpose_metrics"](spark, SF_CORRECT)
+    assert df.columns == ["key", "A", "N", "R"]
+    keys = [r.key for r in df.select("key").collect()]
+    assert sorted(keys) == ["avg_disc", "sum_price", "sum_qty"]
+
+
+def test_lateral_alias_chain_resolves_to_single_aggregate(spark):
+    """The alias chain (net -> est_tax -> gross) is inline-expanded at
+    analysis time: the optimized plan contains exactly one Aggregate
+    and no Join/subquery — the reason the surface is free at scale."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    df = registry.QUERIES["sql_lateral_alias_margin"](spark, SF_CORRECT)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Aggregate") == 1
+    assert "Join" not in optimized
+
+
+def test_variant_explode_fans_out_three_keys_per_row(spark):
+    """Each event contributes exactly one entry per constructed key
+    (et / hi / k): n_entries equals the table's row count for every
+    key, and the exploded values preserve JSON typing (quoted strings
+    for et, bare booleans for hi, bare ints for k)."""
+    from go_mailio_diskusage_handler_spark import registry
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_CORRECT, "events").count()
+    rows = {
+        r.key: r
+        for r in registry.QUERIES["scalar_variant_explode"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(rows) == {"et", "hi", "k"}
+    assert all(r.n_entries == n_events for r in rows.values())
+    assert rows["et"].min_value.startswith('"')
+    assert rows["hi"].min_value in ("false", "true")
+    assert not rows["k"].min_value.startswith('"')
