@@ -95,6 +95,20 @@ unscored-bucket branch (one extra bounded scan+aggregate,
 plan-pinned); every other >1.5x delta is band noise on sub-second
 queries.
 
+Round-11 reference: 238 queries, 233.5 s idle pin — now MEDIAN-OF-3
+per query (round-10 verdict #3), so one loaded run can no longer cost
+a round of signal: the pin and every later driver run use the same
+repeats (per-run totals of the pin run: 275.2/231.5/215.4 s — run 1
+carries the cold tax, the median reads warm steady-state).  The three
+round-11 additions (transpose, variant_explode, lateral aliases) add
+~1 s combined.  sim_pca_project — round 10's single 2.00x watch item —
+re-measures at 1.21 s vs its 0.89 s old pin (1.36x, inside the band):
+the 2.00x was co-located load, as the uniform r10 inflation predicted.
+The >1.5x movers vs the old pin are all sub-second queries the r11
+rotation moved to the registry FRONT (events_bitmap_users 0.22->0.59 s
+etc.) — the round-8-documented warmup-position tax, now baked into the
+pin at the same positions the driver will run them.
+
 Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
 refresh only from an IDLE run — check nothing else is running (no
 concurrent pytest/verify; `uptime` load well under core count) and,
