@@ -737,7 +737,7 @@ EVENTS_BOUNCE_SQL = f"""
     sess AS (SELECT user_id, session_seq, MIN(us) AS start_us,
                     COUNT(*) AS n_events
              FROM s GROUP BY user_id, session_seq)
-    SELECT strftime(CAST(to_timestamp(start_us // 1000000) AS DATE),
+    SELECT strftime(CAST(make_timestamp(start_us) AS DATE),
                     '%Y-%m-%d') AS day,
            COUNT(*) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,

@@ -18,7 +18,11 @@ from ._base import register
 
 # DuckDB mirror of compaction.plan_compaction_bins: same synthetic
 # per-(event_type, hour) file bytes, same running-sum bin assignment.
-# Every aggregate is CAST BIGINT (DuckDB SUM(int) is HUGEINT).
+# Every aggregate is CAST BIGINT (DuckDB SUM(int) is HUGEINT); the
+# hour bounds cross the engine boundary as epoch_us — raw TIMESTAMP
+# columns are host-timezone-dependent in plain PySpark collect()
+# (datetime.fromtimestamp uses the DRIVER's zone), which the round-11
+# TZ=America/New_York sweep caught on exactly this query.
 COMPACTION_BINS_SQL = """
     WITH files AS (
         SELECT event_type, date_trunc('hour', ts) AS hour_ts,
@@ -33,8 +37,8 @@ COMPACTION_BINS_SQL = """
            CAST(FLOOR((cum - file_bytes) / 4096.0) AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_files,
            CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
-           MIN(hour_ts) AS first_hour,
-           MAX(hour_ts) AS last_hour
+           epoch_us(MIN(hour_ts)) AS first_hour_us,
+           epoch_us(MAX(hour_ts)) AS last_hour_us
     FROM binned GROUP BY 1, 2
 """
 
@@ -44,8 +48,19 @@ def events_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Small-file compaction planner — greedy time-ordered
     bin-packing of per-(event_type, hour) micro-batch files into
     ~target-byte merge groups via one running-sum window over the file
-    inventory (sources/compaction.py:plan_compaction_bins)."""
-    return compaction.plan_compaction_bins(load_table(spark, sf_dir, "events"))
+    inventory (sources/compaction.py:plan_compaction_bins).  Hour
+    bounds emitted as epoch_us per the repo's NTZ-proof convention."""
+    from pyspark.sql import functions as F
+
+    plan = compaction.plan_compaction_bins(load_table(spark, sf_dir, "events"))
+    return plan.select(
+        "event_type",
+        "bin_id",
+        "n_files",
+        "bin_bytes",
+        F.unix_micros("first_hour").alias("first_hour_us"),
+        F.unix_micros("last_hour").alias("last_hour_us"),
+    )
 
 
 # DuckDB mirror of compaction.zone_map_skipping_audit: identical

@@ -87,6 +87,76 @@ def write_compacted(
     writer.parquet(path)
 
 
+def compact_state_dir(
+    spark,
+    path: str,
+    schema: str,
+    *,
+    cluster_by: Sequence[str] | None = None,
+    fold=None,
+) -> dict:
+    """Offline compaction of an APPEND-ONLY streaming-state directory
+    (the band/shingle/gram indexes the ingest services grow one small
+    file per micro-batch): read the accumulated files, optionally
+    ``fold`` them semantically (e.g. collapse a gram index's
+    improvement chains with a groupBy-min — the physical form of the
+    read-time merge), and rewrite as few AQE-sized, key-clustered
+    files via :func:`write_compacted`.
+
+    MUST run while no ingest query is appending to ``path`` (the
+    deployment pattern: drain with ``availableNow``, compact, restart
+    — the same maintenance window a checkpoint upgrade needs).  The
+    rewrite is write-new-then-swap: the compacted generation lands in
+    a sibling tmp dir, fully materialized BEFORE the live dir moves
+    aside, so a crash at any point leaves a complete generation on
+    disk (``path`` or ``path + '.old'``); an object-store deployment
+    would version the prefix and flip a manifest pointer instead —
+    the two-phase pattern the inventory writer commits with
+    (``inventory_source.py``).
+
+    Returns ``{files_before, files_after, rows_before, rows_after}``
+    (rows shrink only under ``fold``; plain compaction preserves them
+    exactly — asserted by the tests).
+    """
+    import os
+    import shutil
+
+    def _parquet_files(d: str) -> int:
+        return sum(
+            1
+            for root, _, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    if not os.path.isdir(path):
+        return {
+            "files_before": 0,
+            "files_after": 0,
+            "rows_before": 0,
+            "rows_after": 0,
+        }
+    files_before = _parquet_files(path)
+    df = spark.read.schema(schema).parquet(path)
+    rows_before = df.count()
+    out = fold(df) if fold is not None else df
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_compacted(out, tmp, cluster_by=cluster_by)
+    rows_after = spark.read.schema(schema).parquet(tmp).count()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": _parquet_files(path),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }
+
+
 def plan_compaction_bins(
     events: DataFrame, *, target_bytes: int = 4096, row_overhead: int = 48
 ) -> DataFrame:

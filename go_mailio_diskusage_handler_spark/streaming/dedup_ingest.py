@@ -136,6 +136,40 @@ class StreamingDedupIngest:
             "doc_a", "doc_b", "jaccard"
         )
 
+    def compact_state(self) -> dict:
+        """Periodic state maintenance (the 100 TB deployment step the
+        module docstring promises): fold the one-small-file-per-batch
+        band and shingle indexes into few key-clustered files, so the
+        per-batch probe join's scan cost stays proportional to index
+        SIZE, not index AGE.  Run drained (availableNow → compact →
+        restart; asserted here) — content is preserved exactly, so a
+        restarted ingest continues against the compacted state with
+        identical semantics (tested batch-for-batch).  The pairs
+        OUTPUT is deliberately not touched: its per-batch-id
+        partitioning is the replay-idempotence mechanism, and it is a
+        sink, not probed state.
+        """
+        from go_mailio_diskusage_handler_spark.sources.compaction import (
+            compact_state_dir,
+        )
+
+        if self._query.isActive:
+            raise RuntimeError("drain the ingest before compacting state")
+        return {
+            "bands": compact_state_dir(
+                self._spark,
+                self._bands_dir,
+                _BAND_SCHEMA,
+                cluster_by=["band_idx", "band_key"],
+            ),
+            "shingles": compact_state_dir(
+                self._spark,
+                self._shingles_dir,
+                _SHINGLE_SCHEMA,
+                cluster_by=["shingle"],
+            ),
+        }
+
     def stop(self) -> None:
         if self._query.isActive:
             self._query.stop()
@@ -292,6 +326,34 @@ class StreamingNoveltyIngest:
         return self._spark.read.parquet(self._novelty_dir).select(
             "doc_id", "n_grams", "novel_grams", "novel_frac"
         )
+
+    def compact_state(self) -> dict:
+        """Periodic state maintenance: physically fold the gram
+        index's improvement chains (the read-time groupBy-min the
+        class docstring describes) into ONE row per gram, clustered on
+        ``g``, in few AQE-sized files.  Rows SHRINK here (that is the
+        point — the fold is the semantic the reads already apply), and
+        the folded index is exactly the corpus min, so a restarted
+        ingest judges future batches identically (tested).  Run
+        drained, as with :meth:`StreamingDedupIngest.compact_state`.
+        """
+        from go_mailio_diskusage_handler_spark.sources.compaction import (
+            compact_state_dir,
+        )
+
+        if self._query.isActive:
+            raise RuntimeError("drain the ingest before compacting state")
+        return {
+            "gram_index": compact_state_dir(
+                self._spark,
+                self._index_dir,
+                _GRAM_INDEX_SCHEMA,
+                cluster_by=["g"],
+                fold=lambda df: df.groupBy("g").agg(
+                    F.min("first_doc").alias("first_doc")
+                ),
+            )
+        }
 
     def stop(self) -> None:
         if self._query.isActive:

@@ -114,11 +114,24 @@ def test_stale_histogram_matches_rotation_comment():
     assert hist == {-1: 6, 6: 29, 7: 50, 8: 50, 9: 50, 10: 50}
 
 
-# Round-11 oracle-text changes NOT inside the r11 window: none — the
-# only round-11 oracle rows are the q_round11 additions (deferred by
-# policy).  Keep the list explicit so a future out-of-window edit has
-# to be acknowledged HERE, next to the assertion, with its evidence.
-_R11_CHANGED_ACKED: list[str] = []
+# Round-11 oracle-text changes NOT inside the r11 window, each with
+# its evidence trail (the round-4 advisory's acknowledgement path —
+# they take first priority in the round-12 front):
+#   * events_bounce_rate — ORACLE-only fix: to_timestamp(us//1e6) is
+#     a timestamptz whose CAST AS DATE follows the HOST zone; replaced
+#     with the naive make_timestamp(us).  Found by the round-11
+#     TZ=America/New_York full-registry sweep (31 vs 30 rows);
+#     verified green under BOTH zones (.r11/verify_two.py output in
+#     .r11/, plus the re-run TZ sweep) and in the r11 UTC sweeps.
+#   * events_compaction_bins — query AND oracle now emit hour bounds
+#     as epoch_us (first_hour_us/last_hour_us): raw TIMESTAMP columns
+#     are host-zone-dependent in plain PySpark collect()
+#     (datetime.fromtimestamp uses the driver zone).  Same sweep, same
+#     dual-zone verification.
+_R11_CHANGED_ACKED: list[str] = [
+    "events_bounce_rate",
+    "events_compaction_bins",
+]
 
 
 def test_changed_oracles_meet_the_gate_or_are_acknowledged():
