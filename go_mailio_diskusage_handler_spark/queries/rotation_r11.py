@@ -37,9 +37,12 @@ from .rotation_r45 import _rotate_front
 # becomes 38 r7 / 47 r8 / 50 r9 / 50 r10 / 50 r11 — oldest anywhere
 # r7, keeping the "no query's latest row older than latest_round-4"
 # freshness floor with margin.  The round-12 front (derive with
-# through_round=11, changed = any round-11 oracle edits outside this
-# window, deferred = round-12 additions) is the round-11 additions
-# first, then the 38 r7 rows, then the oldest r8 backlog.
+# through_round=11, changed = the round-11 out-of-window oracle edits
+# acknowledged in tests/test_rotation.py — events_bounce_rate and
+# events_compaction_bins, the TZ-sweep fixes — plus any round-12
+# edits, deferred = round-12 additions) is those 2 changed queries
+# first, then the 3 round-11 tail additions (never driver-checked),
+# then the 38 r7 rows, then the oldest r8 backlog.
 # ---------------------------------------------------------------------------
 _R11_CHANGED = [
     "curation_semantic_decontam",

@@ -93,6 +93,7 @@ def compact_state_dir(
     schema: str,
     *,
     cluster_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
     fold=None,
 ) -> dict:
     """Offline compaction of an APPEND-ONLY streaming-state directory
@@ -113,6 +114,14 @@ def compact_state_dir(
     would version the prefix and flip a manifest pointer instead —
     the two-phase pattern the inventory writer commits with
     (``inventory_source.py``).
+
+    ``partition_by`` preserves a physical partitioning the consumer's
+    semantics depend on — e.g. the ingest sinks' per-``batch_id``
+    layout, where a replayed micro-batch dynamically overwrites ITS
+    OWN partition directory: compaction that merged across batch ids
+    would turn that replay into duplication, while compaction that
+    keeps the partition column rewrites each directory to few files
+    and leaves the overwrite unit intact.
 
     Returns ``{files_before, files_after, rows_before, rows_after}``
     (rows shrink only under ``fold``; plain compaction preserves them
@@ -143,7 +152,7 @@ def compact_state_dir(
     tmp = path.rstrip("/") + ".compact.tmp"
     old = path.rstrip("/") + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
-    write_compacted(out, tmp, cluster_by=cluster_by)
+    write_compacted(out, tmp, cluster_by=cluster_by, partition_by=partition_by)
     rows_after = spark.read.schema(schema).parquet(tmp).count()
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

@@ -105,6 +105,35 @@ class StreamingAnnIndexIngest:
             self._query.stop()
             raise TimeoutError("ANN ingest did not drain under AvailableNow")
 
+    def compact_state(self) -> dict:
+        """Periodic index maintenance: rewrite the accumulated IVF
+        index to few ``list_id``-clustered files PER ``batch_id``
+        PARTITION — the partition column is preserved because a
+        replayed micro-batch dynamically overwrites its own
+        ``batch_id=N`` directory (the replay-idempotence mechanism);
+        merging across batch ids would turn that overwrite into
+        duplication, rewriting within it keeps the unit intact while
+        list_id clustering makes the serving probe's row-group stats
+        selective.  Run drained, like the dedup/novelty twins."""
+        from go_mailio_diskusage_handler_spark.sources.compaction import (
+            compact_state_dir,
+        )
+
+        if self._query.isActive:
+            raise RuntimeError("drain the ingest before compacting state")
+        return {
+            "ivf_index": compact_state_dir(
+                self._spark,
+                self._index_dir,
+                _INDEX_SCHEMA + ", batch_id bigint",
+                # batch_id leads the clustering so each partition dir
+                # is written by few tasks (rebalance co-locates a
+                # batch's rows before the partitioned write)
+                cluster_by=["batch_id", "list_id"],
+                partition_by=["batch_id"],
+            )
+        }
+
     def assignments(self) -> DataFrame:
         try:
             return self._spark.read.parquet(self._index_dir).select(

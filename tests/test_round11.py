@@ -220,6 +220,75 @@ def test_novelty_ingest_compaction_folds_gram_index(spark, tmp_path):
     cont.stop()
 
 
+def test_ann_ingest_compaction_preserves_batch_partitions(spark, tmp_path):
+    """ANN-index compaction keeps the per-batch_id physical
+    partitioning (the replay-overwrite unit) while rewriting each
+    partition to few files: assignments identical before and after,
+    the batch_id directories still present, and a restarted ingest on
+    the same checkpoint appends the next batch without disturbing the
+    compacted generations — accumulated index still equals the batch
+    operator."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from go_mailio_diskusage_handler_spark.operators import similarity
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+    from go_mailio_diskusage_handler_spark.streaming.ann_ingest import (
+        StreamingAnnIndexIngest,
+    )
+
+    vecs = load_table(spark, f"{SF_CORRECT}/../sf0.001", "embeddings")
+    d = tmp_path / "vecs"
+    d.mkdir()
+    now = time.time()
+    for i, pred in enumerate(("vec_id % 3 = 0", "vec_id % 3 = 1")):
+        p = d / f"b{i}.parquet"
+        vecs.where(pred).coalesce(1).write.parquet(str(p))
+        for f in p.iterdir():
+            os.utime(f, (now - 300 + i * 60, now - 300 + i * 60))
+
+    def start():
+        return StreamingAnnIndexIngest(
+            spark,
+            str(d) + "/*/",
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "work"),
+            seed=vecs,
+            max_files_per_trigger=1,
+        )
+
+    ingest = start()
+    ingest.await_drained()
+    before = {(r.vec_id, r.list_id) for r in ingest.assignments().collect()}
+    stats = ingest.compact_state()["ivf_index"]
+    assert stats["rows_after"] == stats["rows_before"] > 0
+    assert 0 < stats["files_after"] <= stats["files_before"]
+    idx_dir = tmp_path / "work" / "ivf_index"
+    part_dirs = {p.name for p in idx_dir.iterdir() if p.name.startswith("batch_id=")}
+    assert len(part_dirs) == 2  # one per drained micro-batch, preserved
+    after = {
+        (r.vec_id, r.list_id)
+        for r in spark.read.parquet(str(idx_dir)).select("vec_id", "list_id").collect()
+    }
+    assert after == before
+
+    p = d / "b2.parquet"
+    vecs.where("vec_id % 3 = 2").coalesce(1).write.parquet(str(p))
+    for f in p.iterdir():
+        os.utime(f, (time.time() - 60, time.time() - 60))
+    cont = start()
+    cont.await_drained()
+    got = {(r.vec_id, r.list_id) for r in cont.assignments().collect()}
+    want = {
+        (r.vec_id, r.list_id)
+        for r in similarity.ivf_assignments(vecs).collect()
+    }
+    assert got == want
+    cont.stop()
+
+
 def test_oracle_parity_lateral_alias(spark, ddb):
     from go_mailio_diskusage_handler_spark import registry
 
