@@ -110,6 +110,44 @@ def scalar_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.transpose()
 
 
+# DuckDB mirror of scalar_groupingsets_df: DuckDB GROUPING() over the
+# same three grouping sets is bit-identical to Spark's grouping_id()
+# (both are the bitmask of grouped-out columns, most-significant
+# first).  CAST BIGINT for the dtype-strict gate.
+SCALAR_GROUPINGSETS_DF_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+@register("scalar_groupingsets_df", SCALAR_GROUPINGSETS_DF_ORACLE)
+def scalar_groupingsets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ``DataFrame.groupingSets`` (Spark 4.0): the DataFrame-API
+    twin of SQL GROUPING SETS (`sql_grouping_sets`) — the multi-level
+    rollup built programmatically, for pipelines that assemble the set
+    list from config rather than SQL text.  Identical physical shape:
+    ONE Expand over the scan, one hash aggregate, one shuffle —
+    grouping-set fan-out costs |sets|× the map-side rows, never extra
+    passes over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        ).agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 # DuckDB mirror of scalar_variant_explode: DuckDB has no VARIANT type
 # or VARIANT_EXPLODE TVF; the same key/value stream is produced by
 # building the identical JSON object per event and unnesting its keys

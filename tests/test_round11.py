@@ -316,6 +316,58 @@ def test_oracle_parity_variant_explode(spark, ddb):
     )
 
 
+def test_oracle_parity_groupingsets_df(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "scalar_groupingsets_df",
+        registry.QUERIES, registry.ORACLE_SQL,
+    )
+
+
+def test_groupingsets_df_plans_single_expand(spark):
+    """The DataFrame-API grouping sets compile to the same physical
+    shape as the SQL form: exactly one Expand node (the |sets|-way
+    fan-out) and no union of separate aggregates."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    df = registry.QUERIES["scalar_groupingsets_df"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_to_arrow_round_trips_with_create_dataframe(spark):
+    """`DataFrame.toArrow()` / `createDataFrame(pyarrow.Table)`
+    (Spark 4.0): the driver-side Arrow exchange round-trips values and
+    schema exactly — the zero-copy hand-off a pandas-free feature
+    pipeline uses to move BOUNDED results (aggregates, codebooks)
+    between Spark and Arrow-native libraries.  Driver-side by design:
+    only ever applied to post-aggregate frames, like transpose."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    agg = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    tbl = agg.toArrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.schema.names == ["event_type", "n", "total"]
+    back = spark.createDataFrame(tbl)
+    assert back.schema == agg.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, agg.collect())
+    )
+
+
 def test_transpose_column_order_is_flag_sorted(spark):
     """transpose mints result columns from the index column's values in
     the input's row order; the orderBy before it pins A < N < R, so the
