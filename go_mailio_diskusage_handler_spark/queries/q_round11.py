@@ -148,6 +148,45 @@ def scalar_groupingsets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of sql_pipe_priority_revenue: the same relational
+# program in classic clause order — WHERE before the aggregate, the
+# post-aggregate pipe filter as HAVING.
+SQL_PIPE_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 50
+"""
+
+
+@register("sql_pipe_priority_revenue", SQL_PIPE_ORACLE)
+def sql_pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SQL pipe syntax (Spark 4.0, SPARK-49555): the query as a
+    top-to-bottom operator pipeline — FROM |> WHERE |> AGGREGATE
+    |> WHERE — where each |> stage consumes the previous stage's
+    table, so the second WHERE is the post-aggregate filter classic
+    SQL spells HAVING.  Pure parser surface: Catalyst resolves it to
+    the identical plan as the clause-ordered form (filter pushed to
+    the scan, one hash aggregate), which is what makes the syntax
+    free at any scale."""
+    from ..sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders >= 50
+        """
+    )
+
+
 # DuckDB mirror of scalar_variant_explode: DuckDB has no VARIANT type
 # or VARIANT_EXPLODE TVF; the same key/value stream is produced by
 # building the identical JSON object per event and unnesting its keys

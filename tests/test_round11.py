@@ -316,6 +316,28 @@ def test_oracle_parity_variant_explode(spark, ddb):
     )
 
 
+def test_oracle_parity_pipe_syntax(spark, ddb):
+    from go_mailio_diskusage_handler_spark import registry
+
+    compare_with_oracle(
+        spark, ddb, "sql_pipe_priority_revenue",
+        registry.QUERIES, registry.ORACLE_SQL,
+    )
+
+
+def test_pipe_syntax_plans_like_clause_form(spark):
+    """The pipe program optimizes to the clause-ordered query's plan:
+    the status filter reaches the scan (pushed filter), one hash
+    aggregate, and the post-aggregate pipe WHERE is a filter above it
+    — no extra shuffle or subquery."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    df = registry.QUERIES["sql_pipe_priority_revenue"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
 def test_oracle_parity_groupingsets_df(spark, ddb):
     from go_mailio_diskusage_handler_spark import registry
 
