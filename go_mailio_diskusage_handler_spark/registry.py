@@ -97,3 +97,4 @@ from .queries import rotation_r11  # noqa: E402,F401
 # Round-11 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round11  # noqa: E402,F401
+from .queries import q_round11b  # noqa: E402,F401

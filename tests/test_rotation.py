@@ -38,11 +38,13 @@ _ROTATION_ROUND = 11
 
 def _r11_deferred():
     """The new-query deferral set, derived mechanically: every registry
-    callable defined in this round's additions module (q_round11)
-    registers at the tail and meets the external gate in round 12."""
+    callable defined in this round's additions modules (q_round11,
+    q_round11b) registers at the tail and meets the external gate in
+    round 12."""
     return [
         n for n, fn in QUERIES.items()
         if fn.__module__.endswith(".q_round11")
+        or fn.__module__.endswith(".q_round11b")
     ]
 
 
