@@ -81,22 +81,27 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared hash→weight convention: bucket = first two md5 nibbles of the
 # token (0..255, identical in Spark and DuckDB — both md5 UTF-8 bytes
-# to lowercase hex), weight = (bucket % 61 - 30) / 30.0 ∈ [-1, 1].
-# The keep flag derives from the ROUNDED probability so it can only
-# disagree across engines where the rounded score itself would.
+# to lowercase hex), integer weight = bucket % 61 - 30 ∈ [-30, 30].
+# Weights SUM as exact integers and the mean weight is ONE IEEE
+# division (s / (30·n)) — bit-identical across engines (a float AVG's
+# addition order is not: the first cut of this oracle flaked at sf0.1
+# on a 0.7388/0.7389 rounding boundary).  The keep flag derives from
+# the ROUNDED probability so it can only disagree across engines where
+# the rounded score itself would.
 TEXT_HASH_CLASSIFIER_ORACLE = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     scored AS (
         SELECT doc_id,
-               (((instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
-                 + (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1))
-                % 61 - 30) / 30.0 AS wgt
+               ((instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1))
+               % 61 - 30 AS wgt
         FROM tok WHERE w <> '')
     SELECT doc_id,
-           ROUND(1.0 / (1.0 + exp(-AVG(wgt) * 8.0)), 4) AS quality_prob,
-           CAST(ROUND(1.0 / (1.0 + exp(-AVG(wgt) * 8.0)), 4) >= 0.503
-                AS BOOLEAN) AS keep
+           ROUND(1.0 / (1.0 + exp(-(SUM(wgt) / (30.0 * COUNT(*))) * 8.0)), 4)
+               AS quality_prob,
+           CAST(ROUND(1.0 / (1.0 + exp(-(SUM(wgt) / (30.0 * COUNT(*))) * 8.0)),
+                      4) >= 0.503 AS BOOLEAN) AS keep
     FROM scored GROUP BY doc_id
 """
 
@@ -119,8 +124,9 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nib1 = "instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1"
     nib2 = "instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1"
-    wgt = f"((({nib1}) * 16 + ({nib2})) % 61 - 30) / 30.0"
-    prob = F.round(1.0 / (1.0 + F.exp(-F.avg(F.expr(wgt)) * 8.0)), 4)
+    wgt = f"(({nib1}) * 16 + ({nib2})) % 61 - 30"
+    mean_wgt = F.sum(F.expr(wgt)) / (30.0 * F.count(F.lit(1)))
+    prob = F.round(1.0 / (1.0 + F.exp(-mean_wgt * 8.0)), 4)
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -351,4 +357,98 @@ def scalar_xml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("x._id").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_sql2023_aggregates — ISO SQL:2023 aggregate-function breadth
+# ---------------------------------------------------------------------------
+
+# DuckDB mirrors every one of these natively (count_if / bool_or /
+# median / max_by / regr_*).  max_by's ordering key is the UNIQUE
+# o_orderkey so the argmax is deterministic; regression outputs round
+# to 4 (float-sum order differs across engines at the last ulp).
+SCALAR_SQL2023_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           median(o_totalprice) AS med_price,
+           max_by(o_custkey, o_orderkey) AS latest_cust,
+           ROUND(regr_slope(o_totalprice, o_orderkey), 4) AS slope,
+           ROUND(regr_r2(o_totalprice, o_orderkey), 4) AS r2
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("scalar_sql2023_aggregates", SCALAR_SQL2023_ORACLE)
+def scalar_sql2023_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ISO SQL:2023 aggregate breadth in one pass: ``count_if``
+    (conditional count), ``bool_or`` (existence), ``median`` (exact
+    interpolated 50th percentile), ``max_by`` (argmax over the UNIQUE
+    order key, so ties cannot make it nondeterministic), and the
+    ``regr_slope``/``regr_r2`` bivariate regression aggregates — the
+    declarative replacement for `trend_customer_spend`'s hand-built
+    sufficient statistics.
+
+    Scale: all seven accumulate in ONE hash aggregate over a 5-value
+    key — count_if/bool_or/max_by/regr_* are single-pass additive;
+    median is the one non-mergeable member (Spark evaluates it as an
+    exact percentile via sort-based aggregation within the same
+    shuffle), which is why the streaming twins switch to KLL sketches
+    (`events_kll_quantiles`) — the trade this query documents."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.median("o_totalprice").alias("med_price"),
+        F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
+        F.round(F.regr_slope("o_totalprice", "o_orderkey"), 4).alias("slope"),
+        F.round(F.regr_r2("o_totalprice", "o_orderkey"), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_width_bucket_hist — equi-width bucketing function
+# ---------------------------------------------------------------------------
+
+# DuckDB has no width_bucket; the oracle mirrors its formula directly
+# (1 + floor((x - lo) / width), clamped to [0, n+1]) — prices are
+# 2-decimal doubles against integer bucket bounds, so both engines
+# compute the same bucket on the same double.
+SCALAR_WIDTH_BUCKET_ORACLE = """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE 1 + floor(o_totalprice / 50000)
+                END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY bucket
+"""
+
+
+@register("scalar_width_bucket_hist", SCALAR_WIDTH_BUCKET_ORACLE)
+def scalar_width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ``width_bucket`` — the ISO equi-width histogram function:
+    order values binned into 12 buckets over [0, 600000) with the
+    standard underflow (0) / overflow (n+1) buckets.  The declarative
+    sibling of `scalar_math_buckets`' hand arithmetic and the exact
+    fixed-bin complement of the `histogram_numeric`-style adaptive
+    sketches.
+
+    Scale: a per-row codegen expression feeding one map-side-combined
+    aggregate on a ≤14-value key — the cheapest possible distribution
+    profile of a 100 TB fact column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )

@@ -20,6 +20,8 @@ NEW_QUERIES = [
     "stat_crosstab_priority",
     "scalar_map_hof_shares",
     "scalar_xml_orders",
+    "scalar_sql2023_aggregates",
+    "scalar_width_bucket_hist",
 ]
 
 
