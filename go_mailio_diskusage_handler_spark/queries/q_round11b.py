@@ -1,9 +1,10 @@
 """Round-11 continuation batch: the remaining public API surfaces with
 no registry query (native XML parsing, EXCEPT ALL as query semantics,
 ``DataFrame.offset`` pagination, map higher-order functions,
-``df.stat.crosstab``) plus two LLM-pipeline trainer-side operators
-(BPE first-merge pair statistics, hashed-feature linear quality
-classifier).
+``df.stat.crosstab``, the ISO SQL:2023 aggregates count_if / bool_or /
+median / max_by / regr_*, ``width_bucket``) plus two LLM-pipeline
+trainer-side operators (BPE first-merge pair statistics,
+hashed-feature linear quality classifier).
 
 Registered AFTER the round-11 rotation applies, so they land at the
 registry TAIL — behind the 50-slot driver window — per the rotation
@@ -265,8 +266,8 @@ SCALAR_MAP_HOF_ORACLE = """
 def scalar_map_hof_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Map higher-order functions — ``map_from_entries`` to build
     per-user (event_type -> count) and (event_type -> value_sum) maps,
-    ``map_zip_with`` to merge them into per-type averages,
-    ``transform_values`` to round, ``map_filter`` to keep hot types,
+    ``map_zip_with`` to pair them, ``map_filter`` to keep hot types
+    (integer threshold), ``transform_values`` to finish the averages,
     and ``explode`` back to rows.  The map-column feature-bundle shape
     ML pipelines carry per-entity features in.
 
@@ -452,3 +453,137 @@ def scalar_width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_brands — weighted PageRank in exact fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror: the SAME three power iterations unrolled as chained
+# CTEs.  Every operation is BIGINT arithmetic (// is integer division),
+# so both engines produce bit-identical ranks — no float sum ever
+# exists to depend on addition order.
+GRAPH_PAGERANK_ORACLE = """
+    WITH ot AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pairs AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM ot a JOIN ot b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY src, dst),
+    edges AS (
+        SELECT src, dst, w FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM pairs),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM outw),
+    r0 AS (SELECT src AS node, 1000000000 // n.n AS r9 FROM outw, n),
+    r1 AS (
+        SELECT e.dst AS node,
+               150000000 // n.n
+               + (85 * CAST(SUM((r.r9 * e.w) // o.ow) AS BIGINT)) // 100 AS r9
+        FROM edges e JOIN r0 r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src, n
+        GROUP BY e.dst, n.n),
+    r2 AS (
+        SELECT e.dst AS node,
+               150000000 // n.n
+               + (85 * CAST(SUM((r.r9 * e.w) // o.ow) AS BIGINT)) // 100 AS r9
+        FROM edges e JOIN r1 r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src, n
+        GROUP BY e.dst, n.n),
+    r3 AS (
+        SELECT e.dst AS node,
+               150000000 // n.n
+               + (85 * CAST(SUM((r.r9 * e.w) // o.ow) AS BIGINT)) // 100 AS r9
+        FROM edges e JOIN r2 r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src, n
+        GROUP BY e.dst, n.n)
+    SELECT node AS p_brand, CAST(r9 AS BIGINT) AS rank_nano FROM r3
+"""
+
+
+@register("graph_pagerank_brands", GRAPH_PAGERANK_ORACLE)
+def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Weighted PageRank over the part-brand co-occurrence graph
+    (25 brands; 3 power iterations, damping 0.85) — the iterative-propagation
+    class beside the label-propagation connected components
+    (`dedup_clusters`): importance flows along weighted edges instead
+    of labels flooding a component.
+
+    Reproducibility design — EXACT FIXED-POINT ARITHMETIC: ranks are
+    BIGINT nano-units and every step (teleport share, per-edge
+    contribution, damping) is integer multiply/divide, so the result
+    is bit-identical across engines, partitionings, AND cluster runs —
+    a float PageRank's neighbor sums depend on addition order and
+    drift at the last ulp per executor layout (the failure class the
+    round-11 oracle hardening documents).  This is how production
+    iterative jobs get run-to-run reproducibility.
+
+    Scale: edges come from the order-bounded distinct self-join
+    (`part_type_affinity`'s fence — ≤ C(brands, 2) pairs per order);
+    each iteration is one |E|-row join + one integer aggregate, and
+    the rank frame (bounded by the 25-value brand domain here, |V|
+    generally) broadcasts; at billion-node scale the same loop
+    shuffle-joins on node id and checkpoints per round like the CC
+    operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ot = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ot.alias("a"), ot.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("src"), F.col("b.p_brand").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # loop-invariant propagation table (edge + source out-weight) —
+    # persisted ONCE so iterations never re-derive the co-occurrence
+    # self-join; on a real cluster this is the materialized edge table
+    contrib_src = edges.join(outw, "src").persist()
+    n = contrib_src.select("src").distinct().count()  # |V|
+    ranks = (
+        contrib_src.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1000000000 // n).alias("r9"))
+        .persist()
+    )
+    ranks.count()
+    step = f"{150000000 // n} + (85 * sum((r9 * w) div ow)) div 100"
+    for _ in range(3):
+        nxt = (
+            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst"))
+            .agg(F.expr(step).cast("long").alias("r9"))
+            .select(F.col("dst").alias("node"), "r9")
+            .persist()
+        )
+        nxt.count()  # materialize so each round's plan stays one join
+        ranks.unpersist()
+        ranks = nxt
+    from ..caching import own_cache
+
+    out = ranks.select(
+        F.col("node").alias("p_brand"), F.col("r9").alias("rank_nano")
+    )
+    return own_cache(out, contrib_src, ranks)

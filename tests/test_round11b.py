@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "scalar_xml_orders",
     "scalar_sql2023_aggregates",
     "scalar_width_bucket_hist",
+    "graph_pagerank_brands",
 ]
 
 
@@ -139,3 +140,32 @@ def test_xml_parse_round_trips_attribute_and_elements(spark):
         .first()
     )
     assert (row[0], row[1], row[2]) == (42, "F", "1-URGENT")
+
+
+def test_pagerank_is_exact_and_partitioning_invariant(spark):
+    """Fixed-point PageRank must be BIT-identical across partition
+    counts (integer arithmetic has no addition-order sensitivity), the
+    rank mass must stay conserved to within integer-truncation loss,
+    and every rank must be positive."""
+    from pyspark.sql import functions as F
+
+    df = registry.QUERIES["graph_pagerank_brands"](spark, SF_CORRECT)
+    rows = {r.p_brand: r.rank_nano for r in df.collect()}
+    assert all(v > 0 for v in rows.values())
+    n = len(rows)
+    total = sum(rows.values())
+    # each node truncates at most ~2 nano-units per iteration; mass
+    # stays within n * iterations * slack of 1e9
+    assert 1_000_000_000 - n * 3 * 200 <= total <= 1_000_000_000
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        rows7 = {
+            r.p_brand: r.rank_nano
+            for r in registry.QUERIES["graph_pagerank_brands"](
+                spark, SF_CORRECT
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows7 == rows
