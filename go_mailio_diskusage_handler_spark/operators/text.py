@@ -910,21 +910,22 @@ def _merge_pair_expr(syms_col: str, left: str, right: str) -> Column:
     reference algorithm's semantics: after a merge the new symbol is
     ``left || right``, which can never re-match ``left`` (non-empty
     ``right``), so a plain last-element check reproduces the
-    non-overlap rule."""
-    l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
-    r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
-    return F.expr(
-        f"""aggregate(
-                {syms_col},
-                cast(array() as array<string>),
-                (acc, x) -> CASE
-                    WHEN size(acc) > 0
-                         AND element_at(acc, -1) = '{l_lit}'
-                         AND x = '{r_lit}'
-                    THEN concat(slice(acc, 1, size(acc) - 1),
-                                array('{l_lit}{r_lit}'))
-                    ELSE concat(acc, array(x))
-                END)"""
+    non-overlap rule.  Built with F.aggregate + F.lit so corpus-derived
+    symbols are bound as literal VALUES, never interpolated into SQL
+    text (no escaping rules to track)."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    return F.aggregate(
+        F.col(syms_col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_lit)
+            & (x == r_lit),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(l_lit, r_lit)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -950,7 +951,6 @@ def bpe_train(
     deterministic and partitioning-invariant.  Returns the merge list
     in rank order.
     """
-    spark = documents.sparkSession
     vocab = (
         documents.select(F.explode(F.split("text", TOKEN_SPLIT)).alias("w"))
         .filter(F.col("w") != "")

@@ -562,6 +562,12 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join; on a real cluster this is the materialized edge table
     contrib_src = edges.join(outw, "src").persist()
     n = contrib_src.select("src").distinct().count()  # |V|
+    if n == 0:
+        # no order carries two distinct brands: the graph is empty and
+        # the oracle returns zero rows — mirror that instead of letting
+        # the teleport division below raise ZeroDivisionError
+        contrib_src.unpersist()
+        return spark.createDataFrame([], "p_brand string, rank_nano bigint")
     ranks = (
         contrib_src.select("src")
         .distinct()

@@ -147,8 +147,6 @@ def test_pagerank_is_exact_and_partitioning_invariant(spark):
     counts (integer arithmetic has no addition-order sensitivity), the
     rank mass must stay conserved to within integer-truncation loss,
     and every rank must be positive."""
-    from pyspark.sql import functions as F
-
     df = registry.QUERIES["graph_pagerank_brands"](spark, SF_CORRECT)
     rows = {r.p_brand: r.rank_nano for r in df.collect()}
     assert all(v > 0 for v in rows.values())
@@ -169,3 +167,29 @@ def test_pagerank_is_exact_and_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert rows7 == rows
+
+
+def test_pagerank_empty_graph_returns_empty_like_the_oracle(spark):
+    """No order with two distinct brands -> empty graph: the query must
+    return zero rows with the contract schema (the oracle does), not
+    raise ZeroDivisionError computing the teleport share."""
+    import go_mailio_diskusage_handler_spark.queries.q_round11b as m
+    from go_mailio_diskusage_handler_spark.sources import tables as T
+
+    single_brand = (
+        T.load_table(spark, SF_CORRECT, "part")
+        .limit(50)
+        .withColumn("p_brand", m.F.lit("Brand#11"))
+    )
+    orig = T.load_table
+
+    def fake_load(spark_, sf_dir, name):
+        return single_brand if name == "part" else orig(spark_, sf_dir, name)
+
+    m.load_table, T.load_table = fake_load, fake_load
+    try:
+        out = m.graph_pagerank_brands(spark, SF_CORRECT)
+        assert out.count() == 0
+        assert out.columns == ["p_brand", "rank_nano"]
+    finally:
+        m.load_table, T.load_table = orig, orig
