@@ -952,14 +952,17 @@ def bpe_train(
     in rank order.
     """
     vocab = (
-        documents.select(F.explode(F.split("text", TOKEN_SPLIT)).alias("w"))
+        documents.select(F.explode(tokens()).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # split-by-position keeps a trailing '' under Java's limit=-1
-        # semantics; drop empties so symbols == list(w)
+        # symbolize by CODE POINT to match Python's list(w) exactly:
+        # Java regex '.' consumes a full code point, so astral chars
+        # (emoji) stay whole — a position-split like split(w,'(?!^)')
+        # operates on UTF-16 code units and breaks them into lone
+        # surrogates, silently diverging from the reference algorithm
         .select(
-            F.expr("filter(split(w, '(?!^)'), x -> x <> '')").alias("syms"),
+            F.regexp_extract_all("w", F.lit("(?s)."), F.lit(0)).alias("syms"),
             "cnt",
         )
     ).persist()
@@ -1021,6 +1024,10 @@ def bpe_encode(
 
     spark = documents.sparkSession
     rank = {pair: i for i, pair in enumerate(merges)}
+    # lifetime note: the broadcast is referenced by encode_iter's
+    # closure, which the returned frame's plan holds — it becomes
+    # collectable (ContextCleaner) when the result frame is dropped,
+    # the same ownership shape own_cache gives persisted frames
     b_rank = spark.sparkContext.broadcast(rank)
 
     out_schema = StructType(
@@ -1058,6 +1065,10 @@ def bpe_encode(
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks: list[str] = []
+                # str.split(TOKEN_SPLIT) matches the JVM side's
+                # tokens() only while TOKEN_SPLIT is a literal (it is
+                # a single space); a regex TOKEN_SPLIT would need
+                # re.split here
                 for w in (text or "").split(TOKEN_SPLIT):
                     if w:
                         toks.extend(encode_word(w))

@@ -367,8 +367,16 @@ def scalar_xml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB mirrors every one of these natively (count_if / bool_or /
 # median / max_by / regr_*).  max_by's ordering key is the UNIQUE
-# o_orderkey so the argmax is deterministic; regression outputs round
-# to 4 (float-sum order differs across engines at the last ulp).
+# o_orderkey so the argmax is deterministic; median is emitted
+# UNROUNDED (either a 2-decimal data value or the exact mean of two
+# identical doubles — the same double in both engines, no rounding
+# step to tie-break).  The regr_* outputs round to 4: their float
+# sums differ across engines at the last ulp, but unlike the
+# cent-valued averages that flaked in round 11 (which land EXACTLY on
+# decimal rounding boundaries by construction), a slope/r2 is a ratio
+# of large co-moment sums — a generic rational whose probability of
+# sitting within an ulp of a 1e-4 boundary is negligible, so ROUND is
+# safe here and the regr_* surface stays the thing under test.
 SCALAR_SQL2023_ORACLE = """
     SELECT o_orderpriority,
            CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
@@ -422,7 +430,7 @@ SCALAR_WIDTH_BUCKET_ORACLE = """
                      ELSE 1 + floor(o_totalprice / 50000)
                 END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders GROUP BY bucket
 """
 
@@ -450,7 +458,13 @@ def scalar_width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact-integer-cents sum + one IEEE division (the
+            # float-sum ROUND boundary class the round-11 oracle
+            # hardening closed)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("revenue"),
         )
     )
 
@@ -561,20 +575,22 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted ONCE so iterations never re-derive the co-occurrence
     # self-join; on a real cluster this is the materialized edge table
     contrib_src = edges.join(outw, "src").persist()
-    n = contrib_src.select("src").distinct().count()  # |V|
+    # one distinct over the cached frame serves both |V| and the rank
+    # init (a second distinct would re-aggregate the same |E| rows)
+    nodes = contrib_src.select("src").distinct().persist()
+    n = nodes.count()  # |V|
     if n == 0:
         # no order carries two distinct brands: the graph is empty and
         # the oracle returns zero rows — mirror that instead of letting
         # the teleport division below raise ZeroDivisionError
         contrib_src.unpersist()
+        nodes.unpersist()
         return spark.createDataFrame([], "p_brand string, rank_nano bigint")
-    ranks = (
-        contrib_src.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.lit(1000000000 // n).alias("r9"))
-        .persist()
-    )
+    ranks = nodes.select(
+        F.col("src").alias("node"), F.lit(1000000000 // n).alias("r9")
+    ).persist()
     ranks.count()
+    nodes.unpersist()
     step = f"{150000000 // n} + (85 * sum((r9 * w) div ow)) div 100"
     for _ in range(3):
         nxt = (

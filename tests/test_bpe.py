@@ -150,3 +150,27 @@ def test_barrier_map_in_pandas_surface(spark):
     ).collect()
     assert sum(r.rows for r in out) == 1000
     assert {r.world_size for r in out} == {4}
+
+
+def test_bpe_train_handles_astral_code_points(spark):
+    """Symbols must be Unicode CODE POINTS, not UTF-16 code units: an
+    emoji (astral plane) is ONE symbol on both the Spark and the
+    Python side — a position-regex split would shear it into two lone
+    surrogates and learn merges bpe_encode's list(w) could never
+    match."""
+    texts = ["a\U0001F600b a\U0001F600b ab", "\U0001F600\U0001F600 ab ab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = T.bpe_train(df, n_merges=3)
+    want = _ref_train(texts, 3)
+    assert got == want
+    enc = T.bpe_encode(
+        df.selectExpr("monotonically_increasing_id() as doc_id", "text"), got
+    ).collect()
+    for r, t in zip(sorted(enc, key=lambda r: r.doc_id), texts):
+        toks = []
+        for w in t.split(" "):
+            if w:
+                toks.extend(_ref_encode(w, got))
+        assert (r.n_bpe_tokens, r.n_distinct_bpe_tokens) == (
+            len(toks), len(set(toks))
+        )
