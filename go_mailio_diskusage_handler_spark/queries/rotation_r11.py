@@ -107,3 +107,23 @@ _R11_FRONT = _R11_CHANGED + [
 ]
 
 _rotate_front(_R11_FRONT)
+
+# --- Round-12 front guidance (mechanical; derive with
+# freshness.derive_front(REPO_ROOT, through_round=11) once
+# CORRECTNESS_r11.json lands) ---
+# Priority order for the r12 rotation:
+#   1. The 17 round-11 additions/oracle-changes with no driver row yet
+#      (q_round11 + q_round11b modules: sql_lateral_alias_margin,
+#      scalar_transpose_metrics, scalar_variant_explode,
+#      sql_pipe_priority_revenue, scalar_groupingsets_df,
+#      text_bpe_pairs, text_hash_classifier,
+#      setop_churned_buyers_except_all, window_paged_orders,
+#      stat_crosstab_priority, scalar_map_hof_shares,
+#      scalar_xml_orders, scalar_sql2023_aggregates,
+#      scalar_width_bucket_hist, graph_pagerank_brands) and the two
+#      r11-acknowledged oracle fixes if their r11 window slots were
+#      missed (events_bounce_rate, events_compaction_bins).
+#   2. The stalest r7/r8 backlog rows, oldest first.
+# All 17 were oracle-verified in-repo at sf0.001/0.01/0.1 (and the
+# 10 q_round11b names under TZ=America/New_York and
+# shuffle.partitions=7) — the driver row is the remaining hard signal.
