@@ -1,0 +1,102 @@
+"""Cross-engine SQL fuzz: generated filter/aggregate queries run on
+BOTH engines and value-compared — the systematic extension of the
+registry's hand-written oracle pairs.
+
+The grammar emits one SQL text that parses identically in Spark and
+DuckDB (common ISO subset: comparisons, BETWEEN/IN, AND/OR/NOT, CASE,
+year(), GROUP BY over low-cardinality keys) and keeps every aggregate
+in EXACT arithmetic (COUNT / MIN / MAX / BIGINT sums of cent-scaled
+values) so the only legitimate compare noise class — float-sum
+addition order — is excluded BY CONSTRUCTION, per the round-11
+exact-integer-sum rule.  Seeds are fixed, so failures replay.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from conftest import normalize
+
+
+# --- deterministic query generator -----------------------------------------
+
+NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+CENT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+def _pred(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        c = rng.choice(NUM_COLS)
+        return f"{c} {rng.choice(['<', '<=', '>', '>=', '='])} {rng.randrange(1, 60000)}"
+    if kind == 1:
+        c = rng.choice(CENT_COLS)
+        return f"{c} BETWEEN {rng.randrange(0, 40)} AND {rng.randrange(40, 60000)}"
+    if kind == 2:
+        c = rng.choice(STR_COLS)
+        vals = ", ".join(f"'{v}'" for v in rng.sample(["A", "N", "R", "O", "F"], 2))
+        return f"{c} IN ({vals})"
+    if kind == 3:
+        return f"year(l_shipdate) {rng.choice(['<=', '>=', '='])} {rng.randrange(1995, 2002)}"
+    if kind == 4:
+        a, b = rng.sample(NUM_COLS, 2)
+        return f"{a} % {rng.randrange(2, 13)} = {b} % {rng.randrange(2, 7)}"
+    return f"NOT ({_pred(rng)})"
+
+
+def _predicate(rng: random.Random, depth: int = 2) -> str:
+    if depth == 0 or rng.random() < 0.4:
+        return _pred(rng)
+    op = rng.choice(["AND", "OR"])
+    return f"({_predicate(rng, depth - 1)} {op} {_predicate(rng, depth - 1)})"
+
+
+def _agg(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        return "CAST(COUNT(*) AS BIGINT) AS n"
+    if kind == 1:
+        c = rng.choice(NUM_COLS)
+        return f"CAST({rng.choice(['MIN', 'MAX'])}({c}) AS BIGINT) AS m"
+    if kind == 2:
+        c = rng.choice(CENT_COLS)
+        # exact: cent-scaled BIGINT sum
+        return f"CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS BIGINT) AS s"
+    if kind == 3:
+        c = rng.choice(STR_COLS)
+        return f"CAST(COUNT(*) AS BIGINT) AS n, MIN({c}) AS lo, MAX({c}) AS hi"
+    c = rng.choice(NUM_COLS)
+    p = _pred(rng)
+    return (
+        f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS n_case, "
+        f"CAST(MAX(CASE WHEN {p} THEN {c} END) AS BIGINT) AS m_case"
+    )
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    where = _predicate(rng)
+    agg = _agg(rng)
+    if rng.random() < 0.7:
+        g = rng.choice(GROUP_COLS)
+        return f"SELECT {g}, {agg} FROM lineitem WHERE {where} GROUP BY {g}"
+    return f"SELECT {agg} FROM lineitem WHERE {where}"
+
+
+SEEDS = list(range(1100, 1140))  # 40 deterministic queries
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_generated_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
