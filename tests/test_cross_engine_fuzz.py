@@ -100,3 +100,52 @@ def test_generated_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- join grammar: lineitem x orders, inner/left, optional HAVING ----------
+
+O_NUM = ["o_orderkey", "o_custkey"]
+O_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def gen_join_query(seed: int) -> str:
+    rng = random.Random(seed)
+    join = rng.choice(["JOIN", "LEFT JOIN"])
+    # a predicate over either side; LEFT JOIN + right-side predicate in
+    # WHERE exercises null-elimination semantics in both engines
+    side_pred = rng.choice(
+        [
+            _predicate(rng, 1),
+            f"o_orderstatus {rng.choice(['=', '<>'])} '{rng.choice(['F', 'O', 'P'])}'",
+            f"o_custkey % {rng.randrange(2, 9)} = 0",
+        ]
+    )
+    g = rng.choice(["o_orderpriority", "l_returnflag", "o_orderstatus"])
+    agg = (
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(o_custkey) AS BIGINT) AS n_right, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s"
+    )
+    q = (
+        f"SELECT {g}, {agg} FROM lineitem {join} orders"
+        f" ON l_orderkey = o_orderkey WHERE {side_pred} GROUP BY {g}"
+    )
+    if rng.random() < 0.5:
+        q += f" HAVING COUNT(*) >= {rng.randrange(1, 50)}"
+    return q
+
+
+JOIN_SEEDS = list(range(2200, 2220))  # 20 deterministic join queries
+
+
+@pytest.mark.parametrize("seed", JOIN_SEEDS)
+def test_generated_join_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_join_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
