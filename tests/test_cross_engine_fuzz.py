@@ -149,3 +149,56 @@ def test_generated_join_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- window grammar: deterministic frames over unique ordering keys --------
+
+
+def gen_window_query(seed: int) -> str:
+    rng = random.Random(seed)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_orderkey % 7"])
+    # the synthetic lineitem carries DUPLICATE (l_orderkey,
+    # l_linenumber) pairs (~14k at sf0.01), so a total order needs the
+    # DISTINCT row set ordered by every selected column — then every
+    # ranking/frame below is deterministic in both engines
+    order = "l_orderkey, l_linenumber, l_partkey, l_suppkey, cents"
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {rng.randrange(1, 9)} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN CURRENT ROW AND {rng.randrange(1, 9)} FOLLOWING",
+        ]
+    )
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order})",
+            f"CAST(SUM(cents) OVER (PARTITION BY {part} ORDER BY {order} {frame}) AS BIGINT)",
+            f"CAST(LAG(l_suppkey, {rng.randrange(1, 4)}, -1) OVER (PARTITION BY {part} ORDER BY {order}) AS BIGINT)",
+            f"CAST(LEAD(l_partkey, {rng.randrange(1, 4)}, 0) OVER (PARTITION BY {part} ORDER BY {order}) AS BIGINT)",
+            f"CAST(MIN(l_partkey) OVER (PARTITION BY {part} ORDER BY {order} {frame}) AS BIGINT)",
+        ]
+    )
+    where = _predicate(rng, 1)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {fn} AS w FROM ("
+        f"SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        f" l_returnflag, l_linestatus,"
+        f" CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents"
+        f" FROM lineitem WHERE {where}) t"
+    )
+
+
+WINDOW_SEEDS = list(range(3300, 3320))  # 20 deterministic window queries
+
+
+@pytest.mark.parametrize("seed", WINDOW_SEEDS)
+def test_generated_window_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_window_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
