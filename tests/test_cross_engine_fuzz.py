@@ -202,3 +202,95 @@ def test_generated_window_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- date grammar: the dialect overlap where the round-11 TZ bugs lived ----
+
+
+def gen_date_query(seed: int) -> str:
+    rng = random.Random(seed)
+    d = f"DATE '{rng.randrange(1995, 2001)}-{rng.randrange(1, 13):02d}-{rng.randrange(1, 28):02d}'"
+    part = rng.choice(["year", "month", "quarter"])
+    where = rng.choice(
+        [
+            f"l_shipdate {rng.choice(['<', '>='])} {d}",
+            f"date_trunc('{part}', l_shipdate) = date_trunc('{part}', {d})",
+            f"month(l_shipdate) IN ({rng.randrange(1, 7)}, {rng.randrange(7, 13)})",
+            f"day(l_shipdate) BETWEEN {rng.randrange(1, 10)} AND {rng.randrange(10, 29)}",
+        ]
+    )
+    g = rng.choice(
+        [
+            "year(l_shipdate)",
+            "month(l_shipdate)",
+            "CAST(date_trunc('month', l_shipdate) AS DATE)",
+        ]
+    )
+    return (
+        f"SELECT {g} AS g, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(MIN(l_orderkey) AS BIGINT) AS lo "
+        f"FROM lineitem WHERE {where} GROUP BY g"
+    )
+
+
+DATE_SEEDS = list(range(4400, 4420))
+
+
+@pytest.mark.parametrize("seed", DATE_SEEDS)
+def test_generated_date_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_date_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
+
+
+# --- string grammar: shared-dialect string function coverage ---------------
+
+
+def gen_string_query(seed: int) -> str:
+    rng = random.Random(seed)
+    base = rng.choice(["p_type", "p_brand", "p_name"]) if rng.random() < 0.5 \
+        else rng.choice(["o_orderpriority", "o_orderstatus"])
+    table = "part" if base.startswith("p_") else "orders"
+    expr = rng.choice(
+        [
+            f"upper({base})",
+            f"lower({base})",
+            f"substring({base}, {rng.randrange(1, 4)}, {rng.randrange(2, 6)})",
+            f"replace({base}, '{rng.choice(['#', '-', 'a', 'E'])}', '_')",
+            f"trim({base})",
+            f"concat({base}, '|', {base})",
+        ]
+    )
+    pred = rng.choice(
+        [
+            f"length({base}) {rng.choice(['>', '<=', '='])} {rng.randrange(2, 18)}",
+            f"{base} LIKE '%{rng.choice(['1', '2', 'R', 'E', 'o'])}%'",
+            f"instr({base}, '{rng.choice(['#', '1', 'M', 'd'])}') > 0",
+        ]
+    )
+    return (
+        f"SELECT {expr} AS e, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} WHERE {pred} GROUP BY e"
+    )
+
+
+STRING_SEEDS = list(range(5500, 5520))
+
+
+@pytest.mark.parametrize("seed", STRING_SEEDS)
+def test_generated_string_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_string_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
