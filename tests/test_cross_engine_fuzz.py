@@ -294,3 +294,52 @@ def test_generated_string_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- set-op grammar: UNION / INTERSECT / EXCEPT with ALL variants ----------
+
+
+def gen_setop_query(seed: int) -> str:
+    rng = random.Random(seed)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+         "EXCEPT", "EXCEPT ALL"]
+    )
+    col = rng.choice(["o_custkey", "o_orderpriority", "o_orderstatus"])
+    p1 = _pred_orders(rng)
+    p2 = _pred_orders(rng)
+    # aggregate AFTER the set op so multiset semantics survive into a
+    # deterministic, small result
+    return (
+        f"SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT {col} FROM orders WHERE {p1} "
+        f"{op} "
+        f"SELECT {col} FROM orders WHERE {p2}) t GROUP BY k"
+    )
+
+
+def _pred_orders(rng: random.Random) -> str:
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"o_custkey % {rng.randrange(2, 9)} = {rng.randrange(0, 2)}"
+    if kind == 1:
+        return f"o_totalprice BETWEEN {rng.randrange(0, 200000)} AND {rng.randrange(200000, 600000)}"
+    if kind == 2:
+        return f"o_orderstatus = '{rng.choice(['F', 'O', 'P'])}'"
+    return f"year(o_orderdate) {rng.choice(['<=', '>='])} {rng.randrange(1996, 2001)}"
+
+
+SETOP_SEEDS = list(range(6600, 6620))
+
+
+@pytest.mark.parametrize("seed", SETOP_SEEDS)
+def test_generated_setop_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_setop_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
