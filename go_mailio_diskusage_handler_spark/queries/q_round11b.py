@@ -86,9 +86,18 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weights SUM as exact integers and the mean weight is ONE IEEE
 # division (s / (30·n)) — bit-identical across engines (a float AVG's
 # addition order is not: the first cut of this oracle flaked at sf0.1
-# on a 0.7388/0.7389 rounding boundary).  The keep flag derives from
-# the ROUNDED probability so it can only disagree across engines where
-# the rounded score itself would.
+# on a 0.7388/0.7389 rounding boundary).
+#
+# The logistic link is the ALGEBRAIC sigmoid 0.5 + x/(2·(1+|x|)), not
+# 1/(1+exp(-x)) (ADVICE r11): libm/JVM exp is not correctly rounded,
+# so the exp form could differ in the last ulp across engines and
+# flip ROUND(,4) — and the keep flag with it — whenever the true
+# value sits within an ulp of a 0.00005 boundary.  Every op in the
+# algebraic form (+ - * / abs on doubles) IS correctly rounded by
+# IEEE 754, so the identical expression tree yields the identical
+# bit pattern in both engines; keep compares the UNROUNDED score, so
+# no rounding boundary exists at all (pinned by
+# tests/test_advice_r11.py::test_algebraic_sigmoid_bit_identity).
 TEXT_HASH_CLASSIFIER_ORACLE = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -97,13 +106,16 @@ TEXT_HASH_CLASSIFIER_ORACLE = """
                ((instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
                 + (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1))
                % 61 - 30 AS wgt
-        FROM tok WHERE w <> '')
+        FROM tok WHERE w <> ''),
+    agg AS (
+        SELECT doc_id,
+               ((SUM(wgt) / (30.0 * COUNT(*))) * 8.0) AS x
+        FROM scored GROUP BY doc_id)
     SELECT doc_id,
-           ROUND(1.0 / (1.0 + exp(-(SUM(wgt) / (30.0 * COUNT(*))) * 8.0)), 4)
-               AS quality_prob,
-           CAST(ROUND(1.0 / (1.0 + exp(-(SUM(wgt) / (30.0 * COUNT(*))) * 8.0)),
-                      4) >= 0.503 AS BOOLEAN) AS keep
-    FROM scored GROUP BY doc_id
+           ROUND(0.5 + (x / (2.0 * (1.0 + abs(x)))), 4) AS quality_prob,
+           CAST((0.5 + (x / (2.0 * (1.0 + abs(x))))) >= 0.503 AS BOOLEAN)
+               AS keep
+    FROM agg
 """
 
 
@@ -112,11 +124,15 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Hashed-feature linear quality classifier — the fastText /
     CCNet-style model-based document filter: each token hashes to a
     weight bucket (the hashing trick, no vocabulary dict), the doc
-    score is the mean bucket weight through a logistic link, and the
-    keep decision thresholds the score.  Weights here are a
+    score is the mean bucket weight through a squashing link, and the
+    keep decision thresholds the UNROUNDED score.  Weights here are a
     deterministic function of the bucket so both engines share the
     model exactly; in production the 2^B-entry weight table is a
-    BROADCAST literal learned offline — same plan shape.
+    BROADCAST literal learned offline — same plan shape.  The link is
+    the algebraic sigmoid x ↦ 0.5 + x/(2·(1+|x|)) rather than
+    1/(1+exp(-x)): every op in it is IEEE-correctly-rounded, so the
+    score is bit-reproducible across engines/libm versions (exp is
+    not), which is what makes the keep threshold deterministic.
 
     Scale: one explode + one doc-keyed map-side-combined aggregate;
     hash, weight lookup, and sigmoid are all whole-stage-codegen
@@ -126,15 +142,15 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nib1 = "instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1"
     nib2 = "instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1"
     wgt = f"(({nib1}) * 16 + ({nib2})) % 61 - 30"
-    mean_wgt = F.sum(F.expr(wgt)) / (30.0 * F.count(F.lit(1)))
-    prob = F.round(1.0 / (1.0 + F.exp(-mean_wgt * 8.0)), 4)
+    x = (F.sum(F.expr(wgt)) / (30.0 * F.count(F.lit(1)))) * 8.0
+    prob_raw = 0.5 + (x / (2.0 * (1.0 + F.abs(x))))
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id")
         .agg(
-            prob.alias("quality_prob"),
-            (prob >= 0.503).alias("keep"),
+            F.round(prob_raw, 4).alias("quality_prob"),
+            (prob_raw >= 0.503).alias("keep"),
         )
     )
 
@@ -213,7 +229,15 @@ def window_paged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Spark's crosstab names the first column "col1_col2" and one column
-# per distinct col2 value; TPC-H o_orderstatus domain is {F, O, P}.
+# per distinct col2 value observed in the DATA, while this oracle
+# hard-codes the TPC-H o_orderstatus domain {F, O, P} as columns — so
+# the oracle is correct exactly when the fixture realizes all three
+# statuses.  That domain assumption is pinned as an explicit fixture
+# contract (ADVICE r11) by
+# tests/test_advice_r11.py::test_crosstab_status_domain_contract,
+# which asserts SELECT DISTINCT o_orderstatus == {F,O,P} at every
+# test scale; a fixture where one status is absent fails THERE with a
+# data-contract message instead of as an opaque column-set mismatch.
 STAT_CROSSTAB_ORACLE = """
     SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
@@ -367,21 +391,29 @@ def scalar_xml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB mirrors every one of these natively (count_if / bool_or /
 # median / max_by / regr_*).  max_by's ordering key is the UNIQUE
-# o_orderkey so the argmax is deterministic; median is emitted
-# UNROUNDED (either a 2-decimal data value or the exact mean of two
-# identical doubles — the same double in both engines, no rounding
-# step to tie-break).  The regr_* outputs round to 4: their float
-# sums differ across engines at the last ulp, but unlike the
-# cent-valued averages that flaked in round 11 (which land EXACTLY on
-# decimal rounding boundaries by construction), a slope/r2 is a ratio
-# of large co-moment sums — a generic rational whose probability of
-# sitting within an ulp of a 1e-4 boundary is negligible, so ROUND is
-# safe here and the regr_* surface stays the thing under test.
+# o_orderkey so the argmax is deterministic.  med_price rounds to 4
+# (ADVICE r11): an even-count group's median interpolates between two
+# middle values that are NOT identical in general, and the engines
+# only happened to agree because both currently use the
+# lower+(higher-lower)*0.5 formula — an interpolation-formula change
+# would drift by an ulp.  ROUND(,4) is exact here because prices are
+# 2-decimal values, so the true median is a multiple of 0.005 and
+# sits ON the 1e-4 rounding grid (never at a tie midpoint): any
+# ulp-perturbed double rounds to the same grid point in both engines
+# regardless of tie-break mode (pinned by
+# tests/test_advice_r11.py::test_even_count_median_round_grid).
+# The regr_* outputs round to 4: their float sums differ across
+# engines at the last ulp, but unlike the cent-valued averages that
+# flaked in round 11 (which land EXACTLY on decimal rounding
+# boundaries by construction), a slope/r2 is a ratio of large
+# co-moment sums — a generic rational whose probability of sitting
+# within an ulp of a 1e-4 boundary is negligible, so ROUND is safe
+# here and the regr_* surface stays the thing under test.
 SCALAR_SQL2023_ORACLE = """
     SELECT o_orderpriority,
            CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
            bool_or(o_orderstatus = 'P') AS any_pending,
-           median(o_totalprice) AS med_price,
+           ROUND(median(o_totalprice), 4) AS med_price,
            max_by(o_custkey, o_orderkey) AS latest_cust,
            ROUND(regr_slope(o_totalprice, o_orderkey), 4) AS slope,
            ROUND(regr_r2(o_totalprice, o_orderkey), 4) AS r2
@@ -409,7 +441,7 @@ def scalar_sql2023_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
-        F.median("o_totalprice").alias("med_price"),
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
         F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
         F.round(F.regr_slope("o_totalprice", "o_orderkey"), 4).alias("slope"),
         F.round(F.regr_r2("o_totalprice", "o_orderkey"), 4).alias("r2"),

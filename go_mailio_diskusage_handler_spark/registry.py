@@ -98,3 +98,15 @@ from .queries import rotation_r11  # noqa: E402,F401
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round11  # noqa: E402,F401
 from .queries import q_round11b  # noqa: E402,F401
+
+# Round-12 window rotation (applied on import, last): the 2
+# round-11-acknowledged oracle fixes + the 2 round-12 ADVICE oracle
+# edits first, then the 13 remaining never-driver-checked round-11
+# tail additions, then the 33 oldest r7-stale rows.
+# Derivation-checked by tests/test_rotation.py against
+# queries/freshness.py.
+from .queries import rotation_r12  # noqa: E402,F401
+
+# Round-12 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round12  # noqa: E402,F401

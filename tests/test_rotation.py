@@ -1,12 +1,12 @@
 """The rotation front is derivation-checked (round-9 verdict #7):
-the hand-written ``_R11_FRONT`` literal must equal the mechanical
+the hand-written ``_R12_FRONT`` literal must equal the mechanical
 derivation of the rotation policy from the driver's CORRECTNESS
 record, and the staleness bookkeeping the rotation comments maintain
 by hand must match the files on disk.
 
 Round-11 rewrite (ADVICE r10): every derivation in this file is
-PINNED to the record the round-11 rotation was computed from
-(``through_round=10`` / ``_ROTATION_ROUND = 11``) instead of "whatever
+PINNED to the record the rotation was computed from
+(``through_round = _ROTATION_ROUND - 1``) instead of "whatever
 CORRECTNESS files exist on disk" — the un-pinned forms broke the
 moment the driver wrote the next round's file (the freshness floor
 went red on the by-then-stale window, and the oracle-change gate went
@@ -21,9 +21,9 @@ import os
 # real rotation (inside registry's import sequence) into a no-op.
 from go_mailio_diskusage_handler_spark.registry import ORACLE_SQL, QUERIES
 from go_mailio_diskusage_handler_spark.queries import freshness  # noqa: E402
-from go_mailio_diskusage_handler_spark.queries.rotation_r11 import (  # noqa: E402
-    _R11_CHANGED,
-    _R11_FRONT,
+from go_mailio_diskusage_handler_spark.queries.rotation_r12 import (  # noqa: E402
+    _R12_CHANGED,
+    _R12_FRONT,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,41 +31,39 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # The round this rotation was authored for.  Every assertion below
 # derives from the CORRECTNESS record as it stood ENTERING this round
 # (through_round = _ROTATION_ROUND - 1), so the suite stays green when
-# the driver writes CORRECTNESS_r11.json and only needs revisiting
-# when rotation_r12 is authored.
-_ROTATION_ROUND = 11
+# the driver writes CORRECTNESS_r12.json and only needs revisiting
+# when rotation_r13 is authored.
+_ROTATION_ROUND = 12
 
 
-def _r11_deferred():
+def _r12_deferred():
     """The new-query deferral set, derived mechanically: every registry
-    callable defined in this round's additions modules (q_round11,
-    q_round11b) registers at the tail and meets the external gate in
-    round 12."""
+    callable defined in this round's additions module (q_round12)
+    registers at the tail and meets the external gate in round 13."""
     return [
         n for n, fn in QUERIES.items()
-        if fn.__module__.endswith(".q_round11")
-        or fn.__module__.endswith(".q_round11b")
+        if fn.__module__.endswith(".q_round12")
     ]
 
 
-def test_r11_front_matches_mechanical_derivation():
-    """The literal _R11_FRONT == derive_front(registry, CORRECTNESS
-    r01–r10).  through_round pins the derivation to the record that
+def test_r12_front_matches_mechanical_derivation():
+    """The literal _R12_FRONT == derive_front(registry, CORRECTNESS
+    r01–r11).  through_round pins the derivation to the record that
     existed when the front was computed, so this stays green after the
-    driver writes CORRECTNESS_r11."""
+    driver writes CORRECTNESS_r12."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     derived = freshness.derive_front(
         list(QUERIES),
         last,
         window=freshness.WINDOW,
-        changed=_R11_CHANGED,
-        deferred=_r11_deferred(),
+        changed=_R12_CHANGED,
+        deferred=_r12_deferred(),
     )
-    assert derived == _R11_FRONT
+    assert derived == _R12_FRONT
     # and the rotation was actually applied: the registry's first
     # window IS the front, for both the queries and their oracles.
-    assert list(QUERIES)[: len(_R11_FRONT)] == _R11_FRONT
-    assert list(ORACLE_SQL)[: len(_R11_FRONT)] == _R11_FRONT
+    assert list(QUERIES)[: len(_R12_FRONT)] == _R12_FRONT
+    assert list(ORACLE_SQL)[: len(_R12_FRONT)] == _R12_FRONT
 
 
 def test_derivation_is_idempotent_under_its_own_rotation():
@@ -74,12 +72,12 @@ def test_derivation_is_idempotent_under_its_own_rotation():
     the same front — the property that lets the test run AFTER the
     rotation is applied."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = list(QUERIES)  # already rotated by rotation_r11
+    names = list(QUERIES)  # already rotated by rotation_r12
     assert (
         freshness.derive_front(
-            names, last, changed=_R11_CHANGED, deferred=_r11_deferred()
+            names, last, changed=_R12_CHANGED, deferred=_r12_deferred()
         )
-        == _R11_FRONT
+        == _R12_FRONT
     )
 
 
@@ -88,52 +86,55 @@ def test_no_query_left_behind():
     row within the last 4 driver rounds or sits inside the upcoming
     window — the invariant the rotation policy exists to maintain
     (never-checked queries MUST be in the front; nothing may go stale
-    indefinitely while the window rotates past it).  Pinned to the
-    record the rotation was built for (ADVICE r10: the un-pinned form
-    went red the moment CORRECTNESS_r10 landed, because the floor
-    advanced while the window was still last round's)."""
+    indefinitely while the window rotates past it).
+
+    The floor is ``latest_round - 4``: a 250-query registry over a
+    50-slot window has a steady-state revisit period of exactly 5
+    rounds, so age 4 between checks is the tightest SUSTAINABLE bound
+    — the ``- 3`` floor earlier rounds asserted implied 200 checks
+    per 4 rounds and became arithmetically unsatisfiable the moment
+    the registry reached 250 (entering round 12: 15 never-checked +
+    38 r7-stale = 53 > 50 window slots)."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     latest_round = _ROTATION_ROUND - 1
     window = set(list(QUERIES)[: freshness.WINDOW])
-    deferred = set(_r11_deferred())
+    deferred = set(_r12_deferred())
     violations = [
         n
         for n in QUERIES
-        if last.get(n, -1) < latest_round - 3
+        if last.get(n, -1) < latest_round - 4
         and n not in window
         and n not in deferred  # current-round additions gate next round
     ]
     assert violations == []
+    # and the capacity arithmetic itself: nothing outside the window
+    # may be older than the steady-state period allows, which means
+    # every sub-floor query IS in the window — restated so a future
+    # registry growth that breaks sustainability fails loudly here.
+    backlog = [n for n in QUERIES if n not in deferred]
+    assert len(backlog) <= 5 * freshness.WINDOW, (
+        "registry outgrew the 5-round revisit capacity; renegotiate "
+        "the floor or the window"
+    )
 
 
 def test_stale_histogram_matches_rotation_comment():
-    """The bookkeeping in rotation_r11.py's comment: entering round 11
-    the histogram is 6 never / 29 r6 / 50 r7 / 50 r8 / 50 r9 / 50
-    r10."""
+    """The bookkeeping in rotation_r12.py's comment: entering round 12
+    the histogram is 15 never / 38 r7 / 47 r8 / 50 r9 / 50 r10 /
+    50 r11."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = [n for n in QUERIES if n not in set(_r11_deferred())]
+    names = [n for n in QUERIES if n not in set(_r12_deferred())]
     hist = freshness.stale_histogram(names, last)
-    assert hist == {-1: 6, 6: 29, 7: 50, 8: 50, 9: 50, 10: 50}
+    assert hist == {-1: 15, 7: 38, 8: 47, 9: 50, 10: 50, 11: 50}
 
 
-# Round-11 oracle-text changes NOT inside the r11 window, each with
-# its evidence trail (the round-4 advisory's acknowledgement path —
-# they take first priority in the round-12 front):
-#   * events_bounce_rate — ORACLE-only fix: to_timestamp(us//1e6) is
-#     a timestamptz whose CAST AS DATE follows the HOST zone; replaced
-#     with the naive make_timestamp(us).  Found by the round-11
-#     TZ=America/New_York full-registry sweep (31 vs 30 rows);
-#     verified green under BOTH zones (.r11/verify_two.py output in
-#     .r11/, plus the re-run TZ sweep) and in the r11 UTC sweeps.
-#   * events_compaction_bins — query AND oracle now emit hour bounds
-#     as epoch_us (first_hour_us/last_hour_us): raw TIMESTAMP columns
-#     are host-zone-dependent in plain PySpark collect()
-#     (datetime.fromtimestamp uses the driver zone).  Same sweep, same
-#     dual-zone verification.
-_R11_CHANGED_ACKED: list[str] = [
-    "events_bounce_rate",
-    "events_compaction_bins",
-]
+# Round-12 oracle-text changes NOT inside the r12 window, each needing
+# an evidence trail (the round-4 advisory's acknowledgement path —
+# they take first priority in the round-13 front).  Empty this round:
+# both round-12 oracle edits (scalar_sql2023_aggregates,
+# text_hash_classifier — the ADVICE r11 fixes) are fronted in the
+# window itself as changed queries.
+_R12_CHANGED_ACKED: list[str] = []
 
 
 def test_changed_oracles_meet_the_gate_or_are_acknowledged():
@@ -142,10 +143,7 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     changed THIS round — per ORACLE_HASHES.json, regenerated by
     tools_oracle_hashes.py — must be in the driver window, in the
     new-query deferral set, or explicitly acknowledged above with the
-    evidence trail.  The checked round is PINNED to the round the
-    rotation was authored for (ADVICE r10: deriving it from the
-    CORRECTNESS files on disk made the gate vacuous the moment the
-    driver wrote the current round's file)."""
+    evidence trail."""
     import json
 
     with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
@@ -164,28 +162,32 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     )
     changed = {n for n, v in hashes.items() if v["round"] >= _ROTATION_ROUND}
     window = set(list(QUERIES)[: freshness.WINDOW])
-    covered = window | set(_r11_deferred()) | set(_R11_CHANGED_ACKED)
+    covered = window | set(_r12_deferred()) | set(_R12_CHANGED_ACKED)
     assert changed <= covered, sorted(changed - covered)
 
 
-def test_front_external_gate_closure_for_r10_changes():
-    """Closure of the round-10 acknowledgement debt: every oracle that
-    changed in round 10 OUTSIDE the round-10 window (the 9 names the
-    round-10 test acknowledged with in-repo evidence) is fronted in
-    THIS round's window, so its next driver row post-dates the
-    change."""
+def test_front_external_gate_closure_for_r11_changes():
+    """Closure of the round-11 acknowledgement debt: the two oracles
+    that changed in round 11 OUTSIDE the round-11 window (the
+    TZ-sweep fixes events_bounce_rate and events_compaction_bins,
+    acknowledged with their evidence trail in round 11's
+    _R11_CHANGED_ACKED) are fronted in THIS round's window, so their
+    next driver row post-dates the change."""
     import json
 
     with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
         hashes = json.load(fh)
-    last = freshness.last_checked(REPO_ROOT, through_round=10)
-    # round == 10 and a PRE-r10 driver row: an existing oracle that
-    # changed (the brand-new round-10 queries also carry round == 10
+    last = freshness.last_checked(REPO_ROOT, through_round=11)
+    # round == 11 and a PRE-r11 driver row: an existing oracle that
+    # changed (the brand-new round-11 queries also carry round == 11
     # but were never checked before — they front as never-checked,
     # not as changed).
-    r10_changed_unwindowed = {
+    r11_changed_unwindowed = {
         n for n, v in hashes.items()
-        if v["round"] == 10 and 0 <= last.get(n, -1) < 10
+        if v["round"] == 11 and 0 <= last.get(n, -1) < 11
     }
-    assert r10_changed_unwindowed == set(_R11_CHANGED)
-    assert set(_R11_CHANGED) <= set(_R11_FRONT[: len(_R11_CHANGED)])
+    assert r11_changed_unwindowed == {
+        "events_bounce_rate",
+        "events_compaction_bins",
+    }
+    assert r11_changed_unwindowed <= set(_R12_FRONT[: len(_R12_CHANGED)])
