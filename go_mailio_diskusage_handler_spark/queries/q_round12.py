@@ -1,4 +1,6 @@
-"""Round-12 additions (placeholder header; queries appended below).
+"""Round-12 additions: the scale-correct windowed twin of the
+table-argument UDTF (VERDICT r11 #4), multiset INTERSECT ALL,
+dynamic-gap session windows, and date-function breadth.
 
 These register AFTER rotation_r12 — registry tail, behind the driver
 window, per the new-query deferral policy; in-repo oracle parity via
@@ -7,8 +9,243 @@ front.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ._base import register
+from .q_round8 import DIRECTION_CHANGES_SQL
+
+
+# ---------------------------------------------------------------------------
+# window_direction_changes — built-in twin of udtf_table_arg_changes
+# ---------------------------------------------------------------------------
+
+@register("window_direction_changes", DIRECTION_CHANGES_SQL)
+def window_direction_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user direction-change counting in PURE built-in
+    window functions — the scale-correct twin of
+    ``udtf_table_arg_changes`` (VERDICT r11 #4): identical semantics
+    (same oracle), but where the UDTF variant exists to exercise the
+    TABLE-argument UDTF *surface* (one Python process per partition),
+    this form stays entirely inside whole-stage codegen — zero Python
+    eval nodes (plan-asserted in tests/test_round12.py), so it is the
+    shape a 100 TB run should use.
+
+    Scale: both window specs share the (user_id) partitioning and
+    (ts, event_id) sort, so Catalyst evaluates them in ONE shuffle +
+    sort pass; the two trailing aggregates reuse the same hash key.
+    The deterministic (ts, event_id) tiebreak makes the lag stream —
+    and therefore the count — partitioning-invariant."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nz = (
+        e.withColumn("diff", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .withColumn("s", F.signum("diff"))
+    )
+    ch = nz.withColumn(
+        "c", F.when(F.col("s") != F.lag("s").over(w), F.lit(1)).otherwise(F.lit(0))
+    )
+    changes = ch.groupBy("user_id").agg(
+        F.sum("c").alias("direction_changes")
+    )
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.join(changes, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        F.coalesce(F.col("direction_changes"), F.lit(0).cast("long")).alias(
+            "direction_changes"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# setop_repeat_buyers_intersect_all — INTERSECT ALL multiset semantics
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror: INTERSECT ALL is ISO multiset intersection in both
+# engines — per key, min(multiplicity_early, multiplicity_late).
+SETOP_INTERSECT_ALL_ORACLE = """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1995
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1996
+    ) GROUP BY o_custkey
+"""
+
+
+@register("setop_repeat_buyers_intersect_all", SETOP_INTERSECT_ALL_ORACLE)
+def setop_repeat_buyers_intersect_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] ``DataFrame.intersectAll`` — ISO multiset INTERSECT ALL:
+    per customer, min(early-period orders, late-period orders) — the
+    sustained-activity multiplicity that distinct INTERSECT
+    (`setop_retained_customers`) collapses to membership, completing
+    the multiset set-op pair with `setop_churned_buyers_except_all`.
+
+    Scale: Spark plans intersectAll as one hash aggregate computing
+    per-key (count_left, count_right) and replicating min(l, r) rows
+    — one shuffle on the key, no join; the trailing groupBy reuses
+    the same hash partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.year("o_orderdate") <= 1995).select("o_custkey")
+    late = orders.filter(F.year("o_orderdate") >= 1996).select("o_custkey")
+    return (
+        early.intersectAll(late)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_session_dynamic_gap — session_window with per-event gap
+# ---------------------------------------------------------------------------
+
+_GAP_PURCHASE_US = 30 * 60 * 1_000_000
+_GAP_DEFAULT_US = 10 * 60 * 1_000_000
+
+# DuckDB mirror of Spark's dynamic-gap session merge: each event spans
+# [us, us + gap(event)); a new session starts when the event's start
+# is >= the running max of all PRIOR event ends (interval-union
+# semantics — the same >=-closes rule the static-gap oracle in
+# q_relational2.py pins).  The (us, event_id) tiebreak makes the
+# running max deterministic; grouping is tie-order-invariant because
+# a tied event always lands inside its predecessor's open interval.
+SESSION_DYNAMIC_GAP_ORACLE = f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      CASE WHEN event_type = 'purchase'
+                           THEN {_GAP_PURCHASE_US}
+                           ELSE {_GAP_DEFAULT_US} END AS gap_us
+               FROM events),
+    m AS (SELECT user_id, event_id, us, gap_us,
+                 MAX(us + gap_us) OVER
+                     (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prior_end
+          FROM e),
+    f AS (SELECT user_id, event_id, us, gap_us,
+                 CASE WHEN prior_end IS NULL OR us >= prior_end
+                      THEN 1 ELSE 0 END AS new_session
+          FROM m),
+    s AS (SELECT user_id, us, gap_us,
+                 SUM(new_session) OVER
+                     (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS seq
+          FROM f)
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us + gap_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, seq
+"""
+
+
+@register("events_session_dynamic_gap", SESSION_DYNAMIC_GAP_ORACLE)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ``F.session_window`` with a DYNAMIC per-event gap
+    (Spark 3.2+): a purchase holds the session open 30 minutes, any
+    other event 10 — the engagement-weighted sessionization static
+    gaps can't express.  Bounds are emitted as epoch micros
+    (``unix_micros``), the host-zone-safe convention the round-11 TZ
+    sweep mandated for timestamp outputs.
+
+    Scale: identical to static session_window — one shuffle on
+    user_id, then Spark's in-partition sort + interval merge
+    (MergingSessions); state per open session is O(1) and the dynamic
+    gap adds only a codegen CASE to the window-assign expression, so
+    the streaming twin (`streaming/` watermark + session window)
+    carries over unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_datetime_breadth — date-function surface in one pass
+# ---------------------------------------------------------------------------
+
+# DuckDB mirrors each function modulo dialect: date_trunc returns
+# TIMESTAMP (cast back to DATE), dayofweek is 0=Sunday..6 (Spark is
+# 1=Sunday..7 — the predicate compares the same two weekend days),
+# date + INTERVAL yields DATE-convertible results with the same
+# end-of-month clamp as Spark's add_months, and datediff('day',...)
+# matches Spark's datediff(end, start).  Date outputs are emitted as
+# 'yyyy-MM-dd' STRINGS — the repo-wide cross-engine convention
+# (DuckDB DATE surfaces as datetime64 through pandas while Spark DATE
+# surfaces as object, so raw dates fail the dtype-group gate) — and
+# the rest are BIGINT: no floats, no rounding, no timezone surface.
+SCALAR_DATETIME_ORACLE = """
+    SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+                    '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(count_if(dayofweek(o_orderdate) IN (0, 6)) AS BIGINT)
+               AS n_weekend,
+           strftime(MAX(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)),
+                    '%Y-%m-%d') AS max_plus3m,
+           CAST(MIN(datediff('day', o_orderdate, DATE '1998-12-31'))
+                AS BIGINT) AS min_days_left
+    FROM orders GROUP BY 1, 2
+"""
+
+
+@register("scalar_datetime_breadth", SCALAR_DATETIME_ORACLE)
+def scalar_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Date-function breadth in one aggregation pass:
+    ``trunc('month')``, ``last_day``, ``dayofweek``, ``add_months``
+    (end-of-month clamped), and ``datediff`` — the calendar toolkit a
+    partition-pruned date-keyed lakehouse layout leans on, exercised
+    over pure DATE arithmetic so there is no timezone or float
+    surface at all.
+
+    Scale: one map-side-combined hash aggregate over ~84 month keys;
+    every expression is whole-stage codegen.  The (month_start,
+    month_end) pair is functionally dependent, so the key stays
+    1-month-sized — this is the pre-aggregation you'd feed a
+    partition-pruning BI layer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.trunc("o_orderdate", "month").alias("month_start_d"),
+            F.last_day("o_orderdate").alias("month_end_d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(
+                F.dayofweek("o_orderdate").isin(1, 7)
+            ).alias("n_weekend"),
+            F.max(F.add_months("o_orderdate", 3)).alias("max_plus3m_d"),
+            F.min(
+                F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+            )
+            .cast("long")
+            .alias("min_days_left"),
+        )
+        .select(
+            F.date_format("month_start_d", "yyyy-MM-dd").alias("month_start"),
+            F.date_format("month_end_d", "yyyy-MM-dd").alias("month_end"),
+            "n_orders",
+            "n_weekend",
+            F.date_format("max_plus3m_d", "yyyy-MM-dd").alias("max_plus3m"),
+            "min_days_left",
+        )
+    )

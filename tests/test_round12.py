@@ -1,0 +1,113 @@
+"""Round-12 additions: oracle parity + plan/semantic pins for the
+q_round12 queries (these register behind the driver window per the
+deferral policy, so the in-repo parity tests ARE their correctness
+gate until the round-13 front).
+"""
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_CORRECT, compare_with_oracle, normalize
+
+from go_mailio_diskusage_handler_spark import registry
+
+
+NEW_QUERIES = [
+    "window_direction_changes",
+    "setop_repeat_buyers_intersect_all",
+    "events_session_dynamic_gap",
+    "scalar_datetime_breadth",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_window_twin_matches_udtf_and_is_python_free(spark):
+    """VERDICT r11 #4: the built-in window twin must return row-for-row
+    what the TABLE-argument UDTF returns, with ZERO Python eval nodes
+    in its plan (the UDTF variant exists to test the UDTF surface; the
+    twin is the 100 TB form)."""
+    twin = registry.QUERIES["window_direction_changes"](spark, SF_CORRECT)
+    plan = twin._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no BatchEvalPython/ArrowEvalPython/UDTF
+    udtf = registry.QUERIES["udtf_table_arg_changes"](spark, SF_CORRECT)
+    cols = sorted(twin.columns)
+    assert cols == sorted(udtf.columns)
+    a = normalize([tuple(r) for r in twin.select(*cols).collect()])
+    b = normalize([tuple(r) for r in udtf.select(*cols).collect()])
+    assert a == b
+
+
+def test_intersect_all_multiplicity_is_min_of_sides(spark):
+    """Per key: n_common == min(early multiplicity, late multiplicity),
+    cross-checked against plain per-side counts."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    res = {
+        r.o_custkey: r.n_common
+        for r in registry.QUERIES["setop_repeat_buyers_intersect_all"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    orders = load_table(spark, SF_CORRECT, "orders")
+    early = {
+        r.o_custkey: r.n
+        for r in orders.filter(F.year("o_orderdate") <= 1995)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    late = {
+        r.o_custkey: r.n
+        for r in orders.filter(F.year("o_orderdate") >= 1996)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expected = {
+        k: min(early[k], late[k]) for k in early.keys() & late.keys()
+    }
+    assert res == expected
+
+
+def test_dynamic_gap_extends_sessions_vs_static(spark):
+    """A purchase holds its session open 30 min vs the 10-min default,
+    so the dynamic-gap sessionization can only MERGE sessions relative
+    to a uniform 10-min gap — never split them: session count per user
+    is <= the static-10-min count, and somewhere strictly <."""
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    dyn = (
+        registry.QUERIES["events_session_dynamic_gap"](spark, SF_CORRECT)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    events = load_table(spark, SF_CORRECT, "events")
+    static = (
+        events.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = {r.user_id: r.n for r in dyn.collect()}
+    s = {r.user_id: r.n for r in static.collect()}
+    assert set(d) == set(s)
+    assert all(d[u] <= s[u] for u in d)
+    assert any(d[u] < s[u] for u in d)
+
+
+def test_datetime_breadth_clamps_end_of_month(spark):
+    """add_months end-of-month clamp: Jan 30/31 + 3 months lands on
+    Apr 30 in BOTH the Spark query and the oracle's interval form —
+    the one dialect corner the query's docstring stakes."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame([("1995-01-31",)], "d string")
+        .select(F.add_months(F.col("d").cast("date"), 3).alias("r"))
+        .collect()[0]
+    )
+    assert str(row.r) == "1995-04-30"
