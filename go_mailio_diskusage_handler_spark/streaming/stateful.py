@@ -294,8 +294,10 @@ USER_TOTALS_SCHEMA = StructType(
 # processor class at module level lets the batch-mode EMULATOR below
 # exercise the exact same class this sandbox cannot run end-to-end.
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
     StatefulProcessor,
     StatefulProcessorHandle,
+    TimerValues,
 )
 
 
@@ -335,47 +337,85 @@ class UserTotalsProcessor(StatefulProcessor):
 class _EmulatedValueState:
     """ValueState twin for the emulator: per-grouping-key cell, bound
     to the handle's current key the same way the real API binds state
-    access inside ``handleInputRows``."""
+    access inside ``handleInputRows``.
 
-    def __init__(self, handle: "_EmulatedHandle") -> None:
+    TTL follows the documented ``ttlDurationMs`` contract: expiry is
+    measured in PROCESSING time from the moment of the last
+    ``update`` (not last read), and an expired value is simply no
+    longer returned — ``exists()`` goes False and ``get()`` None, as
+    if ``clear()`` had run.  With ``ttlDurationMs=None`` state never
+    expires.  Pinned against the real API's semantics by
+    ``tests/test_state_contract.py``."""
+
+    def __init__(self, handle: "_EmulatedHandle", ttl_ms: int | None) -> None:
         self._handle = handle
-        self._cells: dict[Any, Any] = {}
+        self._ttl_ms = ttl_ms
+        self._cells: dict[Any, tuple[Any, int]] = {}  # key -> (value, set_at)
+
+    def _live(self) -> bool:
+        cell = self._cells.get(self._handle._current_key)
+        if cell is None:
+            return False
+        if self._ttl_ms is None:
+            return True
+        return self._handle._now_ms < cell[1] + self._ttl_ms
 
     def exists(self) -> bool:
-        return self._handle._current_key in self._cells
+        return self._live()
 
     def get(self):
-        return self._cells.get(self._handle._current_key)
+        return self._cells[self._handle._current_key][0] if self._live() else None
 
     def update(self, value) -> None:
-        self._cells[self._handle._current_key] = value
+        self._cells[self._handle._current_key] = (value, self._handle._now_ms)
 
     def clear(self) -> None:
         self._cells.pop(self._handle._current_key, None)
 
 
 class _EmulatedHandle:
-    """StatefulProcessorHandle twin exposing the ``getValueState``
-    subset the processors here use.  State persists across
-    micro-batches exactly as the state store would."""
+    """StatefulProcessorHandle twin exposing the ``getValueState`` /
+    timer subset of the real API (same method names and argument
+    meanings — ``registerTimer(expiryTimestampMs)``, ``deleteTimer``,
+    ``listTimers``).  State and timers persist across micro-batches
+    exactly as the checkpointed store would; timers are PER GROUPING
+    KEY, like the real processing-time timers."""
 
     def __init__(self) -> None:
         self._current_key: Any = None
+        self._now_ms: int = 0  # processing-time clock (batch-injected)
         self._states: dict[str, _EmulatedValueState] = {}
+        self._timers: dict[Any, set[int]] = {}  # key -> expiry ms set
 
-    def getValueState(self, name: str, schema, ttl_duration_ms=None):
-        return self._states.setdefault(name, _EmulatedValueState(self))
+    def getValueState(self, name: str, schema, ttlDurationMs=None):
+        return self._states.setdefault(
+            name, _EmulatedValueState(self, ttlDurationMs)
+        )
+
+    def registerTimer(self, expiryTimestampMs: int) -> None:
+        self._timers.setdefault(self._current_key, set()).add(
+            int(expiryTimestampMs)
+        )
+
+    def deleteTimer(self, expiryTimestampMs: int) -> None:
+        self._timers.get(self._current_key, set()).discard(
+            int(expiryTimestampMs)
+        )
+
+    def listTimers(self):
+        return iter(sorted(self._timers.get(self._current_key, set())))
 
 
 def emulate_transform_with_state(
     processor: StatefulProcessor,
     batches: list[pd.DataFrame],
     key_cols: list[str],
+    batch_times_ms: list[int] | None = None,
 ) -> pd.DataFrame:
     """Batch-mode emulation of ``transformWithStateInPandas`` in
-    Update output mode with ``timeMode="None"`` — the state-machine
-    semantics of the real operator, minus the protobuf wire protocol
-    this sandbox lacks (round-9 verdict #4):
+    Update output mode — the state-machine semantics of the real
+    operator, minus the protobuf wire protocol this sandbox lacks
+    (round-9 verdict #4):
 
     * one logical state store across all micro-batches (the emulated
       handle persists between batches, like the checkpointed store);
@@ -384,15 +424,34 @@ def emulate_transform_with_state(
     * every yielded frame appends to the Update-mode output (the
       memory-sink shape: later rows supersede earlier ones per key).
 
-    Deliberately NOT emulated (unused by the processors here, and the
-    test would assert vacuously): timers, TTL, list/map state.  When
-    protobuf is present the real-API test runs instead — same
-    processor class, so the two paths verify the same code.
+    ``batch_times_ms`` injects the per-batch PROCESSING-time clock
+    (``timeMode="ProcessingTime"``), which activates the two
+    time-dependent behaviors of the documented API (round-11 verdict
+    #7 — the contract ``tests/test_state_contract.py`` pins):
+
+    * **state TTL** — a ``getValueState(..., ttlDurationMs=...)``
+      value expires ``ttl`` ms of processing time after its last
+      update, after which ``exists()``/``get()`` behave as cleared;
+    * **timers** — ``handle.registerTimer(ms)`` schedules a per-key
+      processing-time timer; within each micro-batch, AFTER all input
+      rows are processed, every timer with expiry <= the batch's
+      processing time fires ``handleExpiredTimer(key, timerValues,
+      expiredTimerInfo)`` in (expiry, key) order and is removed — the
+      documented end-of-batch expiry pass.
+
+    With ``batch_times_ms=None`` the clock stays at 0 and neither
+    behavior activates (``timeMode="None"``, the prior contract).
+    Still NOT emulated: list/map state (unused by the processors
+    here).  When protobuf is present the real-API test runs instead —
+    same processor class, so the two paths verify the same code.
     """
     handle = _EmulatedHandle()
     processor.init(handle)
     out: list[pd.DataFrame] = []
-    for pdf in batches:
+    times = batch_times_ms or [0] * len(batches)
+    for pdf, now_ms in zip(batches, times):
+        handle._now_ms = now_ms
+        tv = TimerValues(currentProcessingTimeInMs=now_ms)
         # groupby(sort=True) already orders keys by VALUE; a repr()
         # re-sort would put (10,) before (2,) and desync from the real
         # API's per-key ordering guarantees (ADVICE r10).
@@ -400,9 +459,23 @@ def emulate_transform_with_state(
             key_tuple = key if isinstance(key, tuple) else (key,)
             handle._current_key = key_tuple
             for emitted in processor.handleInputRows(
-                key_tuple, iter([group]), None
+                key_tuple, iter([group]), tv
             ):
                 out.append(emitted)
+        if batch_times_ms is not None:
+            expired = sorted(
+                (ts, key)
+                for key, tss in handle._timers.items()
+                for ts in tss
+                if ts <= now_ms
+            )
+            for ts, key in expired:
+                handle._current_key = key
+                handle._timers[key].discard(ts)
+                for emitted in processor.handleExpiredTimer(
+                    key, tv, ExpiredTimerInfo(expiryTimeInMs=ts)
+                ):
+                    out.append(emitted)
     processor.close()
     if not out:
         return pd.DataFrame()

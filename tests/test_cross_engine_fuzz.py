@@ -343,3 +343,82 @@ def test_generated_setop_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- subquery grammar: correlated scalar / EXISTS / IN decorrelation -------
+# VERDICT r11 #5: the registry's decorrelation surface
+# (sql_correlated_above_avg, sql_order_priority) covers only pointwise
+# shapes; this grammar sweeps Catalyst's subquery rewrites — EXISTS /
+# NOT EXISTS → semi/anti join, [NOT] IN → semi/anti (inner key is the
+# non-null l_orderkey, so null-aware anti stays value-equivalent),
+# correlated scalar aggregates → left outer aggregate join — against
+# DuckDB's independent decorrelator.  All comparisons are exact-integer
+# (cent-scaled BIGINT sums, COUNTs), per the round-11 float rule.
+
+
+def _pred_l(rng: random.Random) -> str:
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"l_quantity {rng.choice(['<', '>='])} {rng.randrange(5, 45)}"
+    if kind == 1:
+        return f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'"
+    if kind == 2:
+        return f"l_discount BETWEEN 0.0{rng.randrange(0, 5)} AND 0.0{rng.randrange(5, 10)}"
+    return f"l_suppkey % {rng.randrange(2, 7)} = 0"
+
+
+def gen_subquery_query(seed: int) -> str:
+    rng = random.Random(seed)
+    shape = rng.randrange(4)
+    if shape == 0:
+        # [NOT] EXISTS, correlated on the join key + an inner predicate
+        q = rng.choice(["EXISTS", "NOT EXISTS"])
+        sub = (
+            f"{q} (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+            f" AND {_pred_l(rng)})"
+        )
+    elif shape == 1:
+        # [NOT] IN over the non-null inner key (anti stays value-safe)
+        q = rng.choice(["IN", "NOT IN"])
+        sub = (
+            f"o_orderkey {q} (SELECT l_orderkey FROM lineitem"
+            f" WHERE {_pred_l(rng)})"
+        )
+    elif shape == 2:
+        # correlated scalar SUM in cents vs the order's own total
+        sub = (
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            f" {rng.choice(['>', '<='])}"
+            f" (SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)"
+            f" AS BIGINT)), 0) FROM lineitem"
+            f" WHERE l_orderkey = o_orderkey AND {_pred_l(rng)})"
+        )
+    else:
+        # correlated COUNT threshold
+        sub = (
+            f"(SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey"
+            f" AND {_pred_l(rng)}) {rng.choice(['>=', '='])} {rng.randrange(0, 4)}"
+        )
+    g = rng.choice(["o_orderpriority", "o_orderstatus"])
+    outer = _pred_orders(rng)
+    return (
+        f"SELECT {g} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s "
+        f"FROM orders WHERE {outer} AND {sub} GROUP BY k"
+    )
+
+
+SUBQUERY_SEEDS = list(range(7700, 7750))  # 50 deterministic queries
+
+
+@pytest.mark.parametrize("seed", SUBQUERY_SEEDS)
+def test_generated_subquery_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_subquery_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
