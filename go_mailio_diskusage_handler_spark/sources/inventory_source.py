@@ -101,6 +101,82 @@ class MailioInventoryReader(DataSourceReader):
             )
         self._verify = verify
         self._quarantine_dir = options.get("quarantine_dir", "")
+        # filters accepted by pushFilters (Spark 4.1 Python-source
+        # filter pushdown), as (op, column, value) triples — plain
+        # tuples keep the reader picklable for executor shipping
+        self._pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown (SPARK-48788): accept the
+        comparison/IN/prefix filters on ``key``/``size`` and translate
+        them to pyarrow dataset expressions evaluated INSIDE the
+        parquet read — row-group statistics skip whole groups and the
+        Arrow kernel drops non-matching rows before anything crosses
+        into Spark, which is the 100 TB point: an address-prefix or
+        size-threshold probe over the inventory touches only the row
+        groups whose min/max straddle the predicate (the reference
+        filters AFTER materializing everything, handler.go:235-238).
+
+        Accepted filters are consumed EXACTLY (pyarrow dataset filters
+        are row-accurate, not best-effort), so they are not returned;
+        anything else is yielded back for Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            In: "in",
+            StringStartsWith: "startswith",
+            IsNotNull: "notnull",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if op is None or col not in ("key", "size"):
+                yield f  # not translatable — Spark evaluates it
+                continue
+            self._pushed.append((op, col, getattr(f, "value", None)))
+
+    def _arrow_filter(self):
+        """The AND of the pushed filters as one pyarrow compute
+        expression (None when nothing was pushed)."""
+        import pyarrow.compute as pc
+
+        expr = None
+        for op, col, value in self._pushed:
+            field = pc.field(col)
+            if op == "=":
+                e = field == value
+            elif op == ">":
+                e = field > value
+            elif op == ">=":
+                e = field >= value
+            elif op == "<":
+                e = field < value
+            elif op == "<=":
+                e = field <= value
+            elif op == "in":
+                e = field.isin(list(value))
+            elif op == "startswith":
+                # prefix match as a stats-prunable range: [value,
+                # value+MAX) — the same rewrite parquet readers use
+                e = (field >= value) & (field < value + "￿")
+            else:  # notnull
+                e = field.is_valid()
+            expr = e if expr is None else expr & e
+        return expr
 
     def partitions(self) -> list[_FilePartition]:
         """One input partition per manifest file entry — planned on
@@ -141,7 +217,10 @@ class MailioInventoryReader(DataSourceReader):
                     f"MD5 mismatch for {partition.path}: manifest says "
                     f"{partition.md5}, file hashes to {digest}"
                 )
-        table = pq.read_table(partition.path, columns=["key", "size"])
+        expr = self._arrow_filter()
+        table = pq.read_table(
+            partition.path, columns=["key", "size"], filters=expr
+        )
         yield from table.to_batches()
 
     def _quarantine(self, partition: _FilePartition, actual: str) -> None:

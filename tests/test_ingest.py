@@ -547,3 +547,72 @@ def test_stream_writer_vacuum_removes_unlisted_files(spark, tmp_path):
     assert removed == [orphan.name]
     assert not orphan.exists()
     assert {p.name for p in out.glob("data-*.parquet")} == committed_before
+
+
+def test_python_datasource_filter_pushdown(spark, tmp_path):
+    """Spark 4.1 Python-source filter pushdown (SPARK-48788): the
+    comparison / IN / prefix filters on key/size are consumed by
+    pushFilters, evaluated row-accurately inside the pyarrow read
+    (row-group stats prune, Arrow kernel filters), and the filtered
+    read returns exactly what post-scan filtering would.  Untranslatable
+    filters are handed back to Spark, so arbitrary predicates stay
+    correct."""
+    import json
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        StringStartsWith,
+    )
+
+    from go_mailio_diskusage_handler_spark.sources.inventory_source import (
+        MailioInventoryDataSource,
+        MailioInventoryReader,
+    )
+
+    spark.dataSource.register(MailioInventoryDataSource)
+    rows = [("alice/a.txt", 10), ("alice/b.txt", 25), ("bob/b.txt", 20),
+            ("carol/c.txt", 40)]
+    d = tmp_path / "f0"
+    spark.createDataFrame(rows, "key string, size long").coalesce(1) \
+        .write.parquet(str(d))
+    key = str(next(p for p in d.iterdir()
+                   if p.name.endswith(".parquet")).relative_to(tmp_path))
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(json.dumps({"files": [{"key": key, "size": 0}]}))
+
+    def load():
+        return (spark.read.format("mailio_inventory")
+                .option("manifest", str(mpath)).load())
+
+    # end-to-end through Spark: every predicate class, equal results
+    got = sorted(tuple(r) for r in load()
+                 .filter("size > 15 AND key LIKE 'b%'").collect())
+    assert got == [("bob/b.txt", 20)]
+    got = sorted(tuple(r) for r in load().filter("size = 40").collect())
+    assert got == [("carol/c.txt", 40)]
+    got = sorted(tuple(r) for r in load()
+                 .filter("key IN ('alice/a.txt', 'bob/b.txt')").collect())
+    assert got == [("alice/a.txt", 10), ("bob/b.txt", 20)]
+
+    # unit contract: translatable filters are CONSUMED (not returned),
+    # untranslatable ones come back by reference
+    reader = MailioInventoryReader({"manifest": str(mpath)})
+    f_push = GreaterThan(("size",), 15)
+    f_keep = EqualTo(("nonexistent",), 1)
+    leftover = list(reader.pushFilters([f_push, f_keep]))
+    assert leftover == [f_keep]
+    assert reader._pushed == [(">", "size", 15)]
+    # and the pushed expression filters the actual Arrow read
+    part = reader.partitions()[0]
+    out = [t for b in reader.read(part) for t in
+           zip(b.column("key").to_pylist(), b.column("size").to_pylist())]
+    assert sorted(out) == [("alice/b.txt", 25), ("bob/b.txt", 20),
+                           ("carol/c.txt", 40)]
+    # prefix pushdown translates to the stats-prunable range form
+    reader2 = MailioInventoryReader({"manifest": str(mpath)})
+    assert list(reader2.pushFilters([StringStartsWith(("key",), "alice/")])) == []
+    part2 = reader2.partitions()[0]
+    out2 = [k for b in reader2.read(part2)
+            for k in b.column("key").to_pylist()]
+    assert sorted(out2) == ["alice/a.txt", "alice/b.txt"]
