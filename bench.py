@@ -109,6 +109,19 @@ rotation moved to the registry FRONT (events_bitmap_users 0.22->0.59 s
 etc.) — the round-8-documented warmup-position tax, now baked into the
 pin at the same positions the driver will run them.
 
+Round-12 reference: 254 queries, 207.3 s idle pin — now with a
+DISCARDED per-query warm-up pass before the median-of-3 repeats
+(round-11 verdict #6): per-run totals 210.3/213.2/203.5 s (flat — the
+cold ramp that contaminated the r11 spread block is gone) and
+median_rel_spread 0.102, under the 0.15 target.  The first four
+round-12 additions cost ~3 s combined; the heaviest queries are
+unchanged (graph_pagerank_brands 7.8 s, curation_corpus 6.2 s).  The
+pin predates the last two additions (text_url_canonicalize,
+scalar_null_guards — both sub-second at sf0.01), which enter the pin
+at the next idle refresh.  The 100x replicated-scale exponents for
+the five slowest live in SCALE.md (round-12 section): 0.67-1.11, all
+near-linear.
+
 Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
 refresh only from an IDLE run — check nothing else is running (no
 concurrent pytest/verify; `uptime` load well under core count) and,

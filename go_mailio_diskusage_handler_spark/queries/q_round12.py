@@ -249,3 +249,154 @@ def scalar_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_days_left",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_url_canonicalize — URL parsing + canonical dedup counts
+# ---------------------------------------------------------------------------
+
+# Per-doc URLs are SYNTHESIZED from typed columns (source/lang/doc_id)
+# so the DuckDB oracle can verify the whole parse+canonicalize pipeline
+# from raw values: host extraction mirrors parse_url(HOST) via regexp,
+# the tracking-parameter strip mirrors the regexp_replace, and every
+# output is a deterministic string/BIGINT.  doc_id % 5 routes a fifth
+# of the docs to an uppercase host spelling and doc_id % 3 appends a
+# fragment, so the lowercase-host and fragment-drop rules are actually
+# load-bearing in the compare.
+URL_CANONICALIZE_ORACLE = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'https://WWW.' || upper(source) || '.example.com'
+                    ELSE 'https://www.' || source || '.example.com' END
+               || '/' || lang || '/doc/' || doc_id
+               || '?utm_source=feed&id=' || (doc_id % 7)
+               || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents),
+    parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+               regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM u),
+    canon AS (
+        SELECT doc_id, host,
+               host || path ||
+               CASE WHEN trim(regexp_replace(query,
+                         '(^|&)utm_[^&]*', '', 'g'), '&') = ''
+                    THEN ''
+                    ELSE '?' || trim(regexp_replace(query,
+                         '(^|&)utm_[^&]*', '', 'g'), '&') END AS canonical
+        FROM parsed)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           MIN(canonical) AS sample_url
+    FROM canon GROUP BY host
+"""
+
+
+@register("text_url_canonicalize", URL_CANONICALIZE_ORACLE)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] URL canonicalization — the CommonCrawl-pipeline dedup
+    key: ``parse_url`` host/path/query extraction, lowercased host,
+    fragment dropped (parse_url never returns it), ``utm_*`` tracking
+    parameters stripped by one regexp pass — then per-host exact-dup
+    accounting on the canonical form.  This is the normalization tier
+    that runs BEFORE content dedup in a web-scale corpus: two fetches
+    of one page differing only in tracking params must collapse.
+
+    Scale: parse_url and the regexp are whole-stage-codegen
+    expressions; one hash aggregate on host (bounded by the source
+    domain), with the distinct-canonical count inside the same
+    shuffle.  No Python, no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://WWW."), F.upper("source"),
+                     F.lit(".example.com")),
+        ).otherwise(
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com"))
+        ),
+        F.lit("/"), F.col("lang"), F.lit("/doc/"), F.col("doc_id"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id") % 7,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    cleaned = F.expr("trim(BOTH '&' FROM regexp_replace(query, '(^|&)utm_[^&]*', ''))")
+    canon = parsed.select(
+        "host",
+        F.concat(
+            F.col("host"), F.col("path"),
+            F.when(cleaned == "", F.lit("")).otherwise(F.concat(F.lit("?"), cleaned)),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("canonical")).alias("n_canonical"),
+        F.min("canonical").alias("sample_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_null_guards — null-handling function breadth, integer-exact
+# ---------------------------------------------------------------------------
+
+# DuckDB mirrors each guard with its ISO equivalent (COALESCE / NULLIF
+# / CASE); every value is integer arithmetic so the compare is exact.
+NULL_GUARDS_ORACLE = """
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_cents,
+               l_linenumber
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count_if(NULLIF(disc_cents, 0) IS NULL) AS BIGINT)
+               AS n_zero_disc,
+           CAST(SUM(COALESCE(NULLIF(l_linenumber, 3), 0)) AS BIGINT)
+               AS s_zeroifnull,
+           CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(count_if((CASE WHEN disc_cents = 0 THEN NULL
+                               ELSE l_linenumber / disc_cents END) IS NULL)
+                AS BIGINT) AS n_div_null
+    FROM t GROUP BY l_returnflag
+"""
+
+
+@register("scalar_null_guards", NULL_GUARDS_ORACLE)
+def scalar_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Null-guard function breadth in one aggregate:
+    ``nullifzero`` / ``zeroifnull`` (SQL:2023, Spark 4.0), ``nvl2``,
+    and ``try_divide`` (ANSI-safe division that yields NULL on zero
+    instead of erroring) — the idioms a pipeline uses to keep
+    ANSI-mode jobs from dying on degenerate denominators.  All paths
+    are integer arithmetic, so the oracle compare is exact.
+
+    Scale: one map-side-combined hash aggregate over the 3-value flag
+    key; every guard is a codegen expression."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_discount") * 100).cast("long")
+    t = lineitem.select(
+        "l_returnflag", cents.alias("disc_cents"), "l_linenumber"
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count_if(F.nullifzero("disc_cents").isNull()).alias("n_zero_disc"),
+        F.sum(
+            F.zeroifnull(F.nullif(F.col("l_linenumber"), F.lit(3)))
+        ).alias("s_zeroifnull"),
+        F.sum(
+            F.nvl2(F.nullif(F.col("l_returnflag"), F.lit("N")),
+                   F.lit(1), F.lit(0))
+        ).cast("long").alias("n_flagged"),
+        F.count_if(
+            F.try_divide(F.col("l_linenumber"), F.col("disc_cents")).isNull()
+        ).alias("n_div_null"),
+    )

@@ -111,3 +111,32 @@ def test_datetime_breadth_clamps_end_of_month(spark):
         .collect()[0]
     )
     assert str(row.r) == "1995-04-30"
+
+
+NEW_QUERIES_B = ["text_url_canonicalize", "scalar_null_guards"]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES_B)
+def test_oracle_parity_batch_b(spark, ddb, name):
+    compare_with_oracle(spark, ddb, name, registry.QUERIES, registry.ORACLE_SQL)
+
+
+def test_url_canonicalize_collapses_tracking_params(spark):
+    """Two URLs differing only in utm_* params and fragment must share
+    a canonical form: n_canonical < n_docs on every host (each host
+    carries doc_id%7 id values over many docs), the canonical form
+    never contains utm_ or '#', and the host is lowercase."""
+    df = registry.QUERIES["text_url_canonicalize"](spark, SF_CORRECT)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.host == r.host.lower()
+        assert "utm_" not in r.sample_url and "#" not in r.sample_url
+        assert r.n_canonical <= r.n_docs
+
+
+def test_null_guards_are_python_free(spark):
+    plan = registry.QUERIES["scalar_null_guards"](
+        spark, SF_CORRECT
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
