@@ -752,3 +752,37 @@ def psi_over_binned_sink(sink_df: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n"))).alias("n_cur"),
     )
     return psi_from_bin_counts(counts)
+
+
+def dynamic_session_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Dynamic-gap session windows as an always-on stream — the
+    streaming twin of the batch query ``events_session_dynamic_gap``
+    (queries/q_round12.py): a purchase holds its session open 30
+    minutes, any other event 10, via ``F.session_window`` with a
+    per-event gap expression.
+
+    Stream semantics: the watermark bounds session state — a session
+    closes (and emits, in Append mode) once the watermark passes its
+    end, so state stays O(open sessions) at unbounded input.  The gap
+    CASE is a codegen expression inside the window-assign, identical
+    to the batch plan; stream≡batch is asserted in
+    ``tests/test_streaming.py`` (same fixture, same output rows).
+
+    Bounds are emitted as epoch micros (``unix_micros``), the
+    host-zone-safe convention the round-11 TZ sweep mandated."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -887,3 +887,22 @@ def test_streaming_ann_index_equals_batch_assignments(spark, tmp_path):
     }
     assert got == want
     assert len({l for _, l in want}) > 1  # a real multi-list index
+
+
+def test_dynamic_gap_session_stream_matches_batch(spark, events_stream_dir):
+    """The dynamic-gap session stream (F.session_window with a
+    per-event gap CASE, round 12) must reproduce the batch query
+    events_session_dynamic_gap row-for-row on the same fixture —
+    stream≡batch for the engagement-weighted sessionization.  Complete
+    mode so sessions still open at end-of-input emit too (the batch
+    twin has no watermark cut)."""
+    from go_mailio_diskusage_handler_spark import registry
+
+    stream = windows.read_event_stream(spark, events_stream_dir)
+    result = windows.run_to_memory(
+        windows.dynamic_session_counts(stream), output_mode="complete"
+    )
+    batch = registry.QUERIES["events_session_dynamic_gap"](spark, SF_SMOKE)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
