@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..sql import register_views
 from ._base import register
 from .q_round8 import DIRECTION_CHANGES_SQL
 
@@ -400,3 +401,91 @@ def scalar_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("l_linenumber"), F.col("disc_cents")).isNull()
         ).alias("n_div_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_linreg_normal_eq — closed-form least squares via moment sums
+# ---------------------------------------------------------------------------
+
+# ONE SQL text runs on BOTH engines (Spark over registered views,
+# DuckDB over the oracle views), so the floating-point expression DAG
+# is identical by construction.  Determinism layer by layer:
+#   * every moment is a SUM of EXACT integers in DECIMAL(38,0) —
+#     associativity-free, so shuffle/partition order cannot move a
+#     bit (the y·y sum reaches ~2e18 and would overflow BIGINT at
+#     sf0.1, hence decimal);
+#   * the casts to DOUBLE are correctly rounded conversions of exact
+#     decimal values;
+#   * the Cramer solve / R² algebra below them is a fixed tree of
+#     IEEE-correctly-rounded * / - ops on those doubles — identical
+#     inputs + identical tree = identical bits in both engines (the
+#     same argument as text_hash_classifier's algebraic sigmoid).
+STAT_LINREG_SQL = """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(l_linenumber AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sx11,
+             CAST(SUM(CAST(l_quantity * l_linenumber AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sx12,
+             CAST(SUM(CAST(l_linenumber * l_linenumber AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sx22,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * ROUND(l_extendedprice * 100)
+                  AS DECIMAL(38,0))) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(l_linenumber * ROUND(l_extendedprice * 100)
+                  AS DECIMAL(38,0))) AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                  * ROUND(l_extendedprice * 100) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy
+      FROM lineitem),
+    solved AS (
+      SELECT n, sy, sx1y, sx2y, syy,
+             (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS det,
+             (sy * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det0,
+             (n * (sx1y * sx22 - sx12 * sx2y)
+              - sy * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1,
+             (n * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx12 - sx11 * sx2)) AS det2
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           (det0 / det) AS b0,
+           (det1 / det) AS b1,
+           (det2 / det) AS b2,
+           ((syy - ((det0 / det) * sy + (det1 / det) * sx1y
+                    + (det2 / det) * sx2y))
+            / (syy - (sy * sy) / n)) AS frac_unexplained
+    FROM solved
+"""
+
+
+@register("stat_linreg_normal_eq", STAT_LINREG_SQL)
+def stat_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Closed-form multiple linear regression (cents revenue on
+    quantity + line number, with intercept) by the NORMAL EQUATIONS:
+    one distributed pass accumulates the O(d²) moment matrix as exact
+    decimal integer sums, and a 3×3 Cramer solve — plain expressions
+    over the 1-row aggregate — yields coefficients plus the
+    unexplained-variance fraction (1 − R²).  This is the one-pass,
+    no-iteration regression shape a feature pipeline runs at 100 TB:
+    map-side-combined partials, a d(d+1)/2-wide reduce, zero joins,
+    zero driver math — and the result is BIT-reproducible across
+    engines and partitionings because the sums are exact decimals and
+    the solve is one fixed IEEE expression tree (same SQL text runs on
+    both engines).
+
+    Scale: the moment pass is a single hash-free global aggregate
+    (partial → final); d grows the reduce width quadratically but
+    never adds a pass — at d where d² outgrows a row, switch to the
+    mapInPandas moment partials `sim_pca_project` uses
+    (similarity.py:1515), the same arithmetic at matrix shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(STAT_LINREG_SQL)

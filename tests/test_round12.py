@@ -140,3 +140,35 @@ def test_null_guards_are_python_free(spark):
         spark, SF_CORRECT
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_linreg_parity(spark, ddb):
+    compare_with_oracle(
+        spark, ddb, "stat_linreg_normal_eq", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    """The Cramer solve must agree with numpy's least-squares on the
+    same design matrix (semantic check, not just cross-engine
+    parity), and 0 <= 1-R^2 <= 1."""
+    import numpy as np
+
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    row = registry.QUERIES["stat_linreg_normal_eq"](
+        spark, SF_CORRECT
+    ).collect()[0]
+    pdf = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_quantity", "l_linenumber", "l_extendedprice"
+    ).toPandas()
+    X = np.column_stack([
+        np.ones(len(pdf)), pdf["l_quantity"], pdf["l_linenumber"]
+    ])
+    y = np.round(pdf["l_extendedprice"] * 100)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row.b0 - beta[0]) < 1e-4 * max(1, abs(beta[0]))
+    assert abs(row.b1 - beta[1]) < 1e-4 * max(1, abs(beta[1]))
+    assert abs(row.b2 - beta[2]) < 1e-4 * max(1, abs(beta[2]))
+    assert 0.0 <= row.frac_unexplained <= 1.0
