@@ -489,3 +489,80 @@ def stat_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.py:1515), the same arithmetic at matrix shape."""
     register_views(spark, sf_dir)
     return spark.sql(STAT_LINREG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dq_embeddings_constraints — declarative vector-quality suite
+# ---------------------------------------------------------------------------
+
+# The norm legs are bit-identical across engines by the identical-tree
+# argument: both fold the squared float32 elements (cast to double,
+# then squared — each op correctly rounded) LEFT-TO-RIGHT in array
+# order (Spark F.aggregate with 0.0 init; DuckDB list_reduce whose
+# first-element init equals 0.0+x1² exactly), then one sqrt.  All
+# other outputs are exact counts.
+DQ_EMBEDDINGS_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(count_if(embedding IS NULL) AS BIGINT) AS n_null_vec,
+           CAST(count_if(embedding IS NOT NULL AND len(embedding) <> 64)
+                AS BIGINT) AS n_bad_dim,
+           CAST(count_if(embedding IS NOT NULL AND len(list_filter(
+                embedding, x -> isnan(x) OR isinf(x))) > 0) AS BIGINT)
+               AS n_nonfinite,
+           CAST(count_if(embedding IS NOT NULL AND len(list_filter(
+                embedding, x -> x <> 0)) = 0) AS BIGINT) AS n_zero_vec,
+           CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) AS n_dup_ids,
+           CAST(count_if(label IS NULL OR label < 0 OR label > 9)
+                AS BIGINT) AS n_bad_label,
+           MIN(sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b))) AS min_norm,
+           MAX(sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b))) AS max_norm
+    FROM embeddings
+"""
+
+
+@register("dq_embeddings_constraints", DQ_EMBEDDINGS_ORACLE)
+def dq_embeddings_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deequ-style constraint suite for the VECTOR table — the
+    ingest gate an embedding corpus needs before any ANN index build:
+    null/dimension/non-finite/zero-vector checks, id uniqueness,
+    label domain, and the L2-norm envelope (a drifted norm range is
+    the classic sign of a mixed-encoder corpus), all in ONE
+    aggregation pass.  Composes with the du-family quality gate
+    posture: `streaming/refresh.py`'s swap gate consumes exactly this
+    report shape.
+
+    Scale: one scan, one partial→final aggregate, no shuffle keyed by
+    data; the per-row norm fold is a codegen higher-order function
+    over the fixed 64-wide array — no Python, no explode (the
+    array never becomes 64 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq_sum)
+    nonfinite = F.exists(
+        vec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(vec.isNull()).alias("n_null_vec"),
+        F.count_if(vec.isNotNull() & (F.size(vec) != 64)).alias("n_bad_dim"),
+        F.count_if(vec.isNotNull() & nonfinite).alias("n_nonfinite"),
+        F.count_if(
+            vec.isNotNull() & (F.size(F.filter(vec, lambda x: x != 0)) == 0)
+        ).alias("n_zero_vec"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("vec_id")))
+        .alias("n_dup_ids"),
+        F.count_if(
+            F.col("label").isNull()
+            | (F.col("label") < 0) | (F.col("label") > 9)
+        ).alias("n_bad_label"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )

