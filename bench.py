@@ -109,18 +109,25 @@ rotation moved to the registry FRONT (events_bitmap_users 0.22->0.59 s
 etc.) — the round-8-documented warmup-position tax, now baked into the
 pin at the same positions the driver will run them.
 
-Round-12 reference: 254 queries, 207.3 s idle pin — now with a
+Round-12 reference: 258 queries, 256.1 s idle pin — now with a
 DISCARDED per-query warm-up pass before the median-of-3 repeats
-(round-11 verdict #6): per-run totals 210.3/213.2/203.5 s (flat — the
-cold ramp that contaminated the r11 spread block is gone) and
-median_rel_spread 0.102, under the 0.15 target.  The first four
-round-12 additions cost ~3 s combined; the heaviest queries are
-unchanged (graph_pagerank_brands 7.8 s, curation_corpus 6.2 s).  The
-pin predates the last two additions (text_url_canonicalize,
-scalar_null_guards — both sub-second at sf0.01), which enter the pin
-at the next idle refresh.  The 100x replicated-scale exponents for
-the five slowest live in SCALE.md (round-12 section): 0.67-1.11, all
-near-linear.
+(round-11 verdict #6), so per-run totals read flat
+(259.6/261.0/254.7 s; the cold ramp that contaminated the r11 spread
+block is gone).  A midday pin of the same code measured the first
+254 queries at 207.3 s with per-run totals 210.3/213.2/203.5 and
+median_rel_spread 0.102 — the committed evening re-pin (which adds
+the last four additions) sits ~1.23x above it in aggregate, the same
+host-level per-day-per-hour idle band the round-10 notes document.
+Within-run spread stayed tight (max_rel_spread 1.05), and the
+cross-pin movers above 1.8x are all sub-1.4 s queries
+(profile_orders 0.37→0.95 s, dq_orders_constraints 0.50→1.34 s, …)
+— the scheduling-latency noise class the round-7 notes pin on small
+stages, with every multi-second heavy inside 1.5x of its midday
+value except sim_kmeans_stats (2.45→4.12 s, 1.68x, the same band).  The eight round-12 additions are all
+sub-second (~2.5 s combined); the heaviest queries are unchanged
+(graph_pagerank_brands, curation_corpus).  The 100x replicated-scale
+exponents for the five slowest live in SCALE.md (round-12 section):
+0.67-1.11, all near-linear.
 
 Baseline-refresh policy (round-7 verdict): COMMIT a BASELINE_QUERIES
 refresh only from an IDLE run — check nothing else is running (no

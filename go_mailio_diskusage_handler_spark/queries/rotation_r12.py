@@ -41,13 +41,23 @@ from .rotation_r45 import _rotate_front
 # After round 12 the histogram (excluding round-12 tail additions)
 # becomes 5 r7 / 47 r8 / 48 r9 / 50 r10 / 50 r11 / 50 r12 — oldest
 # anywhere r7, keeping the "no query's latest row older than
-# latest_round-4" freshness floor exactly (the 5 remaining r7 rows
-# must lead the round-13 front).  The round-13 front (derive with
-# through_round=12, changed = any round-12 out-of-window oracle
-# edits acknowledged in tests/test_rotation.py plus round-13 edits,
-# deferred = round-13 additions) is the round-12 tail additions
-# (never driver-checked) first after any changed queries, then those
-# 5 r7 rows, then the r8 backlog.
+# latest_round-5" sustainable freshness floor (the 5 remaining r7
+# rows must lead the round-13 front; the floor arithmetic is pinned
+# in tests/test_rotation.py::test_no_query_left_behind).  The
+# round-13 front (derive with through_round=12, changed = any
+# round-12 out-of-window oracle edits acknowledged in
+# tests/test_rotation.py plus round-13 edits, deferred = round-13
+# additions) is: any changed queries first, then the 8 round-12 tail
+# additions (never driver-checked — window_direction_changes,
+# setop_repeat_buyers_intersect_all, events_session_dynamic_gap,
+# scalar_datetime_breadth, text_url_canonicalize,
+# scalar_null_guards, stat_linreg_normal_eq,
+# dq_embeddings_constraints), then those 5 r7 rows, then the oldest
+# r8 backlog.  All 8 additions were oracle-verified in-repo at
+# sf0.001/0.01/0.1 on landing (the first six also under the TZ,
+# shuffle-partitions=7, codegen-off, AQE-off, and Arrow-less axes
+# via the full-registry sweeps in .r12/) — the driver row is the
+# remaining hard signal.
 # ---------------------------------------------------------------------------
 _R12_CHANGED = [
     "events_bounce_rate",
