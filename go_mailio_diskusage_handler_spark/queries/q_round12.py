@@ -1,6 +1,9 @@
-"""Round-12 additions: the scale-correct windowed twin of the
+"""Round-12 additions (8): the scale-correct windowed twin of the
 table-argument UDTF (VERDICT r11 #4), multiset INTERSECT ALL,
-dynamic-gap session windows, and date-function breadth.
+dynamic-gap session windows, date-function breadth, URL
+canonicalization (the CommonCrawl-pipeline dedup key), null-guard
+function breadth, closed-form least squares by distributed normal
+equations, and the embeddings-table constraint suite.
 
 These register AFTER rotation_r12 — registry tail, behind the driver
 window, per the new-query deferral policy; in-repo oracle parity via
