@@ -150,6 +150,58 @@ from go_mailio_diskusage_handler_spark import registry  # noqa: E402
 from go_mailio_diskusage_handler_spark.session import build_session  # noqa: E402
 
 
+# A failing query must read as a REGRESSION, not a speedup: it is
+# charged a sentinel penalty far above any real query time, so the
+# headline total grows when something breaks, while the run itself
+# stays failure-isolated (one bad query can't abort the recording,
+# as the round-3 events_sessionize crash did).
+ERROR_PENALTY_SEC = 60.0
+
+
+def time_query(spark, name, fn, sf_dir, repeats, warmup, errors):
+    """Time one registry query: optional untimed warm-up pass, then
+    ``repeats`` timed executions; returns the per-run seconds list and
+    records any failure message into ``errors``.  Module-level (not
+    inlined in main) so the failure-isolation contract is unit-testable.
+    """
+    runs: list[float] = []
+    # Explicit failure flag (round-12 ADVICE): comparing the last
+    # rounded elapsed against ERROR_PENALTY_SEC would misread a
+    # legitimate run that happens to round to exactly 60.000 s as
+    # a failure and silently skip its remaining repeats.
+    failed = False
+    if warmup:
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # fails in warm-up → fails timed too
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            runs.append(ERROR_PENALTY_SEC)
+            failed = True
+        finally:
+            spark.catalog.clearCache()
+    for _ in range(repeats):
+        if failed:
+            break  # already failed (warm-up or a prior repeat)
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # one bad query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            runs.append(ERROR_PENALTY_SEC)
+            failed = True
+            break  # a failing query fails every repeat; don't pay 3x
+        finally:
+            # Queries that persist intermediates (near-dup, ANN) would
+            # otherwise accumulate executor storage across the run and
+            # pressure later queries; each query is timed self-contained,
+            # including its own materialization.
+            spark.catalog.clearCache()
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -195,12 +247,6 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
-    # A failing query must read as a REGRESSION, not a speedup: it is
-    # charged a sentinel penalty far above any real query time, so the
-    # headline total grows when something breaks, while the run itself
-    # stays failure-isolated (one bad query can't abort the recording,
-    # as the round-3 events_sessionize crash did).
-    ERROR_PENALTY_SEC = 60.0
     # Median-of-N per query (round-10 verdict #3): one loaded driver
     # run was costing a whole round of perf signal — the r10 record
     # showed a UNIFORM 1.17x inflation with zero real movers.  The
@@ -225,34 +271,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     per_query_runs: dict[str, list[float]] = {}
     for name, fn in registry.QUERIES.items():
-        runs: list[float] = []
-        if WARMUP:
-            try:
-                fn(spark, sf_dir).count()
-            except Exception as exc:  # fails in warm-up → fails timed too
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                runs.append(ERROR_PENALTY_SEC)
-            finally:
-                spark.catalog.clearCache()
-        for _ in range(REPEATS):
-            if runs and runs[-1] == ERROR_PENALTY_SEC:
-                break  # already failed (warm-up or a prior repeat)
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                n = df.count()
-                assert n >= 0
-                runs.append(round(time.perf_counter() - t0, 3))
-            except Exception as exc:  # one bad query must not kill the run
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                runs.append(ERROR_PENALTY_SEC)
-                break  # a failing query fails every repeat; don't pay 3x
-            finally:
-                # Queries that persist intermediates (near-dup, ANN) would
-                # otherwise accumulate executor storage across the run and
-                # pressure later queries; each query is timed self-contained,
-                # including its own materialization.
-                spark.catalog.clearCache()
+        runs = time_query(spark, name, fn, sf_dir, REPEATS, WARMUP, errors)
         per_query_runs[name] = runs
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 

@@ -503,7 +503,10 @@ def stat_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then squared — each op correctly rounded) LEFT-TO-RIGHT in array
 # order (Spark F.aggregate with 0.0 init; DuckDB list_reduce whose
 # first-element init equals 0.0+x1² exactly), then one sqrt.  All
-# other outputs are exact counts.
+# other outputs are exact counts.  Empty (length-0, non-NULL) lists
+# are guarded with CASE → 0.0 (round-12 ADVICE): DuckDB's list_reduce
+# RAISES on an empty list where Spark's F.aggregate returns the 0.0
+# init (whose sqrt is 0.0), so both engines now degrade identically.
 DQ_EMBEDDINGS_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(count_if(embedding IS NULL) AS BIGINT) AS n_null_vec,
@@ -517,12 +520,14 @@ DQ_EMBEDDINGS_ORACLE = """
            CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) AS n_dup_ids,
            CAST(count_if(label IS NULL OR label < 0 OR label > 9)
                 AS BIGINT) AS n_bad_label,
-           MIN(sqrt(list_reduce(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-               (a, b) -> a + b))) AS min_norm,
-           MAX(sqrt(list_reduce(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-               (a, b) -> a + b))) AS max_norm
+           MIN(CASE WHEN len(embedding) = 0 THEN 0.0
+               ELSE sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b)) END) AS min_norm,
+           MAX(CASE WHEN len(embedding) = 0 THEN 0.0
+               ELSE sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b)) END) AS max_norm
     FROM embeddings
 """
 

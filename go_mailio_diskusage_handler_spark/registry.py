@@ -110,3 +110,10 @@ from .queries import rotation_r12  # noqa: E402,F401
 # Round-12 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round12  # noqa: E402,F401
+
+# Round-13 window rotation (applied on import, last): the 1 round-13
+# ADVICE oracle edit first, then the 7 remaining never-driver-checked
+# round-12 tail additions, then the 4 r7-stale rows, then the 38
+# oldest r8-stale rows.  Derivation-checked by tests/test_rotation.py
+# against queries/freshness.py.
+from .queries import rotation_r13  # noqa: E402,F401

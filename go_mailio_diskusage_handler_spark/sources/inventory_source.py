@@ -170,9 +170,14 @@ class MailioInventoryReader(DataSourceReader):
             elif op == "in":
                 e = field.isin(list(value))
             elif op == "startswith":
-                # prefix match as a stats-prunable range: [value,
-                # value+MAX) — the same rewrite parquet readers use
-                e = (field >= value) & (field < value + "￿")
+                # EXACT prefix match (round-12 ADVICE): the old
+                # [value, value+'￿') range rewrite silently
+                # dropped keys whose first code point after the prefix
+                # is supplementary-plane (> U+FFFF, e.g. emoji) — those
+                # sort above '￿'.  pc.starts_with is row-accurate;
+                # the AND-ed >= leg is implied by the prefix and gives
+                # row-group min/max statistics something to prune on.
+                e = pc.starts_with(field, value) & (field >= value)
             else:  # notnull
                 e = field.is_valid()
             expr = e if expr is None else expr & e

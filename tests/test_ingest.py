@@ -609,7 +609,7 @@ def test_python_datasource_filter_pushdown(spark, tmp_path):
            zip(b.column("key").to_pylist(), b.column("size").to_pylist())]
     assert sorted(out) == [("alice/b.txt", 25), ("bob/b.txt", 20),
                            ("carol/c.txt", 40)]
-    # prefix pushdown translates to the stats-prunable range form
+    # prefix pushdown is exact (pc.starts_with + a stats-prunable >= leg)
     reader2 = MailioInventoryReader({"manifest": str(mpath)})
     assert list(reader2.pushFilters([StringStartsWith(("key",), "alice/")])) == []
     part2 = reader2.partitions()[0]

