@@ -117,3 +117,7 @@ from .queries import q_round12  # noqa: E402,F401
 # oldest r8-stale rows.  Derivation-checked by tests/test_rotation.py
 # against queries/freshness.py.
 from .queries import rotation_r13  # noqa: E402,F401
+
+# Round-13 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round13  # noqa: E402,F401

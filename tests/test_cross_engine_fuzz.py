@@ -422,3 +422,88 @@ def test_generated_subquery_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- frame grammar: RANGE vs ROWS boundary arithmetic + QUALIFY-style ------
+# round-12 verdict #6: the registry's window queries are hand-written
+# and the window grammar above covers functions but not frame-boundary
+# arithmetic.  This grammar sweeps the corners that differ most across
+# dialects: RANGE frames with numeric offsets (peer-inclusive, so
+# deterministic even under order-key ties), RANGE over a NULLABLE key
+# under every explicit NULLS FIRST/LAST × ASC/DESC combination (the
+# null peer group's frame membership is the classic cross-engine
+# divergence; Spark's default null ordering is NULLS FIRST for ASC
+# while DuckDB's is NULLS LAST, so the grammar ALWAYS emits the
+# ordering explicitly), ROWS frames over a total order threaded
+# through the nullable key, and a QUALIFY-style rank cut (emitted as
+# the shared-dialect subquery-filter form — Spark has no QUALIFY
+# keyword) so every query also exercises ranked-row filtering.
+# Aggregates stay in exact BIGINT cents per the round-11 rule.
+
+
+def gen_frame_query(seed: int) -> str:
+    rng = random.Random(seed)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_orderkey % 5"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    dirn = rng.choice(["ASC", "DESC"])
+    k = rng.randrange(1, 4)
+    lo, hi = rng.randrange(0, 500), rng.randrange(0, 500)
+    # total order: the nullable key under its explicit direction +
+    # null placement, then enough unique columns that ROW_NUMBER and
+    # every ROWS frame below are deterministic in both engines
+    total = (
+        f"nk {dirn} {nulls}, l_orderkey, l_linenumber, l_partkey,"
+        f" l_suppkey, cents"
+    )
+    fn = rng.choice(
+        [
+            # RANGE offset arithmetic over the non-null BIGINT measure
+            f"CAST(SUM(cents) OVER (PARTITION BY {part} ORDER BY cents"
+            f" RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS BIGINT)",
+            f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY cents {dirn}"
+            f" RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW) AS BIGINT)",
+            # RANGE + nullable key: UNBOUNDED..CURRENT includes the
+            # whole null peer group for null rows in both engines
+            f"CAST(SUM(cents) OVER (PARTITION BY {part} ORDER BY nk {dirn}"
+            f" {nulls} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" AS BIGINT)",
+            # RANGE offsets + nullable key: null rows' frame is exactly
+            # the null peer group under every NULLS placement (probed
+            # green on all four dirn×nulls combos before landing)
+            f"CAST(SUM(cents) OVER (PARTITION BY {part} ORDER BY nk {dirn}"
+            f" {nulls} RANGE BETWEEN {rng.randrange(1, 4)} PRECEDING AND"
+            f" {rng.randrange(0, 3)} FOLLOWING) AS BIGINT)",
+            # ROWS frame over the nullable-key total order
+            f"CAST(MAX(cents) OVER (PARTITION BY {part} ORDER BY {total}"
+            f" ROWS BETWEEN {rng.randrange(1, 6)} PRECEDING AND"
+            f" {rng.randrange(0, 4)} FOLLOWING) AS BIGINT)",
+        ]
+    )
+    where = _predicate(rng, 1)
+    return (
+        "WITH t AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey,"
+        " l_suppkey, l_returnflag, l_linestatus,"
+        " CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " NULLIF(l_suppkey % 7, 3) AS nk"
+        f" FROM lineitem WHERE {where})"
+        f" SELECT l_orderkey, l_linenumber, w FROM ("
+        f"SELECT l_orderkey, l_linenumber, {fn} AS w,"
+        f" ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total}) AS rk"
+        f" FROM t) q WHERE rk <= {k}"
+    )
+
+
+FRAME_SEEDS = list(range(9000, 9050))  # 50 deterministic frame queries
+
+
+@pytest.mark.parametrize("seed", FRAME_SEEDS)
+def test_generated_frame_query_matches_duckdb(spark, ddb, seed):
+    from go_mailio_diskusage_handler_spark.sql import register_views
+    from conftest import SF_CORRECT
+
+    register_views(spark, SF_CORRECT)
+    sql = gen_frame_query(seed)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert len(srows) == len(orows), sql
+    assert normalize(srows) == normalize(orows), sql
