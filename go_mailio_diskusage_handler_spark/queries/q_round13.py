@@ -73,6 +73,8 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin IS the shuffle key, or salt the bin with ts-hour.  The
     oracle runs the naive theta join (DuckDB IEJoin), so the compare
     proves the rewrite's exactness, not just plausibility."""
+    from ..operators.intervals import interval_join
+
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
     base = F.to_timestamp(F.lit("2024-01-01"))
@@ -94,17 +96,10 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.make_interval(days=(F.lit(1) + F.col("o_orderkey") % 5).cast("int")),
         )
     )
-    iv_binned = iv.withColumn(
-        "bin", F.explode(F.sequence(F.to_date("s"), F.to_date("e")))
-    )
     ev = events.select(
-        "ts",
-        F.to_date("ts").alias("bin"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    joined = iv_binned.join(ev, on="bin", how="inner").filter(
-        (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
-    )
+    joined = interval_join(iv, ev, bin_width="day")
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("val_cents"),
