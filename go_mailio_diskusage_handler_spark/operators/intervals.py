@@ -1,5 +1,6 @@
-"""[EXT] Binned point-in-interval join — the reusable operator behind
-``events_interval_join``.
+"""[EXT] Binned interval joins — the reusable operators behind
+``events_interval_join`` (point ∈ interval) and
+``events_overlap_join`` (interval × interval OVERLAP).
 
 Open-source Spark has no native strategy for a pure range join (the
 ``RANGE_JOIN`` bin hint is a Databricks extension): a join whose only
@@ -65,7 +66,14 @@ def interval_join(
             f"bin_width must be one of {sorted(BIN_WIDTHS)}, got {bin_width!r}"
         )
     width = BIN_WIDTHS[bin_width]
-    iv = intervals.withColumn(
+    # Guard degenerate/inverted intervals BEFORE the explode (ADVICE
+    # r13): end < start can never satisfy the [start, end) predicate,
+    # but F.sequence would silently generate a DESCENDING bin list for
+    # it — every spurious row later filtered, results unchanged, yet a
+    # corrupt interval set inflates the fan-out unboundedly (a single
+    # inverted year-wide range is ~365 wasted rows at day bins).  The
+    # filter makes degenerate inputs cost zero rows instead.
+    iv = intervals.filter(F.col(start) <= F.col(end)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -81,6 +89,83 @@ def interval_join(
         iv.join(pt, on="__bin", how="inner")
         .filter(
             (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))
+        )
+        .drop("__bin")
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "s1",
+    left_end: str = "e1",
+    right_start: str = "s2",
+    right_end: str = "e2",
+    bin_width: str = "day",
+) -> DataFrame:
+    """Inner-join every overlapping pair of intervals — half-open
+    OVERLAP, ``left[start] < right[end] AND right[start] < left[end]``
+    — as a binned hash equi-join.  The point-in-interval join above is
+    the degenerate instance where one side's intervals have zero
+    length.  Returns the joined frame carrying every column of both
+    inputs (the caller aggregates); column names must not collide.
+
+    EXACT-ONCE construction (no post-join distinct): both sides
+    explode to every bin they touch, so an overlapping pair shares
+    every bin in ``[max(bin(s1), bin(s2)), min(bin(e1), bin(e2))]`` —
+    joining on bin equality alone would emit the pair once per shared
+    bin.  Instead of a distinct-by-pair (a full extra shuffle, and it
+    needs a pair identity the operator shouldn't demand), each pair is
+    kept only in its FIRST shared bin:
+
+        __bin == greatest(bin(s1), bin(s2))
+
+    — the "reference point" dedup of partition-based spatial joins
+    (PBSM, Patel & DeWitt SIGMOD'96), applied to 1-D time.  Proof of
+    exactly-once: the filter names a single bin per pair (at most
+    once); and when the pair truly overlaps, s2 < e1 implies
+    bin(s2) ≤ bin(e1) and s1 ≤ e1 implies bin(s1) ≤ bin(e1), so the
+    reference bin lies inside the left side's exploded range — and
+    symmetrically the right's — hence the pair IS produced (at least
+    once).  Degenerate/inverted intervals are pre-filtered on both
+    sides, same guard as ``interval_join``.
+
+    Scale: fan-out is O(len/width) bins per interval per side — pick
+    the width near the median interval length, exactly as for
+    ``interval_join``; results are width-invariant (pinned by test).
+    The join is a plain bin-keyed shuffle join: AQE's skew split sees
+    a hot bin because the bin IS the shuffle key.  Without the
+    rewrite, Catalyst plans a pure theta join as
+    BroadcastNestedLoopJoin — O(|left|·|right|) comparisons.
+    """
+    if bin_width not in BIN_WIDTHS:
+        raise ValueError(
+            f"bin_width must be one of {sorted(BIN_WIDTHS)}, got {bin_width!r}"
+        )
+    width = BIN_WIDTHS[bin_width]
+
+    def _binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(s) <= F.col(e)).withColumn(
+            "__bin",
+            F.explode(F.sequence(_bin_of(F.col(s), width),
+                                 _bin_of(F.col(e), width))),
+        )
+
+    lv = _binned(left, left_start, left_end)
+    rv = _binned(right, right_start, right_end)
+    return (
+        lv.join(rv, on="__bin", how="inner")
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .filter(
+            F.col("__bin")
+            == F.greatest(
+                _bin_of(F.col(left_start), width),
+                _bin_of(F.col(right_start), width),
+            )
         )
         .drop("__bin")
     )

@@ -115,9 +115,17 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a flat object, a nested object, an array, and a MALFORMED fragment
 # — so the oracle verifies the whole parse from raw values, per the
 # scalar_xml_orders convention.  All extracted values are exact ints.
+# ALL FOUR branches synthesize deterministically from typed columns
+# (ADVICE r13): the original case-0 passed the raw ``props`` string
+# through both engines' parsers, making parity data-dependent on the
+# generator never emitting shapes where Spark VARIANT and DuckDB JSON
+# disagree (duplicate object keys are malformed to try_parse_json but
+# valid to json_valid; quoted numeric strings cast differently).  A
+# synthesized flat object is shape-closed — parity holds for ANY
+# events file, not just the driver's generator.
 _RAGGED_RAW_SPARK = """
     CASE CAST(user_id % 4 AS INT)
-      WHEN 0 THEN props
+      WHEN 0 THEN concat('{"k": ', CAST(event_id % 97 AS STRING), '}')
       WHEN 1 THEN concat('{"a": {"b": ', CAST(event_id % 100 AS STRING), '}}')
       WHEN 2 THEN concat('[', CAST(event_id % 7 AS STRING), ', ',
                          CAST(event_id % 11 AS STRING), ']')
@@ -151,7 +159,7 @@ SCALAR_VARIANT_INGEST_ORACLE = f"""
 
 def variant_profile_frame(df: DataFrame) -> DataFrame:
     """The shared VARIANT ingest profile over a frame carrying
-    (event_id, user_id, event_type, props): ragged-JSON synthesis →
+    (event_id, user_id, event_type): ragged-JSON synthesis →
     try_parse_json → per-path try_variant_get coverage counts + exact
     value sum, grouped by event_type.  Used by the batch query below
     AND per micro-batch by ``streaming/variant_ingest.py`` — the

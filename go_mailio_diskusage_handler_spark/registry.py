@@ -121,3 +121,15 @@ from .queries import rotation_r13  # noqa: E402,F401
 # Round-13 additions register AFTER the rotation — registry tail,
 # behind the driver window, per the new-query deferral policy.
 from .queries import q_round13  # noqa: E402,F401
+
+# Round-14 window rotation (applied on import, last): the 1 round-14
+# ADVICE oracle edit (scalar_variant_ingest shape-closure) first, then
+# the remaining never-driver-checked round-13 tail addition, then the
+# 9 r8-stale rows (incl. the flagship du_core), then the 39 oldest
+# r9-stale rows.  Derivation-checked by tests/test_rotation.py
+# against queries/freshness.py.
+from .queries import rotation_r14  # noqa: E402,F401
+
+# Round-14 additions register AFTER the rotation — registry tail,
+# behind the driver window, per the new-query deferral policy.
+from .queries import q_round14  # noqa: E402,F401

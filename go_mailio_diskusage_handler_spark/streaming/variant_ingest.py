@@ -77,12 +77,27 @@ class StreamingVariantIngest:
     def await_drained(self, timeout_sec: int = 120) -> None:
         self._query.awaitTermination(timeout_sec)
 
+    #: totals() output schema — also the degenerate empty-feed report
+    #: (ADVICE r13: an empty feed commits no batch, so {work_dir}/profile
+    #: never exists and a bare read would raise PATH_NOT_FOUND).
+    _PROFILE_SCHEMA = (
+        "event_type string, n_rows long, n_malformed long, n_flat long, "
+        "n_nested long, n_arr long, sum_vals long"
+    )
+
     def totals(self) -> DataFrame:
         """The accumulated admission report: per event_type, the sum
         of every stored per-batch partial — exactly the batch query
         over the union of all ingested files (mergeability is the
-        module contract; asserted in tests)."""
-        partials = self._spark.read.parquet(f"{self._work_dir}/profile")
+        module contract; asserted in tests).  An empty feed (no batch
+        ever committed) returns an empty frame with the profile
+        schema rather than raising on the missing partials path."""
+        try:
+            partials = self._spark.read.parquet(f"{self._work_dir}/profile")
+        except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return self._spark.createDataFrame([], self._PROFILE_SCHEMA)
         return partials.groupBy("event_type").agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("n_malformed").alias("n_malformed"),

@@ -1,5 +1,5 @@
 """The rotation front is derivation-checked (round-9 verdict #7):
-the hand-written ``_R13_FRONT`` literal must equal the mechanical
+the hand-written ``_R14_FRONT`` literal must equal the mechanical
 derivation of the rotation policy from the driver's CORRECTNESS
 record, and the staleness bookkeeping the rotation comments maintain
 by hand must match the files on disk.
@@ -21,9 +21,9 @@ import os
 # real rotation (inside registry's import sequence) into a no-op.
 from go_mailio_diskusage_handler_spark.registry import ORACLE_SQL, QUERIES
 from go_mailio_diskusage_handler_spark.queries import freshness  # noqa: E402
-from go_mailio_diskusage_handler_spark.queries.rotation_r13 import (  # noqa: E402
-    _R13_CHANGED,
-    _R13_FRONT,
+from go_mailio_diskusage_handler_spark.queries.rotation_r14 import (  # noqa: E402
+    _R14_CHANGED,
+    _R14_FRONT,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,39 +31,39 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # The round this rotation was authored for.  Every assertion below
 # derives from the CORRECTNESS record as it stood ENTERING this round
 # (through_round = _ROTATION_ROUND - 1), so the suite stays green when
-# the driver writes CORRECTNESS_r13.json and only needs revisiting
-# when rotation_r14 is authored.
-_ROTATION_ROUND = 13
+# the driver writes CORRECTNESS_r14.json and only needs revisiting
+# when rotation_r15 is authored.
+_ROTATION_ROUND = 14
 
 
-def _r13_deferred():
+def _r14_deferred():
     """The new-query deferral set, derived mechanically: every registry
-    callable defined in this round's additions module(s) (q_round13*)
-    registers at the tail and meets the external gate in round 14."""
+    callable defined in this round's additions module(s) (q_round14*)
+    registers at the tail and meets the external gate in round 15."""
     return [
         n for n, fn in QUERIES.items()
-        if ".q_round13" in fn.__module__
+        if ".q_round14" in fn.__module__
     ]
 
 
-def test_r13_front_matches_mechanical_derivation():
-    """The literal _R13_FRONT == derive_front(registry, CORRECTNESS
-    r01–r12).  through_round pins the derivation to the record that
+def test_r14_front_matches_mechanical_derivation():
+    """The literal _R14_FRONT == derive_front(registry, CORRECTNESS
+    r01–r13).  through_round pins the derivation to the record that
     existed when the front was computed, so this stays green after the
-    driver writes CORRECTNESS_r13."""
+    driver writes CORRECTNESS_r14."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     derived = freshness.derive_front(
         list(QUERIES),
         last,
         window=freshness.WINDOW,
-        changed=_R13_CHANGED,
-        deferred=_r13_deferred(),
+        changed=_R14_CHANGED,
+        deferred=_r14_deferred(),
     )
-    assert derived == _R13_FRONT
+    assert derived == _R14_FRONT
     # and the rotation was actually applied: the registry's first
     # window IS the front, for both the queries and their oracles.
-    assert list(QUERIES)[: len(_R13_FRONT)] == _R13_FRONT
-    assert list(ORACLE_SQL)[: len(_R13_FRONT)] == _R13_FRONT
+    assert list(QUERIES)[: len(_R14_FRONT)] == _R14_FRONT
+    assert list(ORACLE_SQL)[: len(_R14_FRONT)] == _R14_FRONT
 
 
 def test_derivation_is_idempotent_under_its_own_rotation():
@@ -72,12 +72,12 @@ def test_derivation_is_idempotent_under_its_own_rotation():
     the same front — the property that lets the test run AFTER the
     rotation is applied."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = list(QUERIES)  # already rotated by rotation_r13
+    names = list(QUERIES)  # already rotated by rotation_r14
     assert (
         freshness.derive_front(
-            names, last, changed=_R13_CHANGED, deferred=_r13_deferred()
+            names, last, changed=_R14_CHANGED, deferred=_r14_deferred()
         )
-        == _R13_FRONT
+        == _R14_FRONT
     )
 
 
@@ -88,17 +88,16 @@ def test_no_query_left_behind():
     (never-checked queries MUST be in the front; nothing may go stale
     indefinitely while the window rotates past it).
 
-    The floor is ``latest_round - 4``: a 250+-query registry over a
+    The floor is ``latest_round - 4``: a 260+-query registry over a
     50-slot window has a steady-state revisit period of just over 5
     rounds, so age 4 between checks is the tightest SUSTAINABLE bound
-    (entering round 13: 8 never-checked + 4 r7 + 47 r8 = 59 > 50
-    window slots — the 38-of-47 r8 split below is the overflow working
-    itself off; the 9 leftover r8 rows are exactly age 4 entering
-    round 14 and lead its front)."""
+    (entering round 14: 2 never-checked + 9 r8 lead the front and the
+    39 oldest r9 rows fill it; the 10 leftover r9 rows are exactly
+    age 5 entering round 15 and must lead its front)."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
     latest_round = _ROTATION_ROUND - 1
     window = set(list(QUERIES)[: freshness.WINDOW])
-    deferred = set(_r13_deferred())
+    deferred = set(_r14_deferred())
     violations = [
         n
         for n in QUERIES
@@ -119,22 +118,23 @@ def test_no_query_left_behind():
 
 
 def test_stale_histogram_matches_rotation_comment():
-    """The bookkeeping in rotation_r13.py's comment: entering round 13
-    the histogram is 8 never / 4 r7 / 47 r8 / 49 r9 / 50 r10 /
-    50 r11 / 50 r12."""
+    """The bookkeeping in rotation_r14.py's comment: entering round 14
+    the histogram is 2 never / 9 r8 / 49 r9 / 50 r10 / 50 r11 /
+    50 r12 / 50 r13."""
     last = freshness.last_checked(REPO_ROOT, through_round=_ROTATION_ROUND - 1)
-    names = [n for n in QUERIES if n not in set(_r13_deferred())]
+    names = [n for n in QUERIES if n not in set(_r14_deferred())]
     hist = freshness.stale_histogram(names, last)
-    assert hist == {-1: 8, 7: 4, 8: 47, 9: 49, 10: 50, 11: 50, 12: 50}
+    assert hist == {-1: 2, 8: 9, 9: 49, 10: 50, 11: 50, 12: 50, 13: 50}
 
 
-# Round-13 oracle-text changes NOT inside the r13 window, each needing
+# Round-14 oracle-text changes NOT inside the r14 window, each needing
 # an evidence trail (the round-4 advisory's acknowledgement path —
-# they take first priority in the round-14 front).  Empty this round:
-# the single round-13 oracle edit (dq_embeddings_constraints — the
-# ADVICE r12 empty-list guard) is fronted in the window itself as the
-# changed query.
-_R13_CHANGED_ACKED: list[str] = []
+# they take first priority in the round-15 front).  Empty this round:
+# the single round-14 edit to an EXISTING oracle (scalar_variant_ingest
+# — the ADVICE r13 shape-closure) is fronted in the window itself as
+# the changed query, and the two brand-new round-14 oracles are in the
+# deferral set.
+_R14_CHANGED_ACKED: list[str] = []
 
 
 def test_changed_oracles_meet_the_gate_or_are_acknowledged():
@@ -162,45 +162,38 @@ def test_changed_oracles_meet_the_gate_or_are_acknowledged():
     )
     changed = {n for n, v in hashes.items() if v["round"] >= _ROTATION_ROUND}
     window = set(list(QUERIES)[: freshness.WINDOW])
-    covered = window | set(_r13_deferred()) | set(_R13_CHANGED_ACKED)
+    covered = window | set(_r14_deferred()) | set(_R14_CHANGED_ACKED)
     assert changed <= covered, sorted(changed - covered)
 
 
-def test_front_external_gate_closure_for_r12_changes():
-    """Closure of the round-12 acknowledgement trail: every oracle
-    that changed in round 12 (per ORACLE_HASHES.json) and had a
-    pre-r12 driver row was fronted INSIDE the round-12 window itself
-    (rotation_r12's _R12_CHANGED — _R12_CHANGED_ACKED was empty), so
-    each one's round-12 driver row post-dates its change.  Verified
-    here against the record: all four carry green r12 rows."""
+def test_front_external_gate_closure_for_r13_changes():
+    """Closure of the round-13 acknowledgement trail: every oracle
+    that changed in round 13 (per ORACLE_HASHES.json) and had a
+    pre-r13 driver row was fronted INSIDE the round-13 window itself
+    (rotation_r13's _R13_CHANGED — _R13_CHANGED_ACKED was empty), so
+    each one's round-13 driver row post-dates its change.  Verified
+    here against the record."""
     import json
 
     with open(os.path.join(REPO_ROOT, "ORACLE_HASHES.json")) as fh:
         hashes = json.load(fh)
-    pre = freshness.last_checked(REPO_ROOT, through_round=11)
-    # round == 12 and a PRE-r12 driver row: an existing oracle that
-    # changed (the brand-new round-12 additions also carry round == 12
-    # but had no earlier row — they front as never-checked, not as
-    # changed; the r11 TZ fixes events_bounce_rate/compaction_bins
-    # carry round == 11).
-    r12_changed_existing = {
+    pre = freshness.last_checked(REPO_ROOT, through_round=12)
+    # round == 13 and a PRE-r13 driver row: an existing oracle that
+    # changed (the brand-new round-13 additions also carry round == 13
+    # but had no earlier row — they front as never-checked or changed,
+    # not via the acknowledgement trail).
+    r13_changed_existing = {
         n for n, v in hashes.items()
-        if v["round"] == 12 and 0 <= pre.get(n, -1) < 12
+        if v["round"] == 13 and 0 <= pre.get(n, -1) < 13
     }
-    # empty: the two r12 ADVICE edits (scalar_sql2023_aggregates,
-    # text_hash_classifier) were THEMSELVES r11 tail additions with no
-    # pre-r12 row — they fronted as changed AND never-checked at once.
-    assert r12_changed_existing == set()
-    # the four queries rotation_r12 fronted as changed all carry green
-    # round-12 driver rows, closing both the r11 TZ-fix debt and the
-    # r12 ADVICE edits.
-    last = freshness.last_checked(REPO_ROOT, through_round=12)
-    assert all(
-        last.get(n) == 12
-        for n in (
-            "events_bounce_rate",
-            "events_compaction_bins",
-            "scalar_sql2023_aggregates",
-            "text_hash_classifier",
-        )
-    )
+    # empty: the r13 ADVICE edit (dq_embeddings_constraints) was
+    # ITSELF an r12 tail addition with no pre-r13 row — it fronted as
+    # changed AND never-checked at once.
+    assert r13_changed_existing == set()
+    # the query rotation_r13 fronted as changed carries a green
+    # round-13 driver row, closing the r12 ADVICE-edit debt.  (The
+    # round-14 analogue — scalar_variant_ingest fronted as changed by
+    # rotation_r14 — closes when the driver writes CORRECTNESS_r14;
+    # rotation_r15's twin of this test is its pin.)
+    last = freshness.last_checked(REPO_ROOT, through_round=13)
+    assert last.get("dq_embeddings_constraints") == 13
