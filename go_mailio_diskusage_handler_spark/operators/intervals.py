@@ -54,17 +54,38 @@ def interval_join(
     end: str = "e",
     point_ts: str = "ts",
     bin_width: str = "day",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Inner-join ``points`` to every interval containing them —
     ``points[point_ts] ∈ [intervals[start], intervals[end])`` — as a
     binned hash equi-join.  Returns the joined frame carrying every
     column of both inputs (the caller aggregates); column names must
     not collide apart from the bin key the operator adds and drops.
+
+    ``n_salt`` (optional) spreads a HOT BIN — calendar skew, e.g. one
+    launch day owning 30% of all points — over ``n_salt`` shuffle
+    partitions deterministically: points carry
+    ``(minute-of-day) % n_salt`` as a second join key, and each
+    (interval, bin) row fans out to all ``n_salt`` salts, so every
+    containing interval still meets every point exactly once
+    (interval-side-bounded extra cost: bins × n_salt rows per
+    interval).  Leave it None in the common regimes: with a
+    broadcast-able interval side the points never shuffle at all, and
+    in the shuffle regime AQE's skew split already sees the hot bin
+    because the bin IS the shuffle key.  Salt ONLY for the case AQE
+    declines — a keyed downstream consumer pinning the join's
+    partitioning — sized from the skew advisor's recommendation.
+    Measured at 60 M rows with a 32%-hot day
+    (SCALE.md round 14): unmitigated join-stage max/median 8.5,
+    AQE split 1.71, salt S=32 1.83 — identical results in all
+    regimes.
     """
     if bin_width not in BIN_WIDTHS:
         raise ValueError(
             f"bin_width must be one of {sorted(BIN_WIDTHS)}, got {bin_width!r}"
         )
+    if n_salt is not None and n_salt < 2:
+        raise ValueError(f"n_salt must be >= 2 when set, got {n_salt!r}")
     width = BIN_WIDTHS[bin_width]
     # Guard degenerate/inverted intervals BEFORE the explode (ADVICE
     # r13): end < start can never satisfy the [start, end) predicate,
@@ -85,12 +106,25 @@ def interval_join(
         ),
     )
     pt = points.withColumn("__bin", _bin_of(F.col(point_ts), width))
+    keys = ["__bin"]
+    if n_salt is not None:
+        iv = iv.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        pt = pt.withColumn(
+            "__salt",
+            (
+                (F.hour(F.col(point_ts)) * 60 + F.minute(F.col(point_ts)))
+                % n_salt
+            ).cast("int"),
+        )
+        keys.append("__salt")
     return (
-        iv.join(pt, on="__bin", how="inner")
+        iv.join(pt, on=keys, how="inner")
         .filter(
             (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))
         )
-        .drop("__bin")
+        .drop(*keys)
     )
 
 
