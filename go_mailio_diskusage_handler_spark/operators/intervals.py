@@ -75,6 +75,10 @@ def interval_join(
     because the bin IS the shuffle key.  Salt ONLY for the case AQE
     declines — a keyed downstream consumer pinning the join's
     partitioning — sized from the skew advisor's recommendation.
+    The salt MULTIPLIES the interval-side fan-out (bins × n_salt rows
+    per interval), so pair it with a bin width near the interval
+    length — minute bins over multi-day intervals already cost
+    thousands of rows per interval before any salt.
     Measured at 60 M rows with a 32%-hot day
     (SCALE.md round 14): unmitigated join-stage max/median 8.5,
     AQE split 1.71, salt S=32 1.83 — identical results in all

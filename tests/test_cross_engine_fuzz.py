@@ -507,3 +507,195 @@ def test_generated_frame_query_matches_duckdb(spark, ddb, seed):
     orows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert len(srows) == len(orows), sql
     assert normalize(srows) == normalize(orows), sql
+
+
+# --- interval grammar (#9): the binned interval/overlap OPERATOR vs
+#     DuckDB's native theta join --------------------------------------------
+#
+# Unlike grammars 1-8 (one SQL text, two engines), this one fuzzes an
+# OPERATOR: the Spark side runs `operators/intervals.py`'s binned
+# rewrite (interval_join / overlap_join) through the DataFrame API
+# with a randomized bin width and optional sub-bin salt, while the
+# oracle runs the naive theta join DuckDB executes natively (IEJoin).
+# Agreement therefore proves the rewrite's EXACTLY-ONCE pair
+# production — bin fan-out, first-shared-bin dedup, salt fan-out —
+# over randomized interval shapes: lengths from zero to multi-day
+# (including zero-length intervals, which must match nothing in the
+# half-open semantics), anchors with day+hour jitter, and a seeded
+# fraction of INVERTED intervals (e < s) that both engines must treat
+# as empty.  Every aggregate is an exact BIGINT count/cent-sum, and
+# every case also pins the executed plan free of nested-loop /
+# cartesian nodes — the degradation the operator exists to prevent.
+
+
+def gen_interval_case(seed: int) -> dict:
+    rng = random.Random(seed)
+    kind = rng.choice(["point", "point", "overlap"])
+    len_day_mod = rng.randrange(1, 6)
+    len_hours = rng.randrange(0, 36)
+    if len_day_mod == 1 and len_hours == 0:
+        len_hours = 1  # keep the all-zero-length seed non-vacuous
+    # Bin width respects the operator's usage contract (width ~ the
+    # interval length): fan-out is bins-per-interval × n_salt, so
+    # minute bins over multi-day intervals (up to ~6 000 bins each)
+    # are a cost misconfiguration, not a semantics axis — seed 11037
+    # demonstrated it as a 12.6 GiB broadcast.  Minute bins are
+    # fuzzed only for sub-26h intervals, and the salt (fan-out
+    # multiplier) only on day/hour bins.
+    max_len_min = (len_day_mod - 1) * 1440 + len_hours * 60
+    widths = ["day", "hour"] + (["minute"] if max_len_min <= 1560 else [])
+    width = rng.choice(widths)
+    case = {
+        "kind": kind,
+        "width": width,
+        "thresh": rng.choice([300000, 420000, 480000, 540000]),
+        "day_mod": rng.randrange(5, 29),
+        "hour_mod": rng.choice([1, 6, 12, 24]),
+        "len_day_mod": len_day_mod,
+        "len_hours": len_hours,
+        "invert_mod": rng.choice([0, 7, 13]),
+        "pad_min": rng.randrange(1, 90),
+        "grouped": rng.random() < 0.6,
+        "salt": (
+            rng.choice([None, None, 4, 16])
+            if kind == "point" and width != "minute"
+            else None
+        ),
+    }
+    return case
+
+
+def interval_oracle_sql(c: dict) -> str:
+    invert = (
+        f"o_orderkey % {c['invert_mod']} = 0" if c["invert_mod"] else "1 = 0"
+    )
+    iv = f"""
+        iv0 AS (
+          SELECT o_orderkey,
+                 TIMESTAMP '2024-01-01'
+                   + INTERVAL (o_orderkey % {c['day_mod']}) DAY
+                   + INTERVAL (o_orderkey % {c['hour_mod']}) HOUR AS s
+          FROM orders WHERE o_totalprice > {c['thresh']}),
+        iv AS (
+          SELECT o_orderkey, s,
+                 CASE WHEN {invert} THEN s - INTERVAL 2 DAY
+                      ELSE s + INTERVAL (o_orderkey % {c['len_day_mod']}) DAY
+                             + INTERVAL {c['len_hours']} HOUR END AS e
+          FROM iv0)"""
+    key = "iv.o_orderkey, " if c["grouped"] else ""
+    grp = "GROUP BY iv.o_orderkey" if c["grouped"] else ""
+    if c["kind"] == "point":
+        return f"""
+            WITH {iv}
+            SELECT {key}CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CAST(ROUND(ev.value * 100) AS BIGINT)),
+                                 0) AS BIGINT) AS cents
+            FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+            {grp}"""
+    return f"""
+        WITH {iv},
+        act AS (
+          SELECT user_id, MIN(ts) AS s1,
+                 MAX(ts) + INTERVAL {c['pad_min']} MINUTE AS e1,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      AS BIGINT) AS acents
+          FROM events GROUP BY user_id, CAST(ts AS DATE))
+        SELECT {key}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(act.acents), 0) AS BIGINT) AS cents
+        FROM iv JOIN act ON act.s1 < iv.e AND iv.s < act.e1
+        {grp}"""
+
+
+def run_interval_case(spark, sf_dir: str, c: dict):
+    from pyspark.sql import functions as F
+
+    from go_mailio_diskusage_handler_spark.operators.intervals import (
+        interval_join,
+        overlap_join,
+    )
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    k = F.col("o_orderkey")
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    s = base + F.make_interval(
+        days=(k % c["day_mod"]).cast("int"),
+        hours=(k % c["hour_mod"]).cast("int"),
+    )
+    healthy_e = (
+        F.col("s")
+        + F.make_interval(
+            days=(k % c["len_day_mod"]).cast("int"),
+            hours=F.lit(c["len_hours"]).cast("int"),
+        )
+    )
+    if c["invert_mod"]:
+        e = F.when(
+            k % c["invert_mod"] == 0,
+            F.col("s") - F.make_interval(days=F.lit(2).cast("int")),
+        ).otherwise(healthy_e)
+    else:
+        e = healthy_e
+    iv = (
+        orders.filter(F.col("o_totalprice") > c["thresh"])
+        .select("o_orderkey", s.alias("s"))
+        .withColumn("e", e)
+    )
+    if c["kind"] == "point":
+        ev = events.select(
+            "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        j = interval_join(iv, ev, bin_width=c["width"], n_salt=c["salt"])
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0).cast("long")).alias("cents"),
+        ]
+    else:
+        act = (
+            events.groupBy("user_id", F.to_date("ts").alias("d"))
+            .agg(
+                F.min("ts").alias("s1"),
+                (
+                    F.max("ts")
+                    + F.make_interval(mins=F.lit(c["pad_min"]).cast("int"))
+                ).alias("e1"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("acents"),
+            )
+            .drop("d")
+        )
+        j = overlap_join(
+            iv, act,
+            left_start="s", left_end="e",
+            right_start="s1", right_end="e1",
+            bin_width=c["width"],
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("acents"), F.lit(0).cast("long")).alias("cents"),
+        ]
+    if c["grouped"]:
+        return j.groupBy("o_orderkey").agg(*aggs)
+    return j.agg(*aggs)
+
+
+INTERVAL_SEEDS = list(range(11000, 11050))  # 50 deterministic cases
+
+
+@pytest.mark.parametrize("seed", INTERVAL_SEEDS)
+def test_generated_interval_case_matches_duckdb(spark, ddb, seed):
+    from conftest import SF_CORRECT
+
+    c = gen_interval_case(seed)
+    sdf = run_interval_case(spark, SF_CORRECT, c)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, (c, plan)
+    cols = sorted(sdf.columns)
+    srows = [tuple(r) for r in sdf.select(*cols).collect()]
+    ora = ddb.execute(interval_oracle_sql(c)).fetch_df()
+    assert sorted(ora.columns.tolist()) == cols, (c, ora.columns)
+    orows = [tuple(r) for r in ora[cols].itertuples(index=False, name=None)]
+    assert len(srows) == len(orows), c
+    assert normalize(srows) == normalize(orows), c
