@@ -540,15 +540,34 @@ def gen_interval_case(seed: int) -> dict:
     # minute bins over multi-day intervals (up to ~6 000 bins each)
     # are a cost misconfiguration, not a semantics axis — seed 11037
     # demonstrated it as a 12.6 GiB broadcast.  Minute bins are
-    # fuzzed only for sub-26h intervals, and the salt (fan-out
-    # multiplier) only on day/hour bins.
+    # fuzzed only for sub-26h intervals, and the total per-interval
+    # fan-out (max bins × salt) is capped at 200 so the grammar stays
+    # runnable at EVERY fixture scale: the interval-side row count
+    # scales with SF (60 k intervals at sf0.1 for the loosest
+    # threshold), and an unbounded bins×salt product turned one
+    # committed salted-hour seed into a ~150 M-row single-threaded
+    # broadcast build on the sf0.1 closing re-run.
     max_len_min = (len_day_mod - 1) * 1440 + len_hours * 60
-    widths = ["day", "hour"] + (["minute"] if max_len_min <= 1560 else [])
+    thresh = rng.choice([300000, 420000, 480000, 540000])
+    # minute bins also require a SELECTIVE interval set: ~1.5 k bins
+    # per 26 h interval over the loosest threshold's 60 k intervals
+    # (sf0.1) is ~100 M exploded rows before the join even starts.
+    widths = ["day", "hour"] + (
+        ["minute"] if max_len_min <= 1560 and thresh >= 480000 else []
+    )
     width = rng.choice(widths)
+    max_bins = {
+        "day": len_day_mod + 2,
+        "hour": (len_day_mod - 1) * 24 + len_hours + 2,
+        "minute": max_len_min + 2,
+    }[width]
+    salt_pool = [None, None] + [
+        s for s in (4, 16) if kind == "point" and max_bins * s <= 200
+    ]
     case = {
         "kind": kind,
         "width": width,
-        "thresh": rng.choice([300000, 420000, 480000, 540000]),
+        "thresh": thresh,
         "day_mod": rng.randrange(5, 29),
         "hour_mod": rng.choice([1, 6, 12, 24]),
         "len_day_mod": len_day_mod,
@@ -556,11 +575,7 @@ def gen_interval_case(seed: int) -> dict:
         "invert_mod": rng.choice([0, 7, 13]),
         "pad_min": rng.randrange(1, 90),
         "grouped": rng.random() < 0.6,
-        "salt": (
-            rng.choice([None, None, 4, 16])
-            if kind == "point" and width != "minute"
-            else None
-        ),
+        "salt": rng.choice(salt_pool) if kind == "point" else None,
     }
     return case
 
