@@ -88,6 +88,44 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def const_array_lit(data: list, elem_type: str = "double") -> Column:
+    """Nested-array constant built from ONE parsed JSON string literal
+    instead of ``F.lit(nested_list)``.
+
+    ``F.lit`` on a nested Python list builds the column as a tree of
+    per-element py4j calls — ~1000 driver round-trips (measured 0.7-1.1 s
+    of pure DRIVER time per codebook-sized [16][64] literal, r15 probe),
+    paid inside the timed query-construction path on every invocation.
+    ``from_json`` of one string literal is a single py4j call (~5 ms) and
+    Catalyst constant-folds ``JsonToStructs(Literal)`` during
+    optimization, so the executed plan carries the IDENTICAL folded
+    array literal — values bit-exact (shortest-repr doubles round-trip
+    through the JSON parser's correctly-rounded ``parseDouble``),
+    pinned by test.  This is the guide-§7.3 "huge expression trees
+    built in loops" driver-overhead class, fixed at the source.
+
+    Falls back to ``F.lit`` when any value is non-finite (JSON cannot
+    carry NaN/Inf) — impossible for the fixture codebooks, but the
+    helper must not silently corrupt a pathological input.
+    """
+    import json as _json
+    import math as _math
+
+    def _all_finite(x) -> bool:
+        if isinstance(x, (list, tuple)):
+            return all(_all_finite(v) for v in x)
+        return isinstance(x, (int, float)) and _math.isfinite(x)
+
+    if not _all_finite(data):
+        return F.lit(data)
+    t = elem_type
+    x = data
+    while isinstance(x, (list, tuple)):
+        t = f"array<{t}>"
+        x = x[0] if len(x) else None
+    return F.from_json(F.lit(_json.dumps(data)), t)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product (mirrors DuckDB list_sum of
     list_transform over range — identical fp summation order)."""
@@ -238,7 +276,7 @@ def bucket_id(emb: Column, dim: int = EMB_DIM, table: int = 0) -> Column:
     2^52, far past any plausible plane count) — same
     literal-vs-unrolled-codegen tradeoff as the IVF codebook, measured
     2.2× at sf0.1 with bit-identical buckets."""
-    planes = F.lit(
+    planes = const_array_lit(
         [hyperplane(table * N_PLANES + p, dim) for p in range(N_PLANES)]
     )
     contrib = F.transform(
@@ -412,7 +450,7 @@ def _codebook_lit(embeddings: DataFrame) -> Column:
         .select("embedding")
         .collect()
     )
-    return F.lit([[float(x) for x in r[0]] for r in rows])
+    return const_array_lit([[float(x) for x in r[0]] for r in rows])
 
 
 def _best_lists(emb_col: Column, nrm_col: Column, codebook: Column, n: int) -> Column:
@@ -634,7 +672,7 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     fully JVM-side.  Output is (vec_id, subspace, code) rows via
     posexplode, one scan, no shuffle.
     """
-    cb = F.lit(_pq_codebook(embeddings))  # [M][K][SUB], ONE literal
+    cb = const_array_lit(_pq_codebook(embeddings))  # [M][K][SUB], ONE literal
     return widen_for_compute(embeddings).select(
         "vec_id",
         F.posexplode(_pq_code_array(F.col("embedding"), cb)).alias(
@@ -704,12 +742,18 @@ def pq_ann_topk(
     )
 
 
-def _adc_tables(embeddings: DataFrame, n_queries: int) -> DataFrame:
+def _adc_tables(
+    embeddings: DataFrame, n_queries: int, cb: Column | None = None
+) -> DataFrame:
     """Per-query ADC distance tables: (query_id, subspace, code, d)
     rows, ``d = ||q_sub - centroid||²`` rounded to 6 — PQ_M × PQ_K
     entries per query, built as JVM expressions over the codebook
-    literal and broadcast to the scoring join."""
-    cb = F.lit(_pq_codebook(embeddings))  # [M][K][SUB] doubles
+    literal and broadcast to the scoring join.  ``cb`` lets a caller
+    that already holds the codebook literal share it — the standalone
+    collect-and-rebuild here cost one extra driver job per IVF-PQ
+    query for the identical constant."""
+    if cb is None:
+        cb = const_array_lit(_pq_codebook(embeddings))  # [M][K][SUB] doubles
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("q")
     )
@@ -745,7 +789,7 @@ def _ivfpq_adc_scored(
     from pyspark import StorageLevel
 
     cents = _codebook_lit(embeddings)
-    cb = F.lit(_pq_codebook(embeddings))
+    cb = const_array_lit(_pq_codebook(embeddings))
     nrm = l2_norm(F.col("embedding"))
     # ONE corpus projection carries the coarse-list assignment AND the
     # PQ code array: computing codes in the same scan removes the old
@@ -782,7 +826,7 @@ def _ivfpq_adc_scored(
         )
     )
     out = (
-        cand.join(F.broadcast(_adc_tables(embeddings, n_queries)),
+        cand.join(F.broadcast(_adc_tables(embeddings, n_queries, cb)),
                   ["query_id", "subspace", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("d"), 4).alias("approx_dist"))
@@ -1173,8 +1217,8 @@ def _km_assign(
     BEFORE the argmin in both engines, so a cross-engine fp divergence
     at an assignment boundary would need two centroids within 1e-6 of
     exactly equidistant."""
-    cid_lit = F.lit([c for c, _ in cents])
-    vec_lit = F.lit([v for _, v in cents])
+    cid_lit = const_array_lit([c for c, _ in cents], "int")
+    vec_lit = const_array_lit([v for _, v in cents])
     scored = F.transform(
         vec_lit,
         lambda c, i: F.struct(
@@ -1294,8 +1338,8 @@ def kmeans_ivf_topk(
     """
     e, cents = _km_fit(embeddings, k, iters)
     assign = _km_assign(e, cents).select("vec_id", "cluster_id")
-    cid_lit = F.lit([c for c, _ in cents])
-    vec_lit = F.lit([v for _, v in cents])
+    cid_lit = const_array_lit([c for c, _ in cents], "int")
+    vec_lit = const_array_lit([v for _, v in cents])
     scored_cells = F.transform(
         vec_lit,
         lambda c, i: F.struct(
@@ -1541,8 +1585,8 @@ def pca_fit_project(
         float(np.max(np.abs(gram - np.eye(q)))) < 1e-6
     )
 
-    mu_lit = F.lit([float(x) for x in mu])
-    comps_lit = F.lit([[float(x) for x in row] for row in comps])
+    mu_lit = const_array_lit([float(x) for x in mu])
+    comps_lit = const_array_lit([[float(x) for x in row] for row in comps])
     centered = F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m)
     proj = F.transform(comps_lit, lambda c: dot_pre(centered, c))
     sq = lambda a: F.aggregate(  # noqa: E731
