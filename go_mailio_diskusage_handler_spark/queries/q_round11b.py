@@ -620,24 +620,31 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "p_brand string, rank_nano bigint")
     ranks = nodes.select(
         F.col("src").alias("node"), F.lit(1000000000 // n).alias("r9")
-    ).persist()
-    ranks.count()
+    ).localCheckpoint(eager=True)
     nodes.unpersist()
     step = f"{150000000 // n} + (85 * sum((r9 * w) div ow)) div 100"
     for _ in range(3):
-        nxt = (
+        # localCheckpoint (eager), not persist+count: persist keeps the
+        # full logical lineage, so round k's plan nests every prior
+        # round's tree — the unrolled explain reached 1229 Exchange
+        # references and the driver spent ~3.2 s of the query in
+        # inter-job planning gaps (r15 event-log probe).  Checkpointing
+        # truncates each round to a LogicalRDD scan (guide §3.3/§5:
+        # materialise to cut a plan that only grows), one job per round
+        # as before, identical ranks (integer arithmetic; pinned by the
+        # registry oracle).
+        ranks = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
             .groupBy(F.col("dst"))
             .agg(F.expr(step).cast("long").alias("r9"))
             .select(F.col("dst").alias("node"), "r9")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materialize so each round's plan stays one join
-        ranks.unpersist()
-        ranks = nxt
     from ..caching import own_cache
 
     out = ranks.select(
         F.col("node").alias("p_brand"), F.col("r9").alias("rank_nano")
     )
-    return own_cache(out, contrib_src, ranks)
+    # only contrib_src is persist()-cached now; the checkpointed rank
+    # frames release with RDD GC, no unpersist handle needed
+    return own_cache(out, contrib_src)
