@@ -65,7 +65,7 @@ def interval_join(
     ``n_salt`` (optional) spreads a HOT BIN — calendar skew, e.g. one
     launch day owning 30% of all points — over ``n_salt`` shuffle
     partitions deterministically: points carry
-    ``(minute-of-day) % n_salt`` as a second join key, and each
+    ``pmod(xxhash64(point_ts), n_salt)`` as a second join key, and each
     (interval, bin) row fans out to all ``n_salt`` salts, so every
     containing interval still meets every point exactly once
     (interval-side-bounded extra cost: bins × n_salt rows per
@@ -115,12 +115,15 @@ def interval_join(
         iv = iv.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
         )
+        # hash of the FULL timestamp, not minute-of-day (ADVICE r14):
+        # batch-stamped/truncated timestamps cluster in a few minutes,
+        # which left the old minute-granularity salt with no spread
+        # exactly when the bin was hottest.  xxhash64 is deterministic
+        # across retries (guide §2.5 — never rand() in a shuffle key)
+        # and any sub-bin structure still spreads uniformly.
         pt = pt.withColumn(
             "__salt",
-            (
-                (F.hour(F.col(point_ts)) * 60 + F.minute(F.col(point_ts)))
-                % n_salt
-            ).cast("int"),
+            F.pmod(F.xxhash64(F.col(point_ts)), F.lit(n_salt)).cast("int"),
         )
         keys.append("__salt")
     return (
@@ -141,12 +144,15 @@ def overlap_join(
     right_start: str = "s2",
     right_end: str = "e2",
     bin_width: str = "day",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Inner-join every overlapping pair of intervals — half-open
     OVERLAP, ``left[start] < right[end] AND right[start] < left[end]``
     — as a binned hash equi-join.  The point-in-interval join above is
-    the degenerate instance where one side's intervals have zero
-    length.  Returns the joined frame carrying every column of both
+    the limit case where one side's intervals shrink to epsilon length
+    ``[t, t+ε)`` (NOT zero length: under this strict predicate a
+    zero-length ``[t, t)`` is open at ``t`` and matches differently —
+    ADVICE r14).  Returns the joined frame carrying every column of both
     inputs (the caller aggregates); column names must not collide.
 
     EXACT-ONCE construction (no post-join distinct): both sides
@@ -176,11 +182,32 @@ def overlap_join(
     a hot bin because the bin IS the shuffle key.  Without the
     rewrite, Catalyst plans a pure theta join as
     BroadcastNestedLoopJoin — O(|left|·|right|) comparisons.
+
+    ``n_salt`` (optional) spreads a HOT BIN over ``n_salt`` shuffle
+    partitions, like ``interval_join`` — but here the fan-out is
+    TWO-SIDED (both sides may hold many intervals in the hot bin), so
+    the point-join's construction (hash the probe row's own timestamp)
+    does not apply: a salted left row must still meet EVERY right row
+    of its bin.  Construction: the right side carries ONE deterministic
+    salt hashed from its interval identity,
+    ``pmod(xxhash64(s2, e2), n_salt)``, and each (left, bin) row fans
+    out to all ``n_salt`` salts.  Every overlapping pair still meets in
+    exactly one (bin, salt) partition — the left copy with the right
+    row's salt — so exactly-once production is preserved with no
+    post-join dedup; results are salt-invariant (pinned by test).
+    Cost: left-side fan-out multiplies by ``n_salt``; the hot bin's
+    per-partition hash-build side shrinks by ~``n_salt``.  As with
+    ``interval_join``, leave it None unless AQE's skew split (which
+    sees the bin, the shuffle key) is unavailable because a downstream
+    consumer pins the join's partitioning — see the SCALE.md round-15
+    hot-day measurement.
     """
     if bin_width not in BIN_WIDTHS:
         raise ValueError(
             f"bin_width must be one of {sorted(BIN_WIDTHS)}, got {bin_width!r}"
         )
+    if n_salt is not None and n_salt < 2:
+        raise ValueError(f"n_salt must be >= 2 when set, got {n_salt!r}")
     width = BIN_WIDTHS[bin_width]
 
     def _binned(df: DataFrame, s: str, e: str) -> DataFrame:
@@ -192,8 +219,21 @@ def overlap_join(
 
     lv = _binned(left, left_start, left_end)
     rv = _binned(right, right_start, right_end)
+    keys = ["__bin"]
+    if n_salt is not None:
+        rv = rv.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(right_start), F.col(right_end)),
+                F.lit(n_salt),
+            ).cast("int"),
+        )
+        lv = lv.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        keys.append("__salt")
     return (
-        lv.join(rv, on="__bin", how="inner")
+        lv.join(rv, on=keys, how="inner")
         .filter(
             (F.col(left_start) < F.col(right_end))
             & (F.col(right_start) < F.col(left_end))
@@ -205,5 +245,5 @@ def overlap_join(
                 _bin_of(F.col(right_start), width),
             )
         )
-        .drop("__bin")
+        .drop(*keys)
     )

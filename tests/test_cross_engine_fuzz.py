@@ -520,8 +520,11 @@ def test_generated_frame_query_matches_duckdb(spark, ddb, seed):
 # Agreement therefore proves the rewrite's EXACTLY-ONCE pair
 # production — bin fan-out, first-shared-bin dedup, salt fan-out —
 # over randomized interval shapes: lengths from zero to multi-day
-# (including zero-length intervals, which must match nothing in the
-# half-open semantics), anchors with day+hour jitter, and a seeded
+# (including zero-length intervals — under the strict predicate a
+# zero-length right interval [t, t) is open at t, so s < t < e CAN
+# still match it as the containing side; both engines apply the same
+# predicate, so parity, not emptiness, is the invariant — ADVICE r14),
+# anchors with day+hour jitter, and a seeded
 # fraction of INVERTED intervals (e < s) that both engines must treat
 # as empty.  Every aggregate is an exact BIGINT count/cent-sum, and
 # every case also pins the executed plan free of nested-loop /
@@ -561,8 +564,12 @@ def gen_interval_case(seed: int) -> dict:
         "hour": (len_day_mod - 1) * 24 + len_hours + 2,
         "minute": max_len_min + 2,
     }[width]
+    # Salt is fuzzed on BOTH kinds since r15: overlap_join grew the
+    # two-sided salt knob (right side hashed by interval identity, left
+    # side fanned out), and its left fan-out obeys the same
+    # bins × n_salt ≤ 200 cap as the point join's interval side.
     salt_pool = [None, None] + [
-        s for s in (4, 16) if kind == "point" and max_bins * s <= 200
+        s for s in (4, 16) if max_bins * s <= 200
     ]
     case = {
         "kind": kind,
@@ -575,7 +582,10 @@ def gen_interval_case(seed: int) -> dict:
         "invert_mod": rng.choice([0, 7, 13]),
         "pad_min": rng.randrange(1, 90),
         "grouped": rng.random() < 0.6,
-        "salt": rng.choice(salt_pool) if kind == "point" else None,
+        # drawn LAST (and for "point" in the same rng position as
+        # before r15) so every committed point seed derives the exact
+        # case it always did; overlap seeds gain only the salt axis.
+        "salt": rng.choice(salt_pool),
     }
     return case
 
@@ -685,7 +695,7 @@ def run_interval_case(spark, sf_dir: str, c: dict):
             iv, act,
             left_start="s", left_end="e",
             right_start="s1", right_end="e1",
-            bin_width=c["width"],
+            bin_width=c["width"], n_salt=c["salt"],
         )
         aggs = [
             F.count(F.lit(1)).alias("n"),
