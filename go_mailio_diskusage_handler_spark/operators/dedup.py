@@ -516,7 +516,11 @@ def connected_components(
 
     def _ckpt(df: DataFrame) -> DataFrame:
         # eager=True in both modes: the iteration measures and reuses
-        # the materialized frame immediately.
+        # the materialized frame immediately.  (r15 probe: a LAZY local
+        # checkpoint here is a wash — the per-round "job" count is
+        # AQE-stage-driven, not action-driven, and ReuseExchange already
+        # dedups the self-join subtree; interleaved A/B at sf0.1 read
+        # 1.22 s vs 1.22 s median over 6 pairs.)
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
     edges = _ckpt(
@@ -555,6 +559,8 @@ def connected_components(
         )
         # Pointer-doubling: cluster_id values are themselves node ids,
         # so one self-join follows the label a second hop per round.
+        # (No checkpoint of ``propagated`` needed: ReuseExchange dedups
+        # the twice-referenced subtree — measured equal at sf0.1, r15.)
         hop = propagated.select(
             F.col("doc_id").alias("h_id"), F.col("cluster_id").alias("h_cl")
         )
@@ -959,16 +965,22 @@ def near_dup_triangles(
     Three joins total: wedge build + existence check against the
     (re-oriented) edge set, all shuffle-keyed on node ids.
     """
-    from pyspark import StorageLevel
-
     # The edge list is tiny (near-dup pairs) but its PLAN is the whole
     # Jaccard pipeline — and it feeds the degree count plus three
-    # self-join branches.  Persisting it collapses six re-executions
+    # self-join branches.  Materializing it collapses six re-executions
     # of the shingle join into one (measured 14.1 s → ~3 s at sf0.1).
+    # localCheckpoint (eager), not persist: persist keeps the full
+    # logical lineage, so the six downstream branch references each
+    # nest the whole Jaccard tree — the unrolled explain carried 263
+    # Exchange references and Catalyst re-analyzed them all (the same
+    # plan-growth class the pagerank loop had; guide §3.3/§7.3).  The
+    # checkpoint truncates every branch to a LogicalRDD scan; the pair
+    # generator's shingle cache is released at function exit (pair_src
+    # dies here) because nothing downstream can re-derive from it.
     pair_src = ngram_jaccard_pairs(documents, threshold)
     edges = pair_src.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("x"))
         .union(edges.select(F.col("v").alias("x")))
@@ -988,6 +1000,11 @@ def near_dup_triangles(
             .alias("e")
         )
         .select("e.s", "e.t")
+        # Three consumers (both wedge sides + the closing-edge probe):
+        # checkpointing the re-orientation runs its two degree joins
+        # once instead of three times and leaves the final plan as two
+        # joins over LogicalRDD scans.
+        .localCheckpoint(eager=True)
     )
     # Wedges at a common source (two out-edges): the (deg, id)
     # orientation is an acyclic total order, so every triangle has
@@ -1012,9 +1029,11 @@ def near_dup_triangles(
     out = tri.select(
         arr[0].alias("doc_a"), arr[1].alias("doc_b"), arr[2].alias("doc_c")
     )
-    # The result owns the edge cache AND the pair generator's shingle
-    # cache (the jaccard subplan runs inside edges' materialization).
-    return own_cache(out, edges, absorb=[pair_src])
+    # No cache ownership to transfer: both intermediates are
+    # checkpointed (blocks release with RDD GC) and pair_src's shingle
+    # cache dies with this frame's scope, right after the eager
+    # checkpoint that consumed it.
+    return out
 
 
 def minhash_estimate_quality(documents: DataFrame) -> DataFrame:

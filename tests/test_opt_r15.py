@@ -148,3 +148,22 @@ def test_overlap_join_salt_is_cost_only(spark):
 
     with pytest.raises(ValueError):
         overlap_join(iv, act, n_salt=1)
+
+
+def test_triangles_plan_lineage_truncated(spark):
+    """r15: near_dup_triangles materializes the edge list (and the
+    degree-oriented edge frame) with eager localCheckpoint instead of
+    persist — persist kept the full Jaccard lineage nested under all
+    six downstream branch references (263 Exchange references in the
+    r15-entry explain).  The final plan must be two joins over
+    LogicalRDD scans."""
+    df = registry.QUERIES["dedup_triangles"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2, plan[:2000]
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:2000]
+
+
+def test_triangles_oracle_parity(spark, ddb):
+    compare_with_oracle(
+        spark, ddb, "dedup_triangles", registry.QUERIES, registry.ORACLE_SQL
+    )
