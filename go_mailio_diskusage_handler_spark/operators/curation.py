@@ -489,6 +489,15 @@ def bloom_shingle_filter(
     for r in rows:
         bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in bitmap]
+    # ONE from_json literal instead of F.lit(list): F.lit on a
+    # 2048-element list is 2048 py4j calls of pure driver time per
+    # construction (the r15 codebook-literal class, guide §7.3);
+    # Catalyst constant-folds JsonToStructs(Literal) so the executed
+    # plan carries the identical folded long[] — integers round-trip
+    # JSON exactly.
+    from .similarity import const_array_lit
+
+    bloom_lit = const_array_lit(words, "bigint")
     member = None
     for seed in range(k_hashes):
         probe = (
@@ -501,7 +510,7 @@ def bloom_shingle_filter(
         )
         member = probe if member is None else member & probe
     return (
-        probe_side.withColumn("_bloom", F.lit(words))
+        probe_side.withColumn("_bloom", bloom_lit)
         .filter(member)
         .drop("_bloom")
     )

@@ -167,3 +167,21 @@ def test_triangles_oracle_parity(spark, ddb):
     compare_with_oracle(
         spark, ddb, "dedup_triangles", registry.QUERIES, registry.ORACLE_SQL
     )
+
+
+def test_bloom_bitmap_lit_bitexact(spark):
+    """r15: bloom_shingle_filter binds its 2048-long bitmap via
+    const_array_lit (one from_json literal) instead of F.lit(list)
+    (2048 py4j calls, ~1.2 s of driver time per construction).  Signed
+    64-bit extremes must round-trip JSON exactly."""
+    words = [-(1 << 63), (1 << 63) - 1, 0, -1, 123456789012345678]
+    got = _values(spark, const_array_lit(words, "bigint"))
+    ref = _values(spark, F.lit(words))
+    assert got == ref
+
+
+def test_bloom_decontam_oracle_parity(spark, ddb):
+    compare_with_oracle(
+        spark, ddb, "curation_bloom_decontam", registry.QUERIES,
+        registry.ORACLE_SQL,
+    )
