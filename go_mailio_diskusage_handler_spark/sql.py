@@ -25,15 +25,42 @@ NOT work: engines disagree on that conversion's rounding path.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from go_mailio_diskusage_handler_spark.sources.tables import TABLES, load_table
 
+# Which sf_dir each session's fixture views currently point at.
+# Weak-keyed so a stopped/replaced session drops its entry; a NEW
+# session object always re-registers.  This memo holds view BINDINGS
+# (name -> lazy scan plan), never rows: re-running registration for an
+# unchanged (session, sf_dir) re-created byte-identical views at
+# ~0.95 s per call (10 footer reads + 10 catalog writes, measured r15)
+# inside the bench's timed region for every view-backed query repeat.
+# Registration still runs on first use per session and whenever sf_dir
+# changes (the driver's multi-SF correctness runs flip dirs mid-session).
+_VIEWS_AT: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Expose every fixture table as a temp view named after itself."""
+    """Expose every fixture table as a temp view named after itself.
+
+    Idempotent per (session, sf_dir): a repeat call with the same
+    directory is a no-op — nothing in this module ever mutates or
+    drops these views, so re-binding them would only re-do driver-side
+    catalog work.  Views stay lazy; every action scans the parquet
+    inputs.
+    """
+    key = os.path.abspath(sf_dir)
+    if _VIEWS_AT.get(spark) == key:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_AT[spark] = key
 
 
 PRICING_SUMMARY_SQL = """
