@@ -185,3 +185,52 @@ def test_bloom_decontam_oracle_parity(spark, ddb):
         spark, ddb, "curation_bloom_decontam", registry.QUERIES,
         registry.ORACLE_SQL,
     )
+
+
+# ---------------------------------------------------------------------------
+# r15 session-2 memos: schema inference (load_table) and view
+# registration (register_views).  Metadata memos only — every returned
+# frame stays a fresh lazy scan; these tests pin the internals that
+# keep them result-neutral.
+# ---------------------------------------------------------------------------
+
+
+def test_load_table_memoized_schema_matches_inferred(spark):
+    from go_mailio_diskusage_handler_spark.sources import tables as T
+
+    for name in ("lineitem", "events", "documents"):
+        key = (SF_CORRECT, name)
+        T._SCHEMA_MEMO.pop(key, None)
+        first = T.load_table(spark, SF_CORRECT, name)   # infers + memoizes
+        assert key in T._SCHEMA_MEMO
+        second = T.load_table(spark, SF_CORRECT, name)  # schema-hinted read
+        assert second.schema == first.schema
+        assert second.count() == first.count()
+
+
+def test_load_table_returns_fresh_attribute_ids(spark):
+    # Two loads must stay joinable as distinct relations (fresh exprIds):
+    # an unaliased equi-join between them would raise AMBIGUOUS_SELF_JOIN
+    # if the memo handed back the same plan object.
+    from go_mailio_diskusage_handler_spark.sources.tables import load_table
+
+    a = load_table(spark, SF_CORRECT, "nation")
+    b = load_table(spark, SF_CORRECT, "nation")
+    assert a is not b
+    joined = a.join(b, a["n_nationkey"] == b["n_regionkey"])
+    assert joined.count() > 0
+
+
+def test_register_views_idempotent_and_sf_sensitive(spark):
+    from go_mailio_diskusage_handler_spark import sql as S
+
+    sf_small = "/root/testdata/sf0.001"
+    S.register_views(spark, SF_CORRECT)
+    n_big = spark.table("lineitem").count()
+    S.register_views(spark, sf_small)   # sf change must re-register
+    n_small = spark.table("lineitem").count()
+    assert n_small < n_big
+    S.register_views(spark, sf_small)   # repeat is a no-op, views intact
+    assert spark.table("lineitem").count() == n_small
+    S.register_views(spark, SF_CORRECT)  # and back
+    assert spark.table("lineitem").count() == n_big
