@@ -179,6 +179,7 @@ def time_query(spark, name, fn, sf_dir, repeats, warmup, errors):
             failed = True
         finally:
             spark.catalog.clearCache()
+    df = None
     for _ in range(repeats):
         if failed:
             break  # already failed (warm-up or a prior repeat)
@@ -194,6 +195,16 @@ def time_query(spark, name, fn, sf_dir, repeats, warmup, errors):
             failed = True
             break  # a failing query fails every repeat; don't pay 3x
         finally:
+            # Drop the frame BEFORE the next repeat constructs its own
+            # (r15 measurement-bug fix): Spark's unpersist removes cache
+            # entries by PLAN EQUALITY, and the old frame's cache-release
+            # finalizer fired at the next repeat's REBIND — i.e. right
+            # after that repeat persisted its plan-equal intermediates —
+            # so repeats 2..N silently timed UNCACHED executions,
+            # violating this loop's own "self-contained including its
+            # own materialization" contract (repeat 1 was unaffected;
+            # isolated probes never reproduced the inflation).
+            df = None
             # Queries that persist intermediates (near-dup, ANN) would
             # otherwise accumulate executor storage across the run and
             # pressure later queries; each query is timed self-contained,

@@ -851,9 +851,18 @@ def ivfpq_ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
     )
-    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+    out = scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
+    # Transfer scored_corpus's cache ownership to the RETURNED frame:
+    # without it the owner (``scored``) dies at function exit and the
+    # persist is released before the first action — the query then
+    # re-inlines the corpus projection per consumer, with the inferred
+    # isnotnull(lists[0]) filter pushed into the (serial, one-split)
+    # base scan re-evaluating the whole codebook scoring per row
+    # (measured r15: a 1.4 s single-task stage).  The module's
+    # documented derivation hazard, hit inside the operator itself.
+    return own_cache(out, absorb=[scored])
 
 
 def ivfpq_rerank_topk(
@@ -918,9 +927,11 @@ def ivfpq_rerank_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    return exact.select("*", F.row_number().over(w).alias("rank")).filter(
+    out = exact.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
+    # Same ownership transfer as ivfpq_ann_topk (see the note there).
+    return own_cache(out, absorb=[scored])
 
 
 def _pq_codebook(embeddings: DataFrame) -> list[list[list[float]]]:
