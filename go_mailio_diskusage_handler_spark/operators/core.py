@@ -38,6 +38,15 @@ def inventory_from_lineitem(lineitem: DataFrame) -> DataFrame:
     except ``l_linenumber = 7`` rows get a slash-less key so the
     malformed-key guard (handler.go:235-238) has real work to do.
     Mirrored 1:1 by DuckDB SQL in ``__spark_entry__.oracle_sql``.
+
+    NOT widened (r16): the fixtures' lineitem scan yields 3 splits and
+    an A/B with ``widen_for_compute`` before the key build REGRESSED
+    every du_* query (du_core 1.13 → 1.64 s, du_scd2_history 1.28 →
+    2.27 s isolated medians) — the round-robin repartition of 600 k
+    rows (plus its sort-before-repartition pass) costs more than the
+    3-way-parallel string build saves.  The widen guard pays off only
+    above ~10× compute-per-row (shingling/md5 families), not for a
+    concat_ws key build.
     """
     key = F.when(
         F.col("l_linenumber") == 7, F.col("l_orderkey").cast("string")

@@ -702,8 +702,18 @@ def corpus_dedup_report(documents: DataFrame) -> DataFrame:
     )
     base = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        # == exact_dedup(docs).count(): one row per distinct content_sha
-        F.count_distinct(F.sha2("text", 256)).alias("n_uniq"),
+        # == exact_dedup(docs).count(): one row per distinct
+        # content_sha — including the NULL-text group, which
+        # count_distinct alone would drop (exact_dedup's groupBy keeps
+        # NULL as one group; ADVICE r15).  Fixtures carry no NULL
+        # text, so the max-term is 0 there and results are unchanged.
+        (
+            F.count_distinct(F.sha2("text", 256))
+            + F.coalesce(
+                F.max(F.when(F.col("text").isNull(), 1).otherwise(0)),
+                F.lit(0),  # empty corpus: max is NULL, n_uniq stays 0
+            )
+        ).alias("n_uniq"),
     )
     pairs = ngram_jaccard_pairs(docs, 0.8)
     near = pairs.select(
@@ -955,17 +965,15 @@ def _hashed_gram_buckets(n_buckets: int):
     split buckets).  At 100 TB you would widen to the public DSIR
     default (10k buckets); the shape is unchanged.
     """
+    from go_mailio_diskusage_handler_spark.operators.text import word_ngrams
+
     w = F.split(F.col("text"), " ")
     n = F.size(w)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_ngrams, not transform(sequence(...)): the indexed-lambda
+    # form re-evaluated the split per element — O(tokens²) per doc.
+    bigrams = F.when(n >= 2, word_ngrams(w, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     grams = F.concat(w, bigrams)
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")

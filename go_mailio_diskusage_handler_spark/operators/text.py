@@ -35,6 +35,32 @@ def tokens(col: str | Column = "text") -> Column:
     return F.split(col if isinstance(col, Column) else F.col(col), TOKEN_SPLIT)
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-gram array in LINEAR time per row.
+
+    Built as ``zip_with`` over ``n`` shifted ``slice``s of the token
+    array — the same construction as ``dedup.shingles`` and for the
+    same reason (its docstring has the measurement): inside a
+    higher-order lambda like ``transform(sequence(1, size(t) - k),
+    i -> ... element_at(t, i) ...)`` the array argument ``t`` is
+    re-evaluated PER ELEMENT when it is an expression (``split`` has
+    no common-subexpression elimination across lambda boundaries),
+    making n-gram construction O(tokens²) per document.  The
+    slice/zip_with form references the token expression a constant
+    number of times per row.
+
+    Caller must guard ``size(toks) >= n`` (a non-positive slice
+    length errors); tokens from ``split`` are never NULL, so
+    ``concat`` here equals the previous ``concat_ws`` output.
+    """
+    count = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, count) for j in range(n)]
+    out = parts[n - 1]
+    for j in range(n - 2, -1, -1):
+        out = F.zip_with(parts[j], out, lambda x, y: F.concat(x, F.lit(" "), y))
+    return out
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
     return documents.select(
@@ -222,12 +248,11 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     """
     words = tokens()
     n = F.size(words)
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    # word_ngrams, not transform(sequence(...)): the indexed-lambda
+    # form re-evaluated the split per element — O(tokens²) per doc.
+    bigrams = F.when(n >= 2, word_ngrams(words, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     per_doc = documents.select(
         "doc_id",
         n.alias("n_words"),
@@ -291,15 +316,18 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     deterministic across partitionings and engines.
     """
     words = tokens()
-    grams = F.when(
-        F.size(words) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_ngrams, not transform(sequence(..., i -> slice(split(...:
+    # the old indexed lambda re-evaluated split(text) per ELEMENT
+    # (O(tokens²) per doc — the dedup.shingles measurement, 6× at
+    # sf0.1); widen_for_compute parallelizes the explode+partial-agg
+    # over the fixtures' single-row-group scan exactly as the shingle
+    # family does (no-op at scale where the scan yields many splits).
+    grams = F.when(F.size(words) >= n, word_ngrams(words, n)).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        widen_for_compute(documents)
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
@@ -867,15 +895,11 @@ def gopher_rule_gate(documents: DataFrame) -> DataFrame:
     stop_kinds = F.size(
         F.array_intersect(w, F.array(*[F.lit(s) for s in LANG_PROFILES["en"]]))
     )
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_ngrams, not transform(sequence(...)): the indexed-lambda
+    # form re-evaluated the split per element — O(tokens²) per doc.
+    bigrams = F.when(n >= 2, word_ngrams(w, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     dup_frac = F.when(
         F.size(bigrams) == 0, F.lit(0.0)
     ).otherwise(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams))

@@ -50,7 +50,17 @@ def _local_scratch_dir() -> str | None:
     """
     d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if d is None and os.path.isdir("/dev/shm"):
-        d = "/dev/shm/spark_graft_local"
+        # Capacity guard (r16, ADVICE r15): Docker defaults /dev/shm to
+        # 64 MB — pointing shuffle/spill writes there would fail with
+        # ENOSPC in environments where the /tmp default works.  Only
+        # pick tmpfs when it has real headroom; the explicit env var
+        # overrides unconditionally.
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                d = "/dev/shm/spark_graft_local"
+        except OSError:
+            pass
     if d:
         os.makedirs(d, exist_ok=True)
     return d

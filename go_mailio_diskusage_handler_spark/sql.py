@@ -63,6 +63,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_AT[spark] = key
 
 
+def invalidate_view_memo(spark: SparkSession) -> None:
+    """Drop the registration memo for ``spark`` so the next
+    :func:`register_views` call re-binds every fixture view.
+
+    The memo assumes nothing outside this module drops or shadows the
+    fixture views (no current caller does — ADVICE r15).  A caller
+    that manipulates the catalog anyway must invalidate here, or a
+    later same-``sf_dir`` registration silently no-ops against its
+    changes.  (A per-call ``spark.catalog`` existence probe was
+    rejected: it would re-add a driver round-trip to every SQL-tier
+    query construction — the exact cost the memo removes.)
+    """
+    _VIEWS_AT.pop(spark, None)
+
+
 PRICING_SUMMARY_SQL = """
     SELECT l_returnflag,
            l_linestatus,
