@@ -89,9 +89,15 @@ def build(src: str, out: str, factor: int) -> None:
     shift = (F.col("_k").cast("long") * ID_STRIDE)
 
     def write(df, name):
+        # 32 part-files per big table: a 100 TB table naturally scans
+        # as thousands of splits, and a probe fixture written as 1-3
+        # files would time the WRITE layout (a serial scan) instead of
+        # the operator — the first 10× run showed exactly that (du_*
+        # flat at 8-vs-32 cores because the whole family ran on the
+        # ≤3 scan splits).
         path = os.path.join(out, f"{name}.parquet")
         shutil.rmtree(path, ignore_errors=True)
-        df.write.mode("overwrite").parquet(path)
+        df.repartition(32).write.mode("overwrite").parquet(path)
         print(f"built {name}: {spark.read.parquet(path).count()} rows")
 
     docs = load_table(spark, src, "documents")
@@ -155,6 +161,13 @@ def build(src: str, out: str, factor: int) -> None:
 def run(sf_dir: str, repeats: int, queries: list[str]) -> None:
     spark = build_session("scale-probe-run")
     spark.sparkContext.setLogLevel("ERROR")
+    # Per-file-ish splits over the 32-part fixture: openCostInBytes
+    # would otherwise pack the ~3 MB files into 2-3 splits and the
+    # probe would again time file packing, not the operator.  At real
+    # scale maxPartitionBytes=128m already yields thousands of splits,
+    # so this emulates, not cheats, the production scan shape.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # session warm-up mirroring bench.py
     registry.QUERIES["du_core"](spark, sf_dir).limit(1).collect()
